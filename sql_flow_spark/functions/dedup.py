@@ -1,0 +1,332 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2
+rows 22-26): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine.
+
+Scale design: every near-dup variant generates candidates via a
+bucket/band join (linear in data + bucket skew), NEVER an O(n^2)
+crossJoin; verification runs only on candidates. Hashing stays JVM-side
+(xxhash64); the one Python step (SimHash bit-majority) is an
+Arrow-batched pandas UDF over pre-hashed arrays.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from sql_flow_spark.functions.similarity import O_COSINE_PAIRS, cosine_cols
+from sql_flow_spark.functions.textops import O_NORMALIZE, fingerprint
+from sql_flow_spark.operators.registry import query
+from sql_flow_spark.tables import load_tables
+
+# ---------------------------------------------------------------- exact
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT
+      fingerprint,
+      CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+      COUNT(*) AS n_copies
+    FROM (
+      SELECT doc_id, md5({O_NORMALIZE.format(expr='text')}) AS fingerprint
+      FROM documents
+    )
+    GROUP BY fingerprint
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint,
+    keep the lowest doc_id. One shuffle on the 128-bit key; at 100 TB
+    the map-side partial agg collapses duplicates before the shuffle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select("doc_id", fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def ws_tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, built with array built-ins
+    (transform over an index sequence) — no explode needed to *build*,
+    so shingling is a narrow map."""
+    toks = ws_tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+# n-gram shingles in DuckDB (1-indexed lists), same construction.
+O_NGRAMS = (
+    "list_distinct(list_transform(generate_series(1, len({t}) - 2), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
+)
+O_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+NGRAM_JACCARD_TAU = 0.12
+
+
+@query(
+    "ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             {O_NGRAMS.format(t=O_TOKENS)} AS shingles
+      FROM documents
+    )
+    SELECT
+      a.doc_id AS doc_a,
+      b.doc_id AS doc_b,
+      CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        >= {NGRAM_JACCARD_TAU}
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over blocked candidate pairs (blocking key:
+    source). Jaccard from set-intersection sizes — integer counts, so
+    the double ratio is engine-identical. The unblocked scale path is
+    dedup_minhash_lsh; this is the exact verifier."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = t["documents"].select("doc_id", "source", token_ngrams("text").alias("shingles"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= NGRAM_JACCARD_TAU)
+    )
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+MINHASH_PERMS = 32
+LSH_BANDS = 8
+ROWS_PER_BAND = MINHASH_PERMS // LSH_BANDS
+MINHASH_TAU = 0.12
+
+
+@query("dedup_minhash_lsh")  # hash-function specific -> rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle -> 32 xxhash64 min-hashes ->
+    8 bands of 4 -> band-bucket self-join -> exact Jaccard verify.
+
+    Scale shape: candidate generation is a join on (band, band_hash) —
+    work is linear in docs plus the (rare) bucket collisions, never
+    all-pairs. Signatures are one exploded pass with 32 min() aggs
+    (single shuffle on doc_id); band keys are a narrow map + explode.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", token_ngrams("text").alias("shingles"))
+    docs.cache()
+
+    exploded = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    mh = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(p), F.col("sh"))).alias(f"h{p}")
+            for p in range(MINHASH_PERMS)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            ).alias("bkey"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= MINHASH_TAU)
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 63  # avoid signed-long overflow at bit 63
+SIMHASH_BAND_BITS = 16
+SIMHASH_MAX_HAMMING = 3
+
+
+@F.pandas_udf(LongType())
+def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """Bit-majority SimHash over pre-computed per-token xxhash64 values.
+    Arrow-batched; numpy bit ops across the whole batch — the only
+    Python step in the SimHash pipeline (hashing itself stays JVM-side).
+    """
+    import numpy as np
+
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for row_i, hs in enumerate(hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        arr = np.asarray(hs, dtype=np.uint64)
+        sig = 0
+        for bit in range(SIMHASH_BITS):
+            ones = int((arr >> np.uint64(bit) & np.uint64(1)).sum())
+            if 2 * ones > len(arr):
+                sig |= 1 << bit
+        out[row_i] = sig
+    return pd.Series(out)
+
+
+@query("dedup_simhash")  # hash-function specific -> rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: per-token xxhash64 (JVM) -> 63-bit
+    bit-majority signature (pandas UDF) -> 16-bit band join (a pair
+    within hamming<=3 shares >=1 of 4 bands by pigeonhole) -> exact
+    hamming verify via bit_count(xor). Candidate generation is again a
+    band join, linear at scale."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id", F.explode(ws_tokens("text")).alias("tok")
+    )
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    sigs = (
+        hashed.groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hs"))
+        .select("doc_id", _simhash_from_hashes("hs").alias("sig"))
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("sig"), b * SIMHASH_BAND_BITS
+                        ).bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1)).alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "sig", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+
+    pairs = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.sig").bitwiseXOR(F.col("y.sig"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+
+
+# ------------------------------------------------- embedding near-dups
+
+EMB_DUP_TAU = 0.40  # synthetic embeddings top out near cosine 0.47
+_EMB_SAMPLE_MOD = 2  # keep the oracle's pair count tractable
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    WITH sample AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id % {_EMB_SAMPLE_MOD} = 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             a.embedding AS ea, b.embedding AS eb
+      FROM sample a JOIN sample b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    scored AS ({O_COSINE_PAIRS})
+    SELECT qid AS vec_a, nid AS vec_b, cosine
+    FROM scored
+    WHERE cosine >= {EMB_DUP_TAU}
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by cluster label (at
+    scale the blocking key would be an LSH bucket — see ann_lsh_topk).
+    Cosine is DECIMAL-exact so the threshold agrees with the oracle."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    s = t["embeddings"].where(F.col("vec_id") % _EMB_SAMPLE_MOD == 0)
+    a = s.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cosine_cols(F.col("ea"), F.col("eb")).alias("cosine"))
+        .where(F.col("cosine") >= EMB_DUP_TAU)
+    )

@@ -1,0 +1,97 @@
+"""Multimodal column plumbing (SURVEY.md §2 row 33).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The Spark-side machinery here is real and tested — schema, Arrow batch
+shape, mapInPandas signature, partitioning — while the actual media
+decode is STUBBED (this container has no image/audio libs): see
+``decode_image``, which raises NotImplementedError, and
+``fake_decode_features``, the deterministic stand-in the pipeline uses.
+
+At 100 TB: binary payloads dominate partition size, so the operator
+keeps ``spark.sql.files.maxPartitionBytes``-sized inputs, never
+collects, and emits only small typed features.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from sql_flow_spark.operators.registry import query
+from sql_flow_spark.tables import load_tables
+
+FRAME_BYTES = 256  # fake frame size for the deterministic stub
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("first_byte", IntegerType()),
+    ]
+)
+
+
+def decode_image(payload: bytes):
+    """STUB: real image decode (PIL/opencv are not in this container).
+    The Spark plumbing around it is real; swap this for a library call
+    in a full deployment."""
+    raise NotImplementedError(
+        "media decode is stubbed in this environment; use fake_decode_features"
+    )
+
+
+def fake_decode_features(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for decode + feature extraction."""
+    return len(payload), len(payload) // FRAME_BYTES, payload[0] if payload else 0
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extraction over a binary column. Arrow
+    delivers the payload batches; output is the small typed schema."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_decode_features(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": pd.Series([f[0] for f in feats], dtype="int64"),
+                    "n_frames": pd.Series([f[1] for f in feats], dtype="int64"),
+                    "first_byte": pd.Series([f[2] for f in feats], dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      CAST(octet_length(encode(text)) // {FRAME_BYTES} AS BIGINT) AS n_frames,
+      CAST(ascii(text) AS INTEGER) AS first_byte
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction end-to-end: documents.text is
+    encoded to a binary payload (standing in for stored media bytes),
+    then features are extracted via mapInPandas. The oracle recomputes
+    the deterministic stub's outputs in SQL."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    payloads = t["documents"].select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_features(payloads)

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as SURVEY.md §2 rows 27-28:
+
+- ``ann_cosine_topk`` — brute-force exact top-k: broadcast the (small)
+  query set, one scan over the embeddings, per-query top-k. The
+  baseline and the oracle-checked one.
+- ``ann_lsh_topk`` — random-hyperplane LSH: bucket candidates by sign
+  bits, only score within the query's bucket, exact rerank. The scale
+  path: at 100 TB the scored pair count drops by ~2^n_planes.
+
+Cross-engine determinism: cosine is computed from DECIMAL-exact sums
+of double products (see ``cosine_cols``), then a single IEEE
+sqrt/divide — bit-identical between Spark and DuckDB, so ordering and
+thresholds agree exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_flow_spark.operators.registry import query
+from sql_flow_spark.tables import load_tables
+
+# Engine-identical exact dot products. Per-element products are pure
+# IEEE double math (identical in Spark and DuckDB); each term is then
+# fixed-pointed via floor(t*1e12 + 0.5) — still pure IEEE — and summed
+# as integers (exact, order-insensitive). Casting the *computed* double
+# to decimal directly would NOT be safe: Spark converts via shortest
+# string repr, DuckDB via the true binary value, and they disagree on
+# repr-boundary ties.
+_DOT_SCALE = 1e12
+
+
+def dot_dec(a: Column, b: Column) -> Column:
+    """Exact dot product exposed as DOUBLE (engine-identical)."""
+    terms = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * F.lit(_DOT_SCALE) + F.lit(0.5)
+        ).cast("decimal(30,0)"),
+    )
+    acc = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + v,
+    )
+    return acc.cast("double") / F.lit(_DOT_SCALE)
+
+
+def sq_norm_dec(a: Column) -> Column:
+    return dot_dec(a, a)
+
+
+def cosine_cols(a: Column, b: Column) -> Column:
+    return dot_dec(a, b) / (F.sqrt(sq_norm_dec(a)) * F.sqrt(sq_norm_dec(b)))
+
+
+# DuckDB oracle equivalent: same fixed-point terms over a scalar
+# generate_series index list, summed with list_sum (decimal -> exact).
+def o_dot_dec(a: str, b: str) -> str:
+    return (
+        f"(CAST(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"* {_DOT_SCALE:.1f} + 0.5) AS DECIMAL(30,0)))) AS DOUBLE) / {_DOT_SCALE:.1f})"
+    )
+
+
+O_COSINE_PAIRS = f"""
+  SELECT
+    qid,
+    nid,
+    {o_dot_dec('ea', 'eb')}
+      / (sqrt({o_dot_dec('ea', 'ea')}) * sqrt({o_dot_dec('eb', 'eb')})) AS cosine
+  FROM pairs
+"""
+
+N_QUERIES = 8
+TOP_K = 5
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             q.embedding AS ea, c.embedding AS eb
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ),
+    scored AS ({O_COSINE_PAIRS})
+    SELECT qid, nid, cosine, rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, nid) AS INTEGER) AS rank
+      FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: queries (vec_id < 8) are broadcast, so
+    scoring is map-side over a single embeddings scan; the only shuffle
+    is the per-query top-k (k*|Q| rows). Exact baseline for ANN."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea")
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("eb")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "nid", cosine_cols(F.col("ea"), F.col("eb")).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "nid", "cosine", "rank")
+    )
+
+
+N_PLANES = 8
+_LSH_SEED = 42
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    return np.random.RandomState(_LSH_SEED).standard_normal((N_PLANES, dim))
+
+
+def lsh_bucket(emb: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id from fixed random hyperplanes (broadcast as
+    literals — tiny). Double math only; bucketing needs no exactness."""
+    bucket = F.lit(0)
+    for p_i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(float(v)) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p_i)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+@query("ann_lsh_topk")  # approximate -> rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates scored only inside the query's
+    hyperplane-sign bucket (expected |N|/2^8 of the data), exact cosine
+    rerank. At 100 TB: bucket is the shuffle/partition key, queries
+    broadcast, per-bucket work independent; recall traded via n_planes
+    / multi-probe."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    dim = len(e.select("embedding").first()[0])
+    planes = _hyperplanes(dim)
+    with_bucket = e.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding"), planes).alias("bucket")
+    )
+    q = with_bucket.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
+        F.col("bucket").alias("qbucket"),
+    )
+    c = with_bucket.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"), "bucket"
+    )
+    scored = c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket")).select(
+        "qid", "nid", cosine_cols(F.col("ea"), F.col("eb")).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "nid", "cosine", "rank")
+    )

@@ -1,0 +1,211 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+All pure Catalyst expressions (regexp/string built-ins) — no Python in
+the row path, so they run inside whole-stage codegen and scale linearly
+with a single parquet scan and zero shuffles (per-doc outputs).
+
+Cross-engine note: every ratio is computed as CAST(int AS DOUBLE) /
+CAST(int AS DOUBLE) with the same expression tree in the DuckDB oracle,
+so values hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_flow_spark.operators.registry import query
+from sql_flow_spark.tables import load_tables
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "des"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "it": ("il", "la", "di", "che", "e", "un", "per", "con"),
+}
+
+
+def _stop_re(lang: str) -> str:
+    return r"\b(?:" + "|".join(STOPWORDS[lang]) + r")\b"
+
+
+def ws_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0))
+
+
+def normalize_text(text: Column | str) -> Column:
+    """lower -> strip non-alnum -> collapse whitespace -> trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+O_NORMALIZE = (
+    "trim(regexp_replace(regexp_replace(lower({expr}), "
+    "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 over the normalized text. Stable under
+    case/punctuation/whitespace noise — the exact-dedup key."""
+    return F.md5(normalize_text(text))
+
+
+@query(
+    "token_count",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INTEGER) AS n_bpe_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars_seen
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        ws_token_count("text").alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_seen"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT
+      doc_id,
+      md5({O_NORMALIZE.format(expr='text')}) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint per document (dedup key)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+def _o_hits(lang: str) -> str:
+    return f"len(regexp_extract_all(lower(text), '{_stop_re(lang)}'))"
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, predicted_lang FROM (
+      SELECT
+        doc_id,
+        lang,
+        CASE
+          WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_it THEN 'en'
+          WHEN h_es >= h_fr AND h_es >= h_de AND h_es >= h_it THEN 'es'
+          WHEN h_fr >= h_de AND h_fr >= h_it THEN 'fr'
+          WHEN h_de >= h_it THEN 'de'
+          ELSE 'it'
+        END AS predicted_lang
+      FROM (
+        SELECT doc_id, lang,
+          {_o_hits('en')} AS h_en,
+          {_o_hits('es')} AS h_es,
+          {_o_hits('fr')} AS h_fr,
+          {_o_hits('de')} AS h_de,
+          {_o_hits('it')} AS h_it
+        FROM documents
+      )
+    )
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-hit language ID heuristic with a deterministic
+    argmax tiebreak (en > es > fr > de > it)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    low = F.lower(F.col("text"))
+    hits = {
+        lang: F.size(F.regexp_extract_all(low, F.lit(_stop_re(lang)), 0))
+        for lang in STOPWORDS
+    }
+    pred = (
+        F.when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"])
+            & (hits["en"] >= hits["de"]) & (hits["en"] >= hits["it"]),
+            "en",
+        )
+        .when((hits["es"] >= hits["fr"]) & (hits["es"] >= hits["de"]) & (hits["es"] >= hits["it"]), "es")
+        .when((hits["fr"] >= hits["de"]) & (hits["fr"] >= hits["it"]), "fr")
+        .when(hits["de"] >= hits["it"], "de")
+        .otherwise("it")
+    )
+    return d.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars_seen,
+      n_tokens,
+      CAST(n_alpha AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+      CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+      0.5 * (CAST(n_alpha AS DOUBLE) / CAST(length(text) AS DOUBLE))
+        + 0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE))
+        AS quality_score
+    FROM (
+      SELECT
+        doc_id,
+        text,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+        {_o_hits('en')} AS n_stop
+      FROM documents
+    )
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: alpha ratio, punctuation ratio,
+    stopword density -> weighted score in [0,1]."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    n_chars = F.length("text")
+    n_tokens = ws_token_count("text")
+    n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_re("en")), 0))
+    alpha_ratio = n_alpha.cast("double") / n_chars.cast("double")
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    score = (
+        F.lit(0.5) * alpha_ratio
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+    )
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_seen"),
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )

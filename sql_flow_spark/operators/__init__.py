@@ -1,0 +1,17 @@
+"""Operator/query library.
+
+Importing this package populates the global query registry; modules
+register via :func:`sql_flow_spark.operators.registry.query`.
+"""
+
+from sql_flow_spark.operators.registry import QUERIES, ORACLES, query
+
+# Registration side-effects:
+from sql_flow_spark.operators import core  # noqa: F401
+from sql_flow_spark.operators import analytics  # noqa: F401
+from sql_flow_spark.functions import textops  # noqa: F401
+from sql_flow_spark.functions import dedup  # noqa: F401
+from sql_flow_spark.functions import similarity  # noqa: F401
+from sql_flow_spark.functions import multimodal  # noqa: F401
+
+__all__ = ["QUERIES", "ORACLES", "query"]
