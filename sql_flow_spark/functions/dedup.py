@@ -16,7 +16,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from sql_flow_spark.functions.similarity import O_COSINE_PAIRS, cosine_cols
+from sql_flow_spark.functions.similarity import (
+    O_COSINE_PAIRS,
+    O_NORMS_CTE,
+    dot_dec,
+    sq_norm_dec,
+)
 from sql_flow_spark.functions.textops import O_NORMALIZE, fingerprint
 from sql_flow_spark.operators.registry import query
 from sql_flow_spark.tables import load_tables
@@ -60,11 +65,15 @@ def ws_tokens(text: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
-def token_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, built with array built-ins
-    (transform over an index sequence) — no explode needed to *build*,
-    so shingling is a narrow map."""
-    toks = ws_tokens(text)
+def token_ngrams(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* token-array
+    column, built with array built-ins (transform over an index
+    sequence) — a narrow map, no explode needed to build.
+
+    IMPORTANT: pass a bound column (e.g. via withColumn), not the
+    ws_tokens(...) expression — lambdas inline their argument, so an
+    expression would make Catalyst re-split the text for every
+    element_at lookup (observed 8s -> 0.5s on 5k docs)."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx,
@@ -73,6 +82,15 @@ def token_ngrams(text: Column | str, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(grams)
+
+
+def with_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """documents -> (doc_id, source, shingles) with tokens materialized
+    once."""
+    return (
+        df.withColumn("toks", ws_tokens("text"))
+        .withColumn("shingles", token_ngrams(F.col("toks"), n))
+    )
 
 
 # n-gram shingles in DuckDB (1-indexed lists), same construction.
@@ -113,7 +131,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the double ratio is engine-identical. The unblocked scale path is
     dedup_minhash_lsh; this is the exact verifier."""
     t = load_tables(spark, sf_dir, ("documents",))
-    sh = t["documents"].select("doc_id", "source", token_ngrams("text").alias("shingles"))
+    sh = with_shingles(t["documents"]).select("doc_id", "source", "shingles")
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"),
         F.col("shingles").alias("sh_a"),
@@ -151,13 +169,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single shuffle on doc_id); band keys are a narrow map + explode.
     """
     t = load_tables(spark, sf_dir, ("documents",))
-    docs = t["documents"].select("doc_id", token_ngrams("text").alias("shingles"))
+    docs = with_shingles(t["documents"]).select("doc_id", "shingles")
     docs.cache()
 
-    exploded = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    # Hash each shingle string ONCE, then derive the 32 "permutations"
+    # by re-hashing the 8-byte base hash — 32 long-hashes instead of 32
+    # string-hashes per shingle (the string hash dominates otherwise).
+    exploded = docs.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", F.xxhash64("sh").alias("base"))
     mh = exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(p), F.col("sh"))).alias(f"h{p}")
+            F.min(F.xxhash64(F.lit(p), F.col("base"))).alias(f"h{p}")
             for p in range(MINHASH_PERMS)
         ]
     )
@@ -212,23 +235,32 @@ SIMHASH_MAX_HAMMING = 3
 @F.pandas_udf(LongType())
 def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
     """Bit-majority SimHash over pre-computed per-token xxhash64 values.
-    Arrow-batched; numpy bit ops across the whole batch — the only
-    Python step in the SimHash pipeline (hashing itself stays JVM-side).
-    """
+    Arrow-batched and fully vectorized: the whole batch's hash arrays
+    are flattened once, then each bit plane is a single reduceat over
+    the flat array — the only Python step in the SimHash pipeline
+    (hashing itself stays JVM-side)."""
     import numpy as np
 
-    out = np.zeros(len(hashes), dtype=np.int64)
-    for row_i, hs in enumerate(hashes):
-        if hs is None or len(hs) == 0:
-            continue
-        arr = np.asarray(hs, dtype=np.uint64)
-        sig = 0
-        for bit in range(SIMHASH_BITS):
-            ones = int((arr >> np.uint64(bit) & np.uint64(1)).sum())
-            if 2 * ones > len(arr):
-                sig |= 1 << bit
-        out[row_i] = sig
-    return pd.Series(out)
+    n = len(hashes)
+    lengths = np.array(
+        [0 if hs is None else len(hs) for hs in hashes], dtype=np.int64
+    )
+    if lengths.sum() == 0:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    flat = np.concatenate(
+        [np.asarray(hs, dtype=np.int64) for hs in hashes if hs is not None and len(hs)]
+    ).astype(np.uint64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    # reduceat misreads zero-length segments; clamp and mask after.
+    safe_starts = np.minimum(starts, len(flat) - 1)
+    sig = np.zeros(n, dtype=np.uint64)
+    for bit in range(SIMHASH_BITS):
+        bits = (flat >> np.uint64(bit)) & np.uint64(1)
+        ones = np.add.reduceat(bits, safe_starts)
+        sig |= ((2 * ones > lengths.astype(np.uint64)) .astype(np.uint64)) << np.uint64(bit)
+    sig[lengths == 0] = 0
+    return pd.Series(sig.astype(np.int64))
 
 
 @query("dedup_simhash")  # hash-function specific -> rows-only check
@@ -295,7 +327,8 @@ _EMB_SAMPLE_MOD = 2  # keep the oracle's pair count tractable
 @query(
     "dedup_embedding",
     oracle=f"""
-    WITH sample AS (
+    WITH norms AS ({O_NORMS_CTE}),
+    sample AS (
       SELECT vec_id, label, embedding FROM embeddings
       WHERE vec_id % {_EMB_SAMPLE_MOD} = 0
     ),
@@ -314,19 +347,27 @@ _EMB_SAMPLE_MOD = 2  # keep the oracle's pair count tractable
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by cluster label (at
     scale the blocking key would be an LSH bucket — see ann_lsh_topk).
-    Cosine is DECIMAL-exact so the threshold agrees with the oracle."""
+    Norms are attached per vector BEFORE pairing (O(vectors*dim), not
+    O(pairs*dim)); cosine is fixed-point-exact so the threshold agrees
+    with the oracle."""
     t = load_tables(spark, sf_dir, ("embeddings",))
-    s = t["embeddings"].where(F.col("vec_id") % _EMB_SAMPLE_MOD == 0)
+    s = t["embeddings"].where(F.col("vec_id") % _EMB_SAMPLE_MOD == 0).withColumn(
+        "nrm", F.sqrt(sq_norm_dec(F.col("embedding")))
+    )
     a = s.select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
-        F.col("embedding").alias("ea"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("nrm_a"),
     )
     b = s.select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-        F.col("embedding").alias("eb"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nrm_b"),
     )
     return (
         a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", cosine_cols(F.col("ea"), F.col("eb")).alias("cosine"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot_dec(F.col("ea"), F.col("eb")) / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+        )
         .where(F.col("cosine") >= EMB_DUP_TAU)
     )

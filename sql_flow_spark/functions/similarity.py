@@ -70,23 +70,40 @@ def o_dot_dec(a: str, b: str) -> str:
     )
 
 
+# Cosine over candidate pairs, with per-vector norms computed ONCE in
+# the `norms` CTE (callers must provide `norms(vec_id, nrm)` alongside
+# `pairs`) instead of per pair — at scale this turns O(pairs * dim)
+# norm work into O(vectors * dim).
+O_NORMS_CTE = f"""
+  SELECT vec_id, sqrt({o_dot_dec('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+"""
+
 O_COSINE_PAIRS = f"""
   SELECT
     qid,
     nid,
-    {o_dot_dec('ea', 'eb')}
-      / (sqrt({o_dot_dec('ea', 'ea')}) * sqrt({o_dot_dec('eb', 'eb')})) AS cosine
+    {o_dot_dec('ea', 'eb')} / (qn.nrm * cn.nrm) AS cosine
   FROM pairs
+  JOIN norms qn ON qn.vec_id = qid
+  JOIN norms cn ON cn.vec_id = nid
 """
 
 N_QUERIES = 8
 TOP_K = 5
 
 
+def _with_norm(e: DataFrame) -> DataFrame:
+    """Attach the per-vector norm once (narrow map, computed at the
+    scan) so pair scoring only pays for the dot product."""
+    return e.withColumn("nrm", F.sqrt(sq_norm_dec(F.col("embedding"))))
+
+
 @query(
     "ann_cosine_topk",
     oracle=f"""
-    WITH pairs AS (
+    WITH norms AS ({O_NORMS_CTE}),
+    pairs AS (
       SELECT q.vec_id AS qid, c.vec_id AS nid,
              q.embedding AS ea, c.embedding AS eb
       FROM embeddings q, embeddings c
@@ -107,15 +124,19 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is map-side over a single embeddings scan; the only shuffle
     is the per-query top-k (k*|Q| rows). Exact baseline for ANN."""
     t = load_tables(spark, sf_dir, ("embeddings",))
-    e = t["embeddings"]
+    e = _with_norm(t["embeddings"])
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("qnrm"),
     )
     c = e.where(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("nid"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("cnrm"),
     )
     scored = c.crossJoin(F.broadcast(q)).select(
-        "qid", "nid", cosine_cols(F.col("ea"), F.col("eb")).alias("cosine")
+        "qid",
+        "nid",
+        (dot_dec(F.col("ea"), F.col("eb")) / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
     return (
@@ -162,18 +183,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t["embeddings"]
     dim = len(e.select("embedding").first()[0])
     planes = _hyperplanes(dim)
-    with_bucket = e.select(
-        "vec_id", "embedding", lsh_bucket(F.col("embedding"), planes).alias("bucket")
+    with_bucket = _with_norm(e).select(
+        "vec_id", "embedding", "nrm",
+        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
     )
     q = with_bucket.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
-        F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"), F.col("bucket").alias("qbucket"),
     )
     c = with_bucket.where(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"), "bucket"
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("cnrm"), "bucket",
     )
     scored = c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket")).select(
-        "qid", "nid", cosine_cols(F.col("ea"), F.col("eb")).alias("cosine")
+        "qid",
+        "nid",
+        (dot_dec(F.col("ea"), F.col("eb")) / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
     return (
