@@ -1,0 +1,69 @@
+"""CLI (reference: cmd/sql-flow.py — run / dev invoke / config
+validate), argparse-based.
+
+  python -m sql_flow_spark.cli run <config> [--available-now]
+  python -m sql_flow_spark.cli invoke <config> <fixture>
+  python -m sql_flow_spark.cli validate <config>
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from sql_flow_spark import config as cfg
+from sql_flow_spark.pipeline import invoke as pipeline_invoke
+from sql_flow_spark.pipeline import new_pipeline_from_conf
+from sql_flow_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="sql-flow-spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="start the pipeline service")
+    p_run.add_argument("config")
+    p_run.add_argument("--available-now", action="store_true",
+                       help="drain available input then exit")
+    p_run.add_argument("--processing-time", default=None,
+                       help="micro-batch trigger interval, e.g. '5 seconds'")
+
+    p_inv = sub.add_parser("invoke", help="run a pipeline against a jsonl fixture")
+    p_inv.add_argument("config")
+    p_inv.add_argument("fixture")
+
+    p_val = sub.add_parser("validate", help="parse/validate a config file")
+    p_val.add_argument("config")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "validate":
+        conf = cfg.new_from_path(args.config)
+        print(f"ok: source={conf.pipeline.source.type} "
+              f"handler={conf.pipeline.handler.type} sink={conf.pipeline.sink.type}")
+        return 0
+
+    spark = get_spark("sql-flow-spark-cli")
+
+    if args.cmd == "invoke":
+        result = pipeline_invoke(spark, args.config, args.fixture)
+        if result is not None:
+            for row in result.collect():
+                print(row.asDict(recursive=True))
+        return 0
+
+    if args.cmd == "run":
+        conf = cfg.new_from_path(args.config)
+        pipe = new_pipeline_from_conf(conf, spark)
+        query = pipe.start(
+            available_now=args.available_now,
+            processing_time=args.processing_time,
+        )
+        query.awaitTermination()
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,205 @@
+"""Pipeline configuration: YAML -> dataclasses.
+
+Mirrors the reference's config surface (reference: sqlflow/config.py —
+pipeline{source,handler,sink}, commands, udfs, tables+managers,
+on_error) including Jinja templating with SQLFLOW_* environment
+variables (reference: config.py:194 render_config). Handler SQL is
+Spark SQL dialect (the reference's is DuckDB dialect; semantics parity,
+not syntax parity — see README).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+from jinja2 import Template
+from yaml import safe_load
+
+
+class Policy:
+    RAISE = "RAISE"
+    IGNORE = "IGNORE"
+    DLQ = "DLQ"
+
+
+@dataclass
+class SourceConf:
+    type: str  # files | memory | rate | kafka | websocket | webhook
+    # files: directory of json/csv/parquet; streaming reads with
+    # maxFilesPerTrigger, batch reads whole.
+    path: Optional[str] = None
+    format: str = "json"
+    schema: Optional[str] = None  # DDL string; None -> infer
+    max_files_per_trigger: Optional[int] = None
+    # kafka
+    brokers: list[str] = field(default_factory=list)
+    topics: list[str] = field(default_factory=list)
+    group_id: Optional[str] = None
+    auto_offset_reset: str = "earliest"
+    # rate
+    rows_per_second: int = 100
+    options: dict = field(default_factory=dict)
+
+
+@dataclass
+class HandlerConf:
+    type: str = "handlers.InferredBatch"  # or handlers.StructuredBatch
+    sql: str = "SELECT * FROM batch"
+    table: Optional[str] = None  # StructuredBatch target table
+    serde: str = "json"
+
+
+@dataclass
+class SinkConf:
+    type: str = "console"  # console | memory | noop | files | kafka | sqlcommand
+    # files
+    path: Optional[str] = None
+    format: str = "parquet"
+    mode: str = "append"
+    # memory
+    name: Optional[str] = None
+    # kafka
+    brokers: list[str] = field(default_factory=list)
+    topic: Optional[str] = None
+    # sqlcommand: SQL run per flush against view sqlflow_sink_batch
+    sql: Optional[str] = None
+    substitutions: list[dict] = field(default_factory=list)
+    options: dict = field(default_factory=dict)
+
+
+@dataclass
+class ErrorPolicyConf:
+    policy: str = Policy.RAISE
+    dlq: Optional[SinkConf] = None
+
+
+@dataclass
+class TumblingWindowConf:
+    time_column: str
+    duration: str  # e.g. "1 hour"
+    watermark_delay: str = "0 seconds"
+    aggregates_sql: Optional[str] = None  # e.g. "count(*) AS n"
+    group_by: list[str] = field(default_factory=list)
+
+
+@dataclass
+class ManagedTableConf:
+    name: str
+    tumbling_window: TumblingWindowConf
+    sink: SinkConf
+
+
+@dataclass
+class SQLCommand:
+    name: str
+    sql: str
+
+
+@dataclass
+class UDFConf:
+    function_name: str
+    import_path: str
+    return_type: str = "string"
+    vectorized: bool = True  # pandas UDF (arrow) vs row python UDF
+
+
+@dataclass
+class PipelineConf:
+    source: SourceConf
+    handler: HandlerConf
+    sink: SinkConf
+    batch_size: int = 1000
+    flush_interval_seconds: int = 30
+    on_error: ErrorPolicyConf = field(default_factory=ErrorPolicyConf)
+
+
+@dataclass
+class Conf:
+    pipeline: PipelineConf
+    commands: list[SQLCommand] = field(default_factory=list)
+    udfs: list[UDFConf] = field(default_factory=list)
+    tables: list[ManagedTableConf] = field(default_factory=list)
+
+
+def render_config(path: str, setting_overrides: dict | None = None) -> dict:
+    """Jinja-render the YAML with SQLFLOW_*/ SPARK_GRAFT_* env vars
+    available as template variables (reference: config.py:194)."""
+    with open(path) as f:
+        template = Template(f.read())
+    settings_vars: dict = {}
+    for key, value in os.environ.items():
+        if key.startswith(("SQLFLOW_", "SPARK_GRAFT_")):
+            settings_vars[key] = value
+    settings_vars.update(setting_overrides or {})
+    return safe_load(template.render(**settings_vars))
+
+
+def _source_from_dict(d: dict) -> SourceConf:
+    typ = d["type"]
+    sub = d.get(typ, {}) if isinstance(d.get(typ), dict) else {}
+    merged = {**{k: v for k, v in d.items() if k != "type" and not isinstance(v, dict)}, **sub}
+    allowed = {f_.name for f_ in SourceConf.__dataclass_fields__.values()}  # type: ignore[attr-defined]
+    return SourceConf(type=typ, **{k: v for k, v in merged.items() if k in allowed})
+
+
+def _sink_from_dict(d: dict) -> SinkConf:
+    typ = d.get("type", "console")
+    sub = d.get(typ, {}) if isinstance(d.get(typ), dict) else {}
+    merged = {**{k: v for k, v in d.items() if k not in ("type",) and not isinstance(v, dict)}, **sub}
+    if "format" in d and isinstance(d["format"], dict):
+        merged["format"] = d["format"].get("type", "parquet")
+    allowed = {f_.name for f_ in SinkConf.__dataclass_fields__.values()}  # type: ignore[attr-defined]
+    return SinkConf(type=typ, **{k: v for k, v in merged.items() if k in allowed})
+
+
+def new_from_dict(conf: dict) -> Conf:
+    p = conf["pipeline"]
+    handler_d = p.get("handler", {})
+    on_error_d = p.get("on_error", {}) or {}
+    dlq = _sink_from_dict(on_error_d["dlq"]) if "dlq" in on_error_d else None
+
+    tables: list[ManagedTableConf] = []
+    for tconf in (conf.get("tables") or {}).get("managed", []):
+        tw = tconf["tumbling_window"]
+        tables.append(
+            ManagedTableConf(
+                name=tconf["name"],
+                tumbling_window=TumblingWindowConf(
+                    time_column=tw["time_column"],
+                    duration=tw["duration"],
+                    watermark_delay=tw.get("watermark_delay", "0 seconds"),
+                    aggregates_sql=tw.get("aggregates_sql"),
+                    group_by=tw.get("group_by", []),
+                ),
+                sink=_sink_from_dict(tconf["sink"]),
+            )
+        )
+
+    return Conf(
+        commands=[SQLCommand(**c) for c in conf.get("commands", [])],
+        udfs=[UDFConf(**u) for u in conf.get("udfs", [])],
+        tables=tables,
+        pipeline=PipelineConf(
+            source=_source_from_dict(p["source"]),
+            handler=HandlerConf(
+                type=handler_d.get("type", "handlers.InferredBatch"),
+                sql=handler_d.get("sql", "SELECT * FROM batch"),
+                table=handler_d.get("table"),
+                serde=handler_d.get("serde", "json"),
+            ),
+            sink=_sink_from_dict(p["sink"]),
+            batch_size=p.get("batch_size", 1000),
+            flush_interval_seconds=p.get("flush_interval_seconds", 30),
+            on_error=ErrorPolicyConf(
+                policy=(on_error_d.get("policy") or Policy.RAISE).upper(),
+                dlq=dlq,
+            ),
+        ),
+    )
+
+
+def new_from_path(path: str, setting_overrides: dict | None = None) -> Conf:
+    return new_from_dict(render_config(path, setting_overrides))

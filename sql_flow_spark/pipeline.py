@@ -1,0 +1,172 @@
+"""Pipeline engine: config -> source -> handler SQL -> sink.
+
+Reference architecture (sqlflow/pipeline.py SQLFlow.consume_loop):
+buffer batch_size messages, run handler SQL, write sink, repeat —
+with RAISE/IGNORE/DLQ error policies and managed windowed tables.
+
+Spark-native mapping:
+- batch mode (``invoke``): the fixture/source is read once as the
+  ``batch`` view; handler SQL runs through Catalyst; result goes to the
+  sink. This is the reference's ``dev invoke``.
+- streaming mode (``start``): readStream + foreachBatch. Each
+  micro-batch plays the role of the reference's message batch: it is
+  registered as ``batch``, the handler SQL runs on it, and the result
+  is written to the sink. Offsets/commits/retries are Spark's
+  checkpointing — the hand-rolled commit logic in the reference's
+  consume_loop is exactly what Structured Streaming provides.
+
+Error policies run per micro-batch: RAISE fails the query, IGNORE
+skips the batch, DLQ writes the error envelope to the DLQ sink
+(reference: pipeline.py:205-238).
+"""
+
+from __future__ import annotations
+
+import logging
+import tempfile
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sql_flow_spark import config as cfg
+from sql_flow_spark.handlers import Handler, new_handler_from_conf
+from sql_flow_spark.serde import JSONSerde
+from sql_flow_spark.sinks import DLQSink, NoopSink, Sink, new_sink_from_conf
+from sql_flow_spark.sources import MemorySource, new_source_from_conf
+from sql_flow_spark.udf import init_udfs
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class Stats:
+    num_batches: int = 0
+    num_rows_out: int = 0
+    num_errors: int = 0
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        source,
+        handler: Handler,
+        sink: Sink,
+        error_policy: str = cfg.Policy.RAISE,
+        dlq_sink: Optional[Sink] = None,
+        batch_size: int = 1000,
+    ):
+        self.spark = spark
+        self.source = source
+        self.handler = handler
+        self.sink = sink
+        self.error_policy = error_policy
+        self.dlq = DLQSink(dlq_sink or NoopSink(), spark)
+        self.batch_size = batch_size
+        self.stats = Stats()
+
+    # ------------------------------------------------------ batch mode
+
+    def invoke(self, batch_df: Optional[DataFrame] = None) -> Optional[DataFrame]:
+        """Run one batch through handler+sink (reference: lifecycle.py
+        invoke). Returns the handler result."""
+        df = batch_df if batch_df is not None else self.source.read(self.spark)
+        try:
+            result = self.handler.invoke(self.spark, df)
+        except Exception as e:
+            self.stats.num_errors += 1
+            if self.error_policy == cfg.Policy.RAISE:
+                raise
+            if self.error_policy == cfg.Policy.DLQ:
+                self.dlq.write_error(str(e), "handler invocation failed", "handler.invoke")
+            return None
+        if result is not None:
+            self.sink.write_table(result)
+            self.sink.flush()
+            self.stats.num_batches += 1
+        return result
+
+    # -------------------------------------------------- streaming mode
+
+    def _foreach_batch(self, batch_df: DataFrame, batch_id: int):
+        try:
+            result = self.handler.invoke(self.spark, batch_df)
+        except Exception as e:
+            self.stats.num_errors += 1
+            logger.error("handler error on batch %s: %s", batch_id, e)
+            if self.error_policy == cfg.Policy.RAISE:
+                raise
+            if self.error_policy == cfg.Policy.DLQ:
+                self.dlq.write_error(str(e), f"batch {batch_id}", "handler.invoke")
+            return
+        if result is not None:
+            self.sink.write_table(result)
+            self.sink.flush()
+            self.stats.num_batches += 1
+
+    def start(
+        self,
+        available_now: bool = True,
+        checkpoint_dir: str | None = None,
+        processing_time: str | None = None,
+    ):
+        """Start the streaming query. available_now=True drains what's
+        there and stops (bounded runs/tests); otherwise it's a standing
+        query with processing_time triggers."""
+        stream = self.source.read_stream(self.spark)
+        writer = stream.writeStream.foreachBatch(self._foreach_batch)
+        writer = writer.option(
+            "checkpointLocation", checkpoint_dir or tempfile.mkdtemp(prefix="sfs-ckpt-")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+
+def init_commands(spark: SparkSession, commands: list[cfg.SQLCommand]):
+    """Init SQL run once before the pipeline (views over static files,
+    etc. — reference: pipeline.py:296)."""
+    for command in commands:
+        logger.info("executing command %s", command.name)
+        spark.sql(command.sql)
+
+
+def new_pipeline_from_conf(
+    conf: cfg.Conf, spark: SparkSession, sink_override: Sink | None = None
+) -> Pipeline:
+    init_commands(spark, conf.commands)
+    init_udfs(spark, conf.udfs)
+    p = conf.pipeline
+    dlq_sink = (
+        new_sink_from_conf(p.on_error.dlq, spark) if p.on_error.dlq else None
+    )
+    return Pipeline(
+        spark=spark,
+        source=new_source_from_conf(p.source),
+        handler=new_handler_from_conf(p.handler),
+        sink=sink_override or new_sink_from_conf(p.sink, spark),
+        error_policy=p.on_error.policy,
+        dlq_sink=dlq_sink,
+        batch_size=p.batch_size,
+    )
+
+
+def invoke(
+    spark: SparkSession,
+    config_path: str,
+    fixture_path: str,
+    setting_overrides: dict | None = None,
+    sink_override: Sink | None = None,
+) -> Optional[DataFrame]:
+    """Run a pipeline config against a jsonl fixture file (reference:
+    cmd/sql-flow.py ``dev invoke`` / lifecycle.py:11)."""
+    conf = cfg.new_from_path(config_path, setting_overrides)
+    pipe = new_pipeline_from_conf(conf, spark, sink_override=sink_override)
+    with open(fixture_path) as f:
+        records = [line.strip() for line in f if line.strip()]
+    serde = JSONSerde()
+    batch = serde.to_dataframe(spark, records)
+    return pipe.invoke(batch)

@@ -1,0 +1,204 @@
+"""Sink implementations.
+
+| reference (sqlflow/sinks.py) | here | notes |
+|---|---|---|
+| ConsoleSink | ConsoleSink | JSON-line per row |
+| KafkaSink | KafkaSink | native connector; jar not in container |
+| IcebergSink | FileSink(format=iceberg) | catalog jar not in container |
+| SQLCommandSink | SQLCommandSink | spark.sql over sqlflow_sink_batch |
+| ClickhouseSink | SQLCommandSink/JDBC | JDBC driver not in container |
+| local disk / S3 parquet | FileSink | s3a:// path on a cluster |
+| NoopSink / RecordingSink | NoopSink / RecordingSink | tests |
+| (DLQ policy) | DLQSink | wraps any sink, adds error metadata |
+
+Sinks never collect() large results to the driver except ConsoleSink
+(explicitly a debug surface, like the reference's stdout sink).
+"""
+
+from __future__ import annotations
+
+import sys
+import uuid
+from abc import ABC, abstractmethod
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Sink(ABC):
+    @abstractmethod
+    def write_table(self, df: DataFrame):
+        """Buffer/emit one result batch."""
+
+    def flush(self):
+        """Flush buffered batches (default: no buffering)."""
+
+    def batch(self) -> Optional[DataFrame]:
+        """Last written batch, for error reporting (reference
+        pipeline.py:139 logs the failed batch)."""
+        return None
+
+
+class ConsoleSink(Sink):
+    def __init__(self, f=None):
+        self.f = f or sys.stdout
+        self._last: Optional[DataFrame] = None
+
+    def write_table(self, df: DataFrame):
+        self._last = df
+        for (line,) in df.select(F.to_json(F.struct(*df.columns))).collect():
+            self.f.write(line)
+            self.f.write("\n")
+
+    def batch(self) -> Optional[DataFrame]:
+        return self._last
+
+
+class MemorySink(Sink):
+    """Accumulates batches for assertions (and backs the `memory`
+    sink type the way format('memory') does for raw streams)."""
+
+    def __init__(self, name: str | None = None):
+        self.name = name
+        self.batches: list[DataFrame] = []
+
+    def write_table(self, df: DataFrame):
+        self.batches.append(df)
+        if self.name:
+            result = self.batches[0]
+            for b in self.batches[1:]:
+                result = result.unionByName(b, allowMissingColumns=True)
+            result.createOrReplaceTempView(self.name)
+
+    def rows(self) -> list:
+        out = []
+        for b in self.batches:
+            out.extend(b.collect())
+        return out
+
+    def batch(self) -> Optional[DataFrame]:
+        return self.batches[-1] if self.batches else None
+
+
+class RecordingSink(MemorySink):
+    """Alias of MemorySink (reference: sinks.py:176 RecordingSink)."""
+
+
+class NoopSink(Sink):
+    def write_table(self, df: DataFrame):
+        df.write.format("noop").mode("overwrite").save()
+
+
+class FileSink(Sink):
+    """Directory sink: parquet/json/csv; S3 via s3a:// paths on a real
+    cluster (reference: local.parquet.sink.yml / s3.parquet.sink.yml).
+    Appends one directory-partition per batch."""
+
+    def __init__(self, path: str, format: str = "parquet", mode: str = "append",
+                 options: dict | None = None):
+        assert path, "files sink requires a path"
+        self.path = path
+        self.format = format
+        self.mode = mode
+        self.options = options or {}
+        self._last: Optional[DataFrame] = None
+
+    def write_table(self, df: DataFrame):
+        self._last = df
+        w = df.write.format(self.format).mode(self.mode)
+        for k, v in self.options.items():
+            w = w.option(k, v)
+        w.save(self.path)
+
+    def batch(self) -> Optional[DataFrame]:
+        return self._last
+
+
+class KafkaSink(Sink):
+    """Kafka producer via the native connector (jar required on a real
+    cluster; reference: sinks.py:125). Rows are JSON-encoded into
+    `value` engine-side — no per-row python."""
+
+    def __init__(self, brokers: list[str], topic: str, options: dict | None = None):
+        self.brokers = brokers
+        self.topic = topic
+        self.options = options or {}
+
+    def write_table(self, df: DataFrame):
+        out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        w = (
+            out.write.format("kafka")
+            .option("kafka.bootstrap.servers", ",".join(self.brokers))
+            .option("topic", self.topic)
+        )
+        for k, v in self.options.items():
+            w = w.option(k if k.startswith("kafka.") else f"kafka.{k}", v)
+        w.save()
+
+
+class SQLCommandSink(Sink):
+    """Run arbitrary SQL per batch against the view
+    ``sqlflow_sink_batch`` (reference: sinks.py:92 — this is how the
+    reference reaches postgres/motherduck/COPY-to-parquet). Supports
+    the reference's uuid4 substitutions (config.py:68)."""
+
+    def __init__(self, spark: SparkSession, sql: str, substitutions: list[dict] | None = None):
+        self.spark = spark
+        self.sql = sql
+        self.substitutions = substitutions or []
+
+    def _apply_substitutions(self) -> str:
+        sql = self.sql
+        for sub in self.substitutions:
+            if sub.get("type") == "uuid4":
+                sql = sql.replace(sub["var"], str(uuid.uuid4()))
+            else:
+                raise NotImplementedError(f"unsupported substitution: {sub}")
+        return sql
+
+    def write_table(self, df: DataFrame):
+        df.createOrReplaceTempView("sqlflow_sink_batch")
+        self.spark.sql(self._apply_substitutions())
+
+
+class DLQSink(Sink):
+    """Wraps a sink with dead-letter semantics: write_error records the
+    failure envelope (reference: pipeline.py:228 dlq_message shape)."""
+
+    def __init__(self, inner: Sink, spark: SparkSession):
+        self.inner = inner
+        self.spark = spark
+
+    def write_table(self, df: DataFrame):
+        self.inner.write_table(df)
+
+    def write_error(self, error: str, payload: str, phase: str):
+        df = self.spark.createDataFrame(
+            [(error, payload, phase)], "error string, message string, phase string"
+        ).withColumn("timestamp", F.current_timestamp())
+        self.inner.write_table(df)
+
+
+def new_sink_from_conf(sink_conf, spark: SparkSession) -> Sink:
+    typ = sink_conf.type
+    if typ == "console":
+        return ConsoleSink()
+    if typ == "memory":
+        return MemorySink(name=sink_conf.name)
+    if typ == "noop":
+        return NoopSink()
+    if typ == "files":
+        return FileSink(
+            path=sink_conf.path, format=sink_conf.format,
+            mode=sink_conf.mode, options=sink_conf.options,
+        )
+    if typ == "kafka":
+        return KafkaSink(
+            brokers=sink_conf.brokers, topic=sink_conf.topic, options=sink_conf.options
+        )
+    if typ == "sqlcommand":
+        return SQLCommandSink(
+            spark, sql=sink_conf.sql, substitutions=sink_conf.substitutions
+        )
+    raise NotImplementedError(f"unsupported sink type: {typ}")

@@ -1,0 +1,56 @@
+"""Input sources (reference: sqlflow/sources/).
+
+A source produces either a batch DataFrame (dev-invoke over a fixture)
+or a streaming DataFrame (Structured Streaming). Kafka maps to Spark's
+native kafka connector; websocket/webhook have no in-container server
+runtime and are documented stubs with socket/file equivalents for
+tests.
+"""
+
+from sql_flow_spark.sources.base import Source
+from sql_flow_spark.sources.files import FileSource
+from sql_flow_spark.sources.kafka import KafkaSource
+from sql_flow_spark.sources.memory import MemorySource
+from sql_flow_spark.sources.rate import RateSource
+from sql_flow_spark.sources.push import WebhookSource, WebsocketSource
+
+
+def new_source_from_conf(conf) -> Source:
+    typ = conf.type
+    if typ == "files":
+        return FileSource(
+            path=conf.path,
+            format=conf.format,
+            schema=conf.schema,
+            max_files_per_trigger=conf.max_files_per_trigger,
+            options=conf.options,
+        )
+    if typ == "kafka":
+        return KafkaSource(
+            brokers=conf.brokers,
+            topics=conf.topics,
+            group_id=conf.group_id,
+            auto_offset_reset=conf.auto_offset_reset,
+            options=conf.options,
+        )
+    if typ == "memory":
+        return MemorySource()
+    if typ == "rate":
+        return RateSource(rows_per_second=conf.rows_per_second)
+    if typ == "websocket":
+        return WebsocketSource(conf.options.get("uri"))
+    if typ == "webhook":
+        return WebhookSource()
+    raise NotImplementedError(f"unsupported source type: {typ}")
+
+
+__all__ = [
+    "Source",
+    "FileSource",
+    "KafkaSource",
+    "MemorySource",
+    "RateSource",
+    "WebsocketSource",
+    "WebhookSource",
+    "new_source_from_conf",
+]

@@ -1,0 +1,121 @@
+"""End-to-end config-driven pipelines over the example YAMLs —
+the Spark equivalent of the reference's `dev invoke <config>
+<fixture>` integration tests (reference: tests/integration/
+test_integration.py runs every example config against a fixture)."""
+
+import os
+
+import pytest
+
+from sql_flow_spark import config as cfg
+from sql_flow_spark.pipeline import invoke
+from sql_flow_spark.sinks import MemorySink
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _write_fixture(tmp_path, rows):
+    p = tmp_path / "fixture.jsonl"
+    p.write_text("\n".join(rows) + "\n")
+    return str(p)
+
+
+CITY_ROWS = [
+    '{"event": "e1", "properties": {"city": "New York"}}',
+    '{"event": "e2", "properties": {"city": "New York"}}',
+    '{"event": "e3", "properties": {"city": "Baltimore"}}',
+]
+
+
+def test_basic_agg_config(spark, tmp_path):
+    sink = MemorySink()
+    result = invoke(
+        spark,
+        os.path.join(EXAMPLES, "basic.agg.yml"),
+        _write_fixture(tmp_path, CITY_ROWS),
+        sink_override=sink,
+    )
+    rows = {(r.city, r.city_count) for r in sink.rows()}
+    assert rows == {("New York", 2), ("Baltimore", 1)}
+    assert result.columns == ["city", "city_count"]
+
+
+def test_enrich_config(spark, tmp_path):
+    sink = MemorySink()
+    invoke(
+        spark,
+        os.path.join(EXAMPLES, "enrich.yml"),
+        _write_fixture(tmp_path, CITY_ROWS),
+        sink_override=sink,
+    )
+    rows = [r.asDict(recursive=True) for r in sink.rows()]
+    assert len(rows) == 3
+    assert all(r["extra"] == "extra" for r in rows)
+    assert rows[0]["nested_city"]["something"] in ("New York", "Baltimore")
+
+
+def test_csv_join_config(spark, tmp_path):
+    sink = MemorySink()
+    invoke(
+        spark,
+        os.path.join(EXAMPLES, "csv.join.yml"),
+        _write_fixture(tmp_path, CITY_ROWS),
+        setting_overrides={"SQLFLOW_STATIC_ROOT": FIXTURES},
+        sink_override=sink,
+    )
+    rows = {(r.city, r.state_full) for r in sink.rows()}
+    assert rows == {("New York", "New York"), ("Baltimore", "Maryland")}
+
+
+def test_udf_config(spark, tmp_path):
+    sink = MemorySink()
+    invoke(
+        spark,
+        os.path.join(EXAMPLES, "udf.yml"),
+        _write_fixture(
+            tmp_path,
+            [
+                '{"url": "https://www.example.co.uk/a"}',
+                '{"url": "http://blog.somesite.com/b?q=1"}',
+            ],
+        ),
+        sink_override=sink,
+    )
+    assert {r.domain for r in sink.rows()} == {"example.co.uk", "somesite.com"}
+
+
+def test_dlq_policy_routes_errors(spark, tmp_path):
+    dlq_rows = invoke(
+        spark,
+        os.path.join(EXAMPLES, "dlq.yml"),
+        _write_fixture(tmp_path, CITY_ROWS),
+    )
+    # handler SQL references a missing column -> error goes to DLQ view
+    assert dlq_rows is None
+    dlq = spark.table("dlq_out").collect()
+    assert len(dlq) == 1
+    assert dlq[0].phase == "handler.invoke"
+    assert "nonexistent_column" in dlq[0].error.lower() or "UNRESOLVED" in dlq[0].error
+
+
+def test_raise_policy_raises(spark, tmp_path):
+    conf = cfg.new_from_path(os.path.join(EXAMPLES, "dlq.yml"))
+    assert conf.pipeline.on_error.policy == cfg.Policy.DLQ
+    # flip to RAISE via a fresh parse with the policy overridden
+    from sql_flow_spark.pipeline import new_pipeline_from_conf
+    from sql_flow_spark.serde import JSONSerde
+
+    conf.pipeline.on_error.policy = cfg.Policy.RAISE
+    pipe = new_pipeline_from_conf(conf, spark)
+    batch = JSONSerde().to_dataframe(spark, CITY_ROWS)
+    with pytest.raises(Exception):
+        pipe.invoke(batch)
+
+
+def test_config_validate_surface():
+    conf = cfg.new_from_path(os.path.join(EXAMPLES, "basic.agg.yml"))
+    assert conf.pipeline.source.type == "files"
+    assert conf.pipeline.handler.type == "handlers.InferredBatch"
+    assert conf.pipeline.sink.type == "console"
+    assert conf.pipeline.batch_size == 1000

@@ -1,0 +1,88 @@
+"""Unit tests for the function library (text, dedup primitives, url,
+similarity, multimodal plumbing)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sql_flow_spark.functions.dedup import token_ngrams, ws_tokens, with_shingles
+from sql_flow_spark.functions.multimodal import (
+    decode_image,
+    extract_features,
+    fake_decode_features,
+)
+from sql_flow_spark.functions.similarity import dot_dec
+from sql_flow_spark.functions.textops import (
+    bpe_token_count,
+    fingerprint,
+    normalize_text,
+    ws_token_count,
+)
+from sql_flow_spark.functions.url import parse_domain
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first().v
+
+
+def test_parse_domain_expression(spark):
+    cases = {
+        "https://www.example.co.uk/path?q=1": "example.co.uk",
+        "http://blog.somesite.com/x": "somesite.com",
+        "https://a.b.c.org/": "c.org",
+        "not a url": "",
+    }
+    for url, expected in cases.items():
+        assert _one(spark, parse_domain(F.lit(url))) == expected
+
+
+def test_parse_domain_python_udf_matches_expression(spark):
+    from sql_flow_spark.udf import parse_domain as py_parse_domain
+
+    for url in ["https://www.example.co.uk/p", "http://x.y.com/", "ftp://a.b.co.jp/z"]:
+        assert py_parse_domain(url) == _one(spark, parse_domain(F.lit(url)))
+
+
+def test_normalize_and_fingerprint_stability(spark):
+    a = _one(spark, fingerprint(F.lit("Hello,   World!")))
+    b = _one(spark, fingerprint(F.lit("hello world")))
+    assert a == b  # case/punct/whitespace-insensitive
+    assert _one(spark, normalize_text(F.lit("  A  b!! c  "))) == "a b c"
+
+
+def test_token_counts(spark):
+    assert _one(spark, ws_token_count(F.lit("a b  c"))) == 3
+    # BPE-ish: letters run + digits run + punctuation
+    assert _one(spark, bpe_token_count(F.lit("ab12,cd"))) == 4
+
+
+def test_token_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.withColumn("toks", ws_tokens("text")).select(
+        token_ngrams(F.col("toks")).alias("g")
+    ).first().g
+    assert out == ["a b c", "b c d"]
+
+
+def test_dot_dec_exactness(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>")
+    got = df.select(dot_dec(F.col("a"), F.col("b")).alias("d")).first().d
+    assert got == pytest.approx(32.0, abs=1e-9)
+
+
+def test_multimodal_stub_and_plumbing(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00")
+    assert fake_decode_features(b"x" * 600) == (600, 2, ord("x"))
+    df = spark.createDataFrame([(1, b"abc" * 200)], "doc_id long, payload binary")
+    row = extract_features(df).first()
+    assert (row.doc_id, row.byte_len, row.n_frames, row.first_byte) == (1, 600, 2, 97)
+
+
+def test_shingles_on_documents(spark, sf_dir):
+    from sql_flow_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].limit(5)
+    sh = with_shingles(docs).select("doc_id", "shingles").collect()
+    for r in sh:
+        assert len(r.shingles) >= 1
+        assert all(len(s.split(" ")) == 3 for s in r.shingles)

@@ -1,0 +1,66 @@
+"""Handler semantics, ported from the reference's handler tests
+(reference: tests/handlers/test_inferred_mem.py — SQL over a jsonl
+micro-batch registered as `batch`)."""
+
+import os
+
+import pytest
+
+from sql_flow_spark.handlers import InferredBatch, StructuredBatch, new_handler_from_conf
+from sql_flow_spark import config as cfg
+from sql_flow_spark.serde import JSONSerde
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "flat.jsonl")
+
+
+def _batch_df(spark):
+    with open(FIXTURE) as f:
+        return JSONSerde().to_dataframe(spark, [l.strip() for l in f if l.strip()])
+
+
+def test_agg_batch_into_single_row(spark):
+    # reference: test_agg_batch_into_single_row
+    h = InferredBatch(sql="SELECT COUNT(*) AS num_rows FROM batch")
+    out = h.invoke(spark, _batch_df(spark))
+    assert [r.asDict() for r in out.collect()] == [{"num_rows": 3}]
+
+
+def test_inferred_batch_nested_return(spark):
+    # reference: test_inferred_batch_nested_return — enrich with struct
+    h = InferredBatch(
+        sql="SELECT *, named_struct('nested_city', city) AS enriched FROM batch"
+    )
+    out = h.invoke(spark, _batch_df(spark)).orderBy("city")
+    rows = [r.asDict(recursive=True) for r in out.collect()]
+    assert rows[0]["enriched"] == {"nested_city": "Baltimore"}
+    assert {r["city"] for r in rows} == {"New York", "Baltimore"}
+
+
+def test_group_by_city(spark):
+    h = InferredBatch(
+        sql="""
+        SELECT city, COUNT(*) AS city_count FROM batch
+        GROUP BY city ORDER BY city_count DESC
+        """
+    )
+    out = h.invoke(spark, _batch_df(spark))
+    assert [tuple(r) for r in out.collect()] == [("New York", 2), ("Baltimore", 1)]
+
+
+def test_structured_batch_inserts_then_queries(spark):
+    spark.sql("DROP VIEW IF EXISTS city_events")
+    spark.createDataFrame([], "city string, event string, user_id string") \
+        .createOrReplaceTempView("city_events")
+    h = StructuredBatch(
+        sql="SELECT city, COUNT(*) AS n FROM city_events GROUP BY city",
+        table="city_events",
+    )
+    out1 = h.invoke(spark, _batch_df(spark))
+    assert sum(r.n for r in out1.collect()) == 3
+    out2 = h.invoke(spark, _batch_df(spark))  # accumulates
+    assert sum(r.n for r in out2.collect()) == 6
+
+
+def test_handler_factory_rejects_unknown():
+    with pytest.raises(NotImplementedError):
+        new_handler_from_conf(cfg.HandlerConf(type="handlers.Bogus", sql="SELECT 1"))

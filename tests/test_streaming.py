@@ -1,0 +1,145 @@
+"""Structured Streaming coverage: file-stream pipelines, watermarked
+tumbling windows (the reference's managed-table manager —
+tests/managers/test_tumbling_window.py), stream dedup, custom state."""
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from sql_flow_spark import config as cfg
+from sql_flow_spark.pipeline import Pipeline
+from sql_flow_spark.handlers import InferredBatch
+from sql_flow_spark.sinks import MemorySink
+from sql_flow_spark.sources import FileSource
+from sql_flow_spark.streaming import dedupe_stream, tumbling_aggregate
+
+
+def _write_jsonl(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    tmp = os.path.join(dirpath, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, os.path.join(dirpath, name))
+
+
+EVENTS = [
+    {"ts": "2024-01-01 00:05:00", "city": "nyc", "n": 1},
+    {"ts": "2024-01-01 00:55:00", "city": "nyc", "n": 2},
+    {"ts": "2024-01-01 01:10:00", "city": "bal", "n": 3},
+    {"ts": "2024-01-01 02:20:00", "city": "nyc", "n": 4},
+]
+
+
+def test_file_stream_pipeline_foreachbatch(spark, tmp_path):
+    """source -> handler SQL per micro-batch -> sink, availableNow."""
+    in_dir = str(tmp_path / "in")
+    _write_jsonl(in_dir, "a.jsonl", EVENTS[:2])
+    _write_jsonl(in_dir, "b.jsonl", EVENTS[2:])
+
+    sink = MemorySink()
+    pipe = Pipeline(
+        spark=spark,
+        source=FileSource(in_dir, format="json", max_files_per_trigger=1),
+        handler=InferredBatch("SELECT city, SUM(n) AS total FROM batch GROUP BY city"),
+        sink=sink,
+        batch_size=1,
+    )
+    q = pipe.start(available_now=True, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    # maxFilesPerTrigger=1 -> 2 micro-batches, each aggregated separately
+    assert pipe.stats.num_batches == 2
+    totals = {}
+    for r in sink.rows():
+        totals[r.city] = totals.get(r.city, 0) + r.total
+    assert totals == {"nyc": 7, "bal": 3}
+
+
+def test_tumbling_window_append_emits_closed_windows(spark, tmp_path):
+    """Watermark + append = the reference manager's close-then-publish
+    (reference: managers/window.py poll/collect_closed/delete)."""
+    in_dir = str(tmp_path / "win-in")
+    _write_jsonl(in_dir, "a.jsonl", EVENTS)
+
+    stream = (
+        FileSource(in_dir, format="json").read_stream(spark)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = tumbling_aggregate(
+        stream, "ts", "1 hour",
+        aggs=[F.count("*").alias("n_events"), F.sum("n").alias("total")],
+        group_by=["city"],
+        watermark_delay="0 seconds",
+    )
+    batches = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: batches.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "win-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [r for b in batches for r in b]
+    # watermark reached 02:20 -> hours 00 and 01 are closed; 02 still open
+    got = {(str(r.window_start), r.city): (r.n_events, r.total) for r in rows}
+    assert got == {
+        ("2024-01-01 00:00:00", "nyc"): (2, 3),
+        ("2024-01-01 01:00:00", "bal"): (1, 3),
+    }
+
+
+def test_dedupe_stream_within_watermark(spark, tmp_path):
+    in_dir = str(tmp_path / "dd-in")
+    _write_jsonl(in_dir, "a.jsonl", [
+        {"ts": "2024-01-01 00:00:01", "k": "a"},
+        {"ts": "2024-01-01 00:00:02", "k": "a"},
+        {"ts": "2024-01-01 00:00:03", "k": "b"},
+    ])
+    stream = (
+        FileSource(in_dir, format="json").read_stream(spark)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = dedupe_stream(stream, ["k"], time_column="ts", watermark_delay="10 minutes")
+    got = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "dd-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.k for r in got) == ["a", "b"]
+
+
+def test_running_aggregate_state(spark, tmp_path):
+    from sql_flow_spark.streaming import running_aggregate
+
+    in_dir = str(tmp_path / "st-in")
+    _write_jsonl(in_dir, "a.jsonl", [
+        {"user_id": 1, "value": 10.0},
+        {"user_id": 1, "value": 5.0},
+        {"user_id": 2, "value": 1.0},
+    ])
+    _write_jsonl(in_dir, "b.jsonl", [
+        {"user_id": 1, "value": 2.0},
+    ])
+    stream = FileSource(in_dir, format="json", max_files_per_trigger=1).read_stream(spark)
+    out = running_aggregate(stream, "user_id", "value")
+    per_batch = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: per_batch.append({r.user_id: (r.n_events, r.total_value) for r in df.collect()}))
+        .option("checkpointLocation", str(tmp_path / "st-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for b in per_batch:
+        final.update(b)
+    assert final[1] == (3, 17.0)  # state carried across micro-batches
+    assert final[2] == (1, 1.0)
