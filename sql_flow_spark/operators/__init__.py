@@ -9,6 +9,7 @@ from sql_flow_spark.operators.registry import QUERIES, ORACLES, query
 # Registration side-effects:
 from sql_flow_spark.operators import core  # noqa: F401
 from sql_flow_spark.operators import analytics  # noqa: F401
+from sql_flow_spark.operators import extra  # noqa: F401
 from sql_flow_spark.functions import textops  # noqa: F401
 from sql_flow_spark.functions import dedup  # noqa: F401
 from sql_flow_spark.functions import similarity  # noqa: F401

@@ -1,0 +1,342 @@
+"""Extended relational coverage: semi/anti joins, rollup, set ops,
+argmin-per-group, correlated aggregates, HAVING, string/JSON functions
+— the rest of the SQL surface a reference user reaches through DuckDB.
+
+Same determinism contract as core/analytics (registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sql_flow_spark.operators.registry import (
+    O_TS_STR,
+    dsum,
+    o_dsum,
+    query,
+    ts_str,
+)
+from sql_flow_spark.tables import load_tables
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue_col() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+@query(
+    "q6_selective_agg",
+    oracle=f"""
+    SELECT {o_dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_selective_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: highly selective scan-and-aggregate — the pushdown
+    showcase. All four predicates reach the parquet reader; no shuffle
+    at all (single global aggregate)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q4_semi_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: EXISTS -> left-semi join (no row multiplication, the
+    probe side streams). Shuffles only on orderkey."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "anti_join_inactive",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_inactive
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders: NOT EXISTS -> left-anti join."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    return (
+        t["customer"]
+        .join(
+            t["orders"].select("o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+@query(
+    "rollup_regional_sales",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           {o_dsum('c_acctbal')} AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_regional_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total) in one
+    pass — Spark expands grouping sets without rescanning."""
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "set_ops_custkeys",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (dedup built in)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    rich = t["customer"].where(F.col("c_acctbal") > 5000).select("c_custkey")
+    big = t["orders"].where(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    building = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return rich.intersect(big).exceptAll(building).distinct()
+
+
+@query(
+    "argmin_cheapest_part",
+    oracle="""
+    SELECT p_type, p_partkey AS cheapest_partkey, p_retailprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY p_type ORDER BY p_retailprice, p_partkey) AS rn
+      FROM part
+    )
+    WHERE rn = 1
+    """,
+)
+def argmin_cheapest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin-per-group (TPC-H Q2's min-cost-supplier pattern) via
+    window row_number — single shuffle, no join-back."""
+    t = load_tables(spark, sf_dir, ("part",))
+    w = Window.partitionBy("p_type").orderBy("p_retailprice", "p_partkey")
+    return (
+        t["part"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("p_type", F.col("p_partkey").alias("cheapest_partkey"), "p_retailprice")
+    )
+
+
+@query(
+    "q17_below_avg_quantity",
+    oracle=f"""
+    WITH part_avg AS (
+      SELECT l_partkey AS pk,
+             {o_dsum('l_quantity')} / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_small_orders,
+           {o_dsum('l_extendedprice')} AS total_price
+    FROM lineitem JOIN part_avg ON l_partkey = pk
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate (TPC-H Q17 shape): per-key average joined
+    back to the detail rows. Both sides shuffle once on partkey; the
+    average is fixed-point-exact so the 0.5*avg comparison is
+    engine-identical."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (dsum("l_quantity") / F.count("l_quantity").cast("double")).alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            F.count("*").alias("n_small_orders"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "having_filter",
+    oracle=f"""
+    SELECT l_suppkey, COUNT(*) AS n_items, {o_dsum(_REVENUE)} AS revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 100
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING (post-aggregation predicate)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(_revenue_col()).alias("revenue"),
+        )
+        .where(F.col("n_items") > 100)
+    )
+
+
+@query(
+    "string_ops",
+    oracle="""
+    SELECT
+      p_partkey,
+      upper(p_brand) AS brand_upper,
+      substr(p_type, 1, 8) AS type_prefix,
+      length(p_name) AS name_len,
+      replace(p_name, ' ', '_') AS name_snake,
+      CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass,
+      lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part
+    """,
+)
+def string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (upper/substr/length/replace/like/lpad)
+    — all codegen expressions."""
+    t = load_tables(spark, sf_dir, ("part",))
+    return t["part"].select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 8).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.when(F.col("p_type").like("%BRASS%"), 1).otherwise(0).alias("is_brass"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@query(
+    "distinct_users_per_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count (expands to a two-phase aggregate). The
+    approximate scale path is approx_distinct_users."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query("approx_distinct_users")  # HLL sketch values are engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path for
+    cardinality — mergeable sketches, no exact-distinct shuffle
+    explosion. Deterministic for fixed input, engine-specific values ->
+    rows-only check."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+@query(
+    "json_props_stats",
+    oracle=f"""
+    SELECT
+      event_type,
+      {o_dsum("CAST(json_extract_string(props, '$.k') AS INTEGER)")} AS sum_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction feeding aggregates (the reference's
+    semi-structured bread-and-butter: every kafka payload is JSON)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            dsum(k.cast("double")).alias("sum_k"),
+            F.max(k).cast("int").alias("max_k"),
+        )
+    )

@@ -1,0 +1,74 @@
+"""Physical-plan audits: the scale contract, asserted.
+
+These tests pin the plan shapes that make the operators viable at
+100 TB — predicate pushdown into the parquet scan, column pruning,
+broadcast joins for dims, semi/anti join strategies, and absence of
+cartesian products where a broadcast is intended. A refactor that
+silently regresses one of these still passes the value checks; this
+file is what catches it.
+"""
+
+import contextlib
+import io
+
+from sql_flow_spark.operators import QUERIES
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    p = plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: o_orderkey etc. absent; only the 7 needed columns read
+    assert "l_comment" not in p
+    assert "ReadSchema" in p
+    # partial aggregation before the exchange (map-side combine)
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    p = plan(spark, sf_dir, "q6_selective_agg")
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in p or col in p.split("PushedFilters")[1].split("]")[0]
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("dim_join", "q3_shipping_priority", "q5_local_supplier",
+                 "orders_enrich_scd", "rollup_regional_sales"):
+        p = plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in p, f"{name} lost its broadcast join"
+        assert "CartesianProduct" not in p, f"{name} degraded to cartesian"
+
+
+def test_semi_and_anti_join_strategies(spark, sf_dir):
+    assert "LeftSemi" in plan(spark, sf_dir, "q4_semi_join")
+    assert "LeftAnti" in plan(spark, sf_dir, "anti_join_inactive")
+
+
+def test_ann_broadcasts_queries(spark, sf_dir):
+    p = plan(spark, sf_dir, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_whole_stage_codegen_on_text_ops(spark, sf_dir):
+    # text analysis must stay JVM-side: no python UDF nodes in the plan
+    for name in ("text_quality", "lang_id", "token_count", "doc_fingerprint"):
+        p = plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            f"{name} fell back to python execution"
+        )
+        # formatted mode marks whole-stage-codegen operators with '* '
+        assert "* Project" in p or "* HashAggregate" in p
+
+
+def test_multimodal_is_arrow_not_row_python(spark, sf_dir):
+    # the one intentional python stage must be Arrow-batched (mapInPandas)
+    p = plan(spark, sf_dir, "multimodal_features")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
