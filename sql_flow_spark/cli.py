@@ -58,8 +58,11 @@ def main(argv: list[str] | None = None) -> int:
         query = pipe.start(
             available_now=args.available_now,
             processing_time=args.processing_time,
+            managed_tables=conf.tables,
         )
         query.awaitTermination()
+        for q in getattr(query, "managed_queries", []):
+            q.awaitTermination()
         return 0
 
     return 1

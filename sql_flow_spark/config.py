@@ -81,7 +81,8 @@ class TumblingWindowConf:
     time_column: str
     duration: str  # e.g. "1 hour"
     watermark_delay: str = "0 seconds"
-    aggregates_sql: Optional[str] = None  # e.g. "count(*) AS n"
+    # SQL aggregate expressions, e.g. ["count(*) AS n", "sum(v) AS total"]
+    aggregates: list[str] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
 
 
@@ -171,7 +172,7 @@ def new_from_dict(conf: dict) -> Conf:
                     time_column=tw["time_column"],
                     duration=tw["duration"],
                     watermark_delay=tw.get("watermark_delay", "0 seconds"),
-                    aggregates_sql=tw.get("aggregates_sql"),
+                    aggregates=tw.get("aggregates", []),
                     group_by=tw.get("group_by", []),
                 ),
                 sink=_sink_from_dict(tconf["sink"]),

@@ -110,20 +110,72 @@ class Pipeline:
         available_now: bool = True,
         checkpoint_dir: str | None = None,
         processing_time: str | None = None,
+        managed_tables: list | None = None,
     ):
         """Start the streaming query. available_now=True drains what's
         there and stops (bounded runs/tests); otherwise it's a standing
-        query with processing_time triggers."""
+        query with processing_time triggers.
+
+        managed_tables (cfg.ManagedTableConf list) each get their own
+        windowed streaming query off the same source — the Spark-native
+        version of the reference's managed-table threads
+        (pipeline.py:316 build_managed_tables + managers/window.py).
+        """
+        base = checkpoint_dir or tempfile.mkdtemp(prefix="sfs-ckpt-")
+        queries = []
+        for tconf in managed_tables or []:
+            queries.append(self._start_managed(tconf, base, available_now, processing_time))
+
         stream = self.source.read_stream(self.spark)
         writer = stream.writeStream.foreachBatch(self._foreach_batch)
-        writer = writer.option(
-            "checkpointLocation", checkpoint_dir or tempfile.mkdtemp(prefix="sfs-ckpt-")
-        )
+        writer = writer.option("checkpointLocation", f"{base}/main")
+        writer = self._trigger(writer, available_now, processing_time)
+        main = writer.start()
+        main.managed_queries = queries  # type: ignore[attr-defined]
+        return main
+
+    @staticmethod
+    def _trigger(writer, available_now: bool, processing_time: str | None):
         if available_now:
-            writer = writer.trigger(availableNow=True)
-        elif processing_time:
-            writer = writer.trigger(processingTime=processing_time)
-        return writer.start()
+            return writer.trigger(availableNow=True)
+        if processing_time:
+            return writer.trigger(processingTime=processing_time)
+        return writer
+
+    def _start_managed(self, tconf, base_ckpt: str, available_now: bool,
+                       processing_time: str | None):
+        """One watermarked tumbling-window query: closed windows flow
+        to the table's own sink in append mode (= the reference's
+        collect-closed / publish / delete poll loop)."""
+        from pyspark.sql import functions as F
+
+        from sql_flow_spark.streaming.window import tumbling_aggregate
+
+        tw = tconf.tumbling_window
+        sink = new_sink_from_conf(tconf.sink, self.spark)
+        stream = self.source.read_stream(self.spark)
+        ts_type = dict(stream.dtypes).get(tw.time_column)
+        if ts_type != "timestamp":
+            stream = stream.withColumn(tw.time_column, F.to_timestamp(tw.time_column))
+        aggs = [F.expr(a) for a in tw.aggregates] or None
+        result = tumbling_aggregate(
+            stream, tw.time_column, tw.duration,
+            aggs=aggs, group_by=tw.group_by, watermark_delay=tw.watermark_delay,
+        )
+
+        def emit(batch_df: DataFrame, batch_id: int):
+            if batch_df.isEmpty():
+                return
+            sink.write_table(batch_df)
+            sink.flush()
+
+        writer = (
+            result.writeStream.outputMode("append")
+            .foreachBatch(emit)
+            .queryName(f"managed-{tconf.name}")
+            .option("checkpointLocation", f"{base_ckpt}/managed-{tconf.name}")
+        )
+        return self._trigger(writer, available_now, processing_time).start()
 
 
 def init_commands(spark: SparkSession, commands: list[cfg.SQLCommand]):

@@ -69,7 +69,9 @@ class MemorySink(Sink):
             result = self.batches[0]
             for b in self.batches[1:]:
                 result = result.unionByName(b, allowMissingColumns=True)
-            result.createOrReplaceTempView(self.name)
+            # Global so it's visible outside foreachBatch's cloned
+            # session: read it as `global_temp.<name>`.
+            result.createOrReplaceGlobalTempView(self.name)
 
     def rows(self) -> list:
         out = []

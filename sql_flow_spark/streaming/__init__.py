@@ -4,6 +4,7 @@ stateful processing."""
 
 from sql_flow_spark.streaming.window import (
     TumblingWindow,
+    session_aggregate,
     sliding_aggregate,
     tumbling_aggregate,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "TumblingWindow",
     "tumbling_aggregate",
     "sliding_aggregate",
+    "session_aggregate",
     "dedupe_stream",
     "running_aggregate",
 ]

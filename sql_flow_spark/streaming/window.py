@@ -72,6 +72,30 @@ def sliding_aggregate(
     )
 
 
+def session_aggregate(
+    stream: DataFrame,
+    time_column: str,
+    gap: str,
+    aggs: list[Column] | None = None,
+    group_by: list[str] | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Session windows (dynamic length, closed after `gap` of
+    inactivity) — the streaming twin of the batch gaps-and-islands
+    operator (operators/analytics.py events_sessionize)."""
+    aggs = aggs or [F.count("*").alias("n")]
+    out = (
+        stream.withWatermark(time_column, watermark_delay)
+        .groupBy(F.session_window(time_column, gap).alias("w"), *(group_by or []))
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *[c for c in out.columns if c != "w"],
+    )
+
+
 class TumblingWindow:
     """Drop-in equivalent of the reference's managed-table Tumbling
     manager: wire a stream through a tumbling agg into a sink callback.

@@ -93,7 +93,7 @@ def test_dlq_policy_routes_errors(spark, tmp_path):
     )
     # handler SQL references a missing column -> error goes to DLQ view
     assert dlq_rows is None
-    dlq = spark.table("dlq_out").collect()
+    dlq = spark.table("global_temp.dlq_out").collect()
     assert len(dlq) == 1
     assert dlq[0].phase == "handler.invoke"
     assert "nonexistent_column" in dlq[0].error.lower() or "UNRESOLVED" in dlq[0].error

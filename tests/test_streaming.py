@@ -115,6 +115,76 @@ def test_dedupe_stream_within_watermark(spark, tmp_path):
     assert sorted(r.k for r in got) == ["a", "b"]
 
 
+def test_managed_tumbling_table_from_config(spark, tmp_path):
+    """Config-driven managed window table end-to-end (reference:
+    dev/config/examples/tumbling.window.yml + tests/managers/
+    test_tumbling_window.py): closed windows land in the table's sink."""
+    import os as _os
+
+    from sql_flow_spark import config as cfg
+    from sql_flow_spark.pipeline import new_pipeline_from_conf
+
+    in_dir = str(tmp_path / "mt-in")
+    _write_jsonl(in_dir, "a.jsonl", [
+        {"timestamp": "2024-01-01 00:05:00", "city": "nyc"},
+        {"timestamp": "2024-01-01 00:06:00", "city": "nyc"},
+        {"timestamp": "2024-01-01 00:30:00", "city": "bal"},
+        {"timestamp": "2024-01-01 02:00:00", "city": "nyc"},  # advances watermark
+    ])
+    examples = _os.path.join(_os.path.dirname(__file__), "..", "examples")
+    conf = cfg.new_from_path(
+        _os.path.join(examples, "tumbling.window.yml"),
+        {"SQLFLOW_INPUT_PATH": in_dir},
+    )
+    pipe = new_pipeline_from_conf(conf, spark)
+    q = pipe.start(
+        available_now=True,
+        checkpoint_dir=str(tmp_path / "mt-ckpt"),
+        managed_tables=conf.tables,
+    )
+    q.awaitTermination(120)
+    for mq in q.managed_queries:
+        mq.awaitTermination(120)
+    rows = spark.table("global_temp.output_tumbling_window").collect()
+    got = {(str(r.window_start), r.city): r["count"] for r in rows}
+    # hour 00 closed (watermark at 02:00 - 60s); hour 02 still open
+    assert got == {
+        ("2024-01-01 00:00:00", "nyc"): 2,
+        ("2024-01-01 00:00:00", "bal"): 1,
+    }
+
+
+def test_session_window_stream(spark, tmp_path):
+    from sql_flow_spark.streaming import session_aggregate
+
+    in_dir = str(tmp_path / "sw-in")
+    _write_jsonl(in_dir, "a.jsonl", [
+        {"ts": "2024-01-01 00:00:00", "user": "u1"},
+        {"ts": "2024-01-01 00:03:00", "user": "u1"},   # same session (gap 5m)
+        {"ts": "2024-01-01 00:20:00", "user": "u1"},   # new session
+        {"ts": "2024-01-01 03:00:00", "user": "u2"},   # watermark push
+    ])
+    stream = (
+        FileSource(in_dir, format="json").read_stream(spark)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = session_aggregate(stream, "ts", "5 minutes", group_by=["user"])
+    got = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "sw-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = {(str(r.session_start), r.user): r.n for r in got}
+    assert closed == {
+        ("2024-01-01 00:00:00", "u1"): 2,
+        ("2024-01-01 00:20:00", "u1"): 1,
+    }
+
+
 def test_running_aggregate_state(spark, tmp_path):
     from sql_flow_spark.streaming import running_aggregate
 
