@@ -55,7 +55,12 @@ def run_one(spark, name: str, sf_dir: str) -> float:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    # The engine default split size (128 MiB) is the cluster setting;
+    # the local bench reads single small parquet files, so use small
+    # splits to spread the scan across local cores.
+    spark = get_spark(
+        "bench", extra_confs={"spark.sql.files.maxPartitionBytes": "2097152"}
+    )
     # Warm the JVM/codegen paths so query timings measure the plans.
     spark.range(1000).selectExpr("sum(id)").collect()
 
