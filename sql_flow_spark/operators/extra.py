@@ -317,6 +317,100 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_histogram",
+    oracle=f"""
+    SELECT
+      CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+      COUNT(*) AS n,
+      {o_dsum('value')} AS bucket_value
+    FROM events
+    GROUP BY CAST(floor(value / 50.0) AS BIGINT)
+    """,
+)
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-bucketing (pure IEEE ops, so the
+    bucket assignment is engine-identical)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    bucket = F.floor(F.col("value") / F.lit(50.0)).cast("long")
+    return (
+        t["events"]
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("bucket_value"))
+    )
+
+
+@query(
+    "user_event_types",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_set) with a deterministic sort —
+    set-valued outputs need a canonical order to compare at all."""
+    t = load_tables(spark, sf_dir, ("events",))
+    types = F.array_sort(F.collect_set("event_type"))
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            types.alias("event_types"),
+            F.size(types).alias("n_types"),
+        )
+    )
+
+
+@query(
+    "orders_by_date_parts",
+    oracle="""
+    SELECT
+      CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+      CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+      CAST(EXTRACT(dow FROM o_orderdate) AS INTEGER) AS dow,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def orders_by_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction: year/month/day-of-week grouping. DOW is
+    normalized to DuckDB's 0=Sunday convention (Spark's dayofweek is
+    1=Sunday)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query("value_percentiles")  # interpolation formulas differ per engine
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (single-pass sort-based
+    aggregate). Engines interpolate quantiles with different
+    expression forms -> rows-only check; the scale path would be
+    approx_percentile (t-digest-like sketch)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.95).alias("p95"),
+            F.approx_percentile("value", 0.95, 1000).alias("p95_approx"),
+        )
+    )
+
+
+@query(
     "json_props_stats",
     oracle=f"""
     SELECT
