@@ -392,6 +392,68 @@ def orders_by_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_running_totals",
+    oracle=f"""
+    SELECT
+      user_id,
+      event_id,
+      CAST(ROW_NUMBER() OVER w AS INTEGER) AS seq,
+      CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS DECIMAL(30,0))) OVER w AS DOUBLE)
+        / 10000.0 AS running_value,
+      epoch_us(ts) - epoch_us(lag(ts) OVER w) AS micros_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: running fixed-point-exact sum + lag deltas per
+    user ordered by event time. One shuffle on user_id serves all
+    three window functions."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    from sql_flow_spark.operators.registry import scaled_int
+
+    running = (
+        F.sum(scaled_int("value")).over(w).cast("double") / F.lit(10000.0)
+    )
+    micros_prev = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("int").alias("seq"),
+        running.alias("running_value"),
+        micros_prev.alias("micros_since_prev"),
+    )
+
+
+@query(
+    "part_price_rank",
+    oracle="""
+    SELECT
+      p_partkey,
+      p_type,
+      CAST(RANK() OVER w AS INTEGER) AS price_rank,
+      CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+      PERCENT_RANK() OVER w AS pct_rank
+    FROM part
+    WINDOW w AS (PARTITION BY p_type ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def part_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface: rank, ntile, percent_rank (the latter
+    is (rank-1)/(n-1) in both engines — integer-derived doubles)."""
+    t = load_tables(spark, sf_dir, ("part",))
+    w = Window.partitionBy("p_type").orderBy("p_retailprice", "p_partkey")
+    return t["part"].select(
+        "p_partkey",
+        "p_type",
+        F.rank().over(w).cast("int").alias("price_rank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
 @query("value_percentiles")  # interpolation formulas differ per engine
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per event type (single-pass sort-based

@@ -164,6 +164,22 @@ class SQLCommandSink(Sink):
         self.spark.sql(self._apply_substitutions())
 
 
+class IcebergSink(Sink):
+    """Iceberg table append (reference: sinks.py:71 via pyiceberg).
+    Spark-native: ``df.writeTo(table).append()`` against a configured
+    iceberg catalog. The iceberg-spark-runtime jar and a catalog are
+    cluster-side concerns (not in this container); construction and
+    config parsing work everywhere, the write fails with a clear error
+    until ``spark.sql.catalog.<name>`` is configured."""
+
+    def __init__(self, table: str):
+        assert table, "iceberg sink requires a table name"
+        self.table = table
+
+    def write_table(self, df: DataFrame):
+        df.writeTo(self.table).append()
+
+
 class DLQSink(Sink):
     """Wraps a sink with dead-letter semantics: write_error records the
     failure envelope (reference: pipeline.py:228 dlq_message shape)."""
@@ -203,4 +219,6 @@ def new_sink_from_conf(sink_conf, spark: SparkSession) -> Sink:
         return SQLCommandSink(
             spark, sql=sink_conf.sql, substitutions=sink_conf.substitutions
         )
+    if typ == "iceberg":
+        return IcebergSink(table=sink_conf.name or sink_conf.path)
     raise NotImplementedError(f"unsupported sink type: {typ}")

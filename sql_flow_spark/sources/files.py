@@ -39,9 +39,9 @@ class FileSource(Source):
             r = r.option("header", True)
         if self.schema:
             r = r.schema(self.schema)
-        elif streaming and self.format in ("json", "csv"):
+        elif streaming:
             # Streaming needs a schema up front; infer it from the
-            # existing files once (driver-side, one pass).
+            # existing files once (driver-side, one footer/sample pass).
             static = FileSource(self.path, self.format, None, None, self.options)
             r = r.schema(static.read(spark).schema)
         return r
