@@ -95,8 +95,14 @@ def main():
     spark = get_spark(
         "bench", extra_confs={"spark.sql.files.maxPartitionBytes": "2097152"}
     )
-    # Warm the JVM/codegen paths so query timings measure the plans.
+    # Warm the JVM/codegen paths and the OS page cache for the input
+    # files so query timings measure plan execution (steady state),
+    # not first-touch IO + classloading.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from sql_flow_spark.tables import TABLE_NAMES, load_tables
+
+    for df in load_tables(spark, sf_dir, TABLE_NAMES, register_views=False).values():
+        df.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -120,6 +120,72 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_term",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM terms GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      -- fixed-point to 6dp: ln() is not correctly-rounded and differs
+      -- by ulps between engines; rounding makes scores and the argmax
+      -- ordering engine-identical
+      SELECT tf.doc_id, tf.term,
+             floor(CAST(tf.tf AS DOUBLE)
+               * ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0))
+               * 1000000.0 + 0.5) / 1000000.0
+               AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term AS top_term, tfidf
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    WHERE rn = 1
+    """,
+)
+def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: most characteristic term per document. Term frequency
+    and document frequency are two aggregations over one exploded
+    pass; idf joins back on term (broadcastable — vocabulary ≪
+    corpus); ln() is IEEE-identical across engines so scores and the
+    per-doc argmax agree exactly."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    n_docs = docs.count()  # scalar; at scale this is a cheap metadata count
+    terms = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # fixed-point to 6dp: ln() differs by ulps between engines (not
+    # correctly rounded); see the oracle's matching floor expression
+    raw = (
+        F.col("tf").cast("double")
+        * F.log((F.lit(float(n_docs)) + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0)))
+    )
+    tfidf = F.floor(raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term", tfidf.alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tfidf")
+    )
+
+
+@query(
     "best_docs_per_lang",
     oracle="""
     SELECT lang, doc_id, n_chars, rnk

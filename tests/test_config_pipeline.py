@@ -113,6 +113,38 @@ def test_raise_policy_raises(spark, tmp_path):
         pipe.invoke(batch)
 
 
+def test_ignore_policy_skips_batch(spark, tmp_path):
+    from sql_flow_spark.pipeline import new_pipeline_from_conf
+    from sql_flow_spark.serde import JSONSerde
+
+    conf = cfg.new_from_path(os.path.join(EXAMPLES, "dlq.yml"))
+    conf.pipeline.on_error.policy = cfg.Policy.IGNORE
+    pipe = new_pipeline_from_conf(conf, spark)
+    batch = JSONSerde().to_dataframe(spark, CITY_ROWS)
+    assert pipe.invoke(batch) is None  # swallowed, no raise
+    assert pipe.stats.num_errors == 1
+    assert pipe.stats.num_batches == 0
+
+
+def test_dedup_pipeline_over_parquet_source(spark, tmp_path):
+    from sql_flow_spark.pipeline import new_pipeline_from_conf
+
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello,   world!"), (3, "something else")],
+        "doc_id long, text string",
+    ).write.parquet(docs_dir)
+    conf = cfg.new_from_path(
+        os.path.join(EXAMPLES, "dedup.documents.yml"),
+        {"SQLFLOW_INPUT_PATH": docs_dir},
+    )
+    sink = MemorySink()
+    pipe = new_pipeline_from_conf(conf, spark, sink_override=sink)
+    pipe.invoke()
+    rows = {r.keep_doc_id: r.n_copies for r in sink.rows()}
+    assert rows == {1: 2, 3: 1}  # docs 1+2 collapse to one fingerprint
+
+
 def test_config_validate_surface():
     conf = cfg.new_from_path(os.path.join(EXAMPLES, "basic.agg.yml"))
     assert conf.pipeline.source.type == "files"
