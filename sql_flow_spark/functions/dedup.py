@@ -23,7 +23,7 @@ from sql_flow_spark.functions.similarity import (
     sq_norm_dec,
 )
 from sql_flow_spark.functions.textops import O_NORMALIZE, fingerprint
-from sql_flow_spark.operators.registry import query
+from sql_flow_spark.registry import query
 from sql_flow_spark.tables import load_tables
 
 # ---------------------------------------------------------------- exact

@@ -26,7 +26,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from sql_flow_spark.operators.registry import query
+from sql_flow_spark.registry import query
 from sql_flow_spark.tables import load_tables
 
 FRAME_BYTES = 256  # fake frame size for the deterministic stub

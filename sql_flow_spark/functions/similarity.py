@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sql_flow_spark.operators.registry import query
+from sql_flow_spark.registry import query
 from sql_flow_spark.tables import load_tables
 
 # Engine-identical exact dot products. Per-element products are pure

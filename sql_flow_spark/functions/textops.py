@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql_flow_spark.operators.registry import query
+from sql_flow_spark.registry import query
 from sql_flow_spark.tables import load_tables
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.

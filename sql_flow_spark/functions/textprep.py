@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sql_flow_spark.functions.dedup import ws_tokens
-from sql_flow_spark.operators.registry import query
+from sql_flow_spark.registry import query
 from sql_flow_spark.tables import load_tables
 
 CHUNK_TOKENS = 20

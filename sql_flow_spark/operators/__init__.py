@@ -4,7 +4,7 @@ Importing this package populates the global query registry; modules
 register via :func:`sql_flow_spark.operators.registry.query`.
 """
 
-from sql_flow_spark.operators.registry import QUERIES, ORACLES, query
+from sql_flow_spark.registry import QUERIES, ORACLES, query
 
 # Registration side-effects:
 from sql_flow_spark.operators import core  # noqa: F401

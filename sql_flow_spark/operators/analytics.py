@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sql_flow_spark.operators.registry import (
+from sql_flow_spark.registry import (
     O_TS_STR,
     davg,
     dsum,

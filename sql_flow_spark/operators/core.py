@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sql_flow_spark.functions.url import oracle_parse_domain, parse_domain
-from sql_flow_spark.operators.registry import (
+from sql_flow_spark.registry import (
     O_TS_STR,
     dsum,
     o_dsum,

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sql_flow_spark.operators.registry import (
+from sql_flow_spark.registry import (
     O_TS_STR,
     dsum,
     o_dsum,
@@ -412,7 +412,7 @@ def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     three window functions."""
     t = load_tables(spark, sf_dir, ("events",))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    from sql_flow_spark.operators.registry import scaled_int
+    from sql_flow_spark.registry import scaled_int
 
     running = (
         F.sum(scaled_int("value")).over(w).cast("double") / F.lit(10000.0)
