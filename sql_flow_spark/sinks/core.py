@@ -127,8 +127,13 @@ class KafkaSink(Sink):
         self.topic = topic
         self.options = options or {}
 
+    @staticmethod
+    def encode(df: DataFrame) -> DataFrame:
+        """Rows -> kafka wire `value` (JSON), engine-side."""
+        return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
     def write_table(self, df: DataFrame):
-        out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        out = self.encode(df)
         w = (
             out.write.format("kafka")
             .option("kafka.bootstrap.servers", ",".join(self.brokers))
