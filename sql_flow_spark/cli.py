@@ -35,6 +35,15 @@ def main(argv: list[str] | None = None) -> int:
     p_val = sub.add_parser("validate", help="parse/validate a config file")
     p_val.add_argument("config")
 
+    p_sql = sub.add_parser(
+        "sql",
+        help="ad-hoc SQL over a testdata dir (debug surface; reference: "
+        "sqlflow/http.py DebugAPI)",
+    )
+    p_sql.add_argument("sf_dir")
+    p_sql.add_argument("query")
+    p_sql.add_argument("--limit", type=int, default=20)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "validate":
@@ -44,6 +53,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = get_spark("sql-flow-spark-cli")
+
+    if args.cmd == "sql":
+        from sql_flow_spark.tables import load_tables
+
+        load_tables(spark, args.sf_dir)
+        for row in spark.sql(args.query).limit(args.limit).collect():
+            print(row.asDict(recursive=True))
+        return 0
 
     if args.cmd == "invoke":
         result = pipeline_invoke(spark, args.config, args.fixture)

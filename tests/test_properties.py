@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis) for the pure-python pieces, plus a
+seeded cross-engine determinism check for the fixed-point summation
+core (the engine's central correctness trick)."""
+
+import math
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sql_flow_spark.functions.multimodal import fake_decode_features
+from sql_flow_spark.udf import parse_domain
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_parse_domain_total(s):
+    # never raises, always returns a string
+    assert isinstance(parse_domain(s), str)
+
+
+@given(st.from_regex(r"https?://([a-z0-9\-]{1,10}\.){1,4}[a-z]{2,6}(/[a-z0-9]{0,8})?", fullmatch=True))
+@settings(max_examples=200, deadline=None)
+def test_parse_domain_is_suffix_of_host(url):
+    dom = parse_domain(url)
+    host = url.split("://", 1)[1].split("/", 1)[0]
+    assert dom == "" or host.endswith(dom)
+    if dom:
+        assert 2 <= dom.count(".") + 1 <= 3  # registered domain has 2-3 labels
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_fake_decode_features_total(payload):
+    blen, frames, first = fake_decode_features(payload)
+    assert blen == len(payload)
+    assert frames == len(payload) // 256
+    assert first == (payload[0] if payload else 0)
+
+
+def _fixed_point_sum(values, scale=4):
+    m = 10**scale
+    return float(sum(Decimal(math.floor(v * m + 0.5)) for v in values)) / m
+
+
+def test_fixed_point_sum_matches_engines(spark):
+    """The determinism contract itself: spark dsum == duckdb o_dsum ==
+    python reference, on adversarial values (many near rounding
+    boundaries)."""
+    from sql_flow_spark.registry import dsum, o_dsum
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([
+        rng.uniform(-1e5, 1e5, 3000),
+        np.round(rng.uniform(0, 100, 3000), 4) + 5e-5,  # boundary-adjacent
+        rng.uniform(0, 1, 3000) * 1e-3,
+    ])
+    pdf_vals = [float(v) for v in vals]
+
+    sdf = spark.createDataFrame([(v,) for v in pdf_vals], "v double")
+    got_spark = sdf.agg(dsum("v").alias("s")).first().s
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in pdf_vals])
+    got_duck = con.execute(f"SELECT {o_dsum('v')} FROM t").fetchone()[0]
+
+    got_py = _fixed_point_sum(pdf_vals)
+    assert got_spark == got_duck == pytest.approx(got_py, abs=0)

@@ -69,6 +69,14 @@ def test_sqlcommand_sink_with_uuid_substitution(spark, tmp_path):
     assert spark.table(f"global_temp.`{created[0]}`").first().n == 2
 
 
+def test_iceberg_sink_config_parse():
+    from sql_flow_spark.sinks.core import IcebergSink
+
+    sink = new_sink_from_conf(cfg.SinkConf(type="iceberg", name="cat.db.t"), spark=None)
+    assert isinstance(sink, IcebergSink)
+    assert sink.table == "cat.db.t"
+
+
 def test_spooling_webhook_push_and_read(spark, tmp_path):
     src = WebhookSource(hmac_secret="s3cret", spool_dir=str(tmp_path / "spool"))
     src.push([{"a": 1}, {"a": 2}])
