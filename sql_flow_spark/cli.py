@@ -17,6 +17,42 @@ from sql_flow_spark.pipeline import new_pipeline_from_conf
 from sql_flow_spark.session import get_spark
 
 
+EXAMPLE_CONFIG = """\
+# sql-flow-spark pipeline (reference surface: source -> handler -> sink)
+commands:                      # optional init SQL (views, catalogs)
+  - name: example view
+    sql: CREATE OR REPLACE TEMPORARY VIEW dim AS SELECT 1 AS id
+udfs:                          # optional python UDFs by import path
+  - function_name: parse_domain
+    import_path: sql_flow_spark.udf.parse_domain
+    return_type: string
+tables:                        # optional managed window tables
+  managed:
+    - name: hourly_counts
+      tumbling_window:
+        time_column: ts
+        duration: 1 hour
+        watermark_delay: 60 seconds
+        group_by: [event_type]
+        aggregates: ["count(*) AS n"]
+      sink: {type: console}
+pipeline:
+  batch_size: 1000
+  on_error:
+    policy: RAISE              # RAISE | IGNORE | DLQ
+    # dlq: {type: files, path: /tmp/dlq, format: parquet}
+  source:
+    type: files                # files | kafka | memory | rate | websocket | webhook
+    path: /data/in
+    format: json               # json | csv | parquet
+  handler:
+    type: handlers.InferredBatch   # or handlers.StructuredBatch (+ table:)
+    sql: SELECT * FROM batch
+  sink:
+    type: console              # console|memory|noop|files|kafka|sqlcommand|iceberg|jdbc
+"""
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="sql-flow-spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -35,6 +71,8 @@ def main(argv: list[str] | None = None) -> int:
     p_val = sub.add_parser("validate", help="parse/validate a config file")
     p_val.add_argument("config")
 
+    sub.add_parser("example", help="print an example pipeline config")
+
     p_sql = sub.add_parser(
         "sql",
         help="ad-hoc SQL over a testdata dir (debug surface; reference: "
@@ -45,6 +83,10 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("--limit", type=int, default=20)
 
     args = parser.parse_args(argv)
+
+    if args.cmd == "example":
+        print(EXAMPLE_CONFIG)
+        return 0
 
     if args.cmd == "validate":
         conf = cfg.new_from_path(args.config)

@@ -42,7 +42,6 @@ logger = logging.getLogger(__name__)
 @dataclass
 class Stats:
     num_batches: int = 0
-    num_rows_out: int = 0
     num_errors: int = 0
 
 

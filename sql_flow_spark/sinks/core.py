@@ -169,6 +169,29 @@ class SQLCommandSink(Sink):
         self.spark.sql(self._apply_substitutions())
 
 
+class JDBCSink(Sink):
+    """JDBC table append — the reference reaches postgres/clickhouse
+    through DuckDB ATTACH or native clients (reference: sinks.py:147
+    ClickhouseSink, dev/config/examples/kafka.postgres.sink.yml); on
+    Spark both are JDBC writes. Driver jars are cluster-side; option
+    building is testable everywhere."""
+
+    def __init__(self, url: str, table: str, options: dict | None = None):
+        assert url and table, "jdbc sink requires url and table"
+        self.url = url
+        self.table = table
+        self.options = options or {}
+
+    def writer_options(self) -> dict:
+        return {"url": self.url, "dbtable": self.table, **self.options}
+
+    def write_table(self, df: DataFrame):
+        w = df.write.format("jdbc").mode("append")
+        for k, v in self.writer_options().items():
+            w = w.option(k, v)
+        w.save()
+
+
 class IcebergSink(Sink):
     """Iceberg table append (reference: sinks.py:71 via pyiceberg).
     Spark-native: ``df.writeTo(table).append()`` against a configured
@@ -226,4 +249,8 @@ def new_sink_from_conf(sink_conf, spark: SparkSession) -> Sink:
         )
     if typ == "iceberg":
         return IcebergSink(table=sink_conf.name or sink_conf.path)
+    if typ == "jdbc":
+        return JDBCSink(
+            url=sink_conf.path, table=sink_conf.name, options=sink_conf.options
+        )
     raise NotImplementedError(f"unsupported sink type: {typ}")
