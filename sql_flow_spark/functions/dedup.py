@@ -331,6 +331,43 @@ EMB_DUP_TAU = 0.40  # synthetic embeddings top out near cosine 0.47
 _EMB_SAMPLE_MOD = 2  # keep the oracle's pair count tractable
 
 
+@query("dedup_embedding_lsh")  # approximate blocking -> rows-only check
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for embedding near-dup detection: block by
+    random-hyperplane LSH bucket (candidates drop ~2^planes) instead of
+    a low-cardinality label, then exact cosine on candidates. Same
+    verify math as dedup_embedding; the blocking key is what changes
+    the complexity class (see SCALING.md 10x probe)."""
+    from sql_flow_spark.functions.similarity import _hyperplanes, lsh_bucket
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    dim = len(e.select("embedding").first()[0])
+    with_bucket = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(sq_norm_dec(F.col("embedding"))).alias("nrm"),
+        lsh_bucket(F.col("embedding"), _hyperplanes(dim)).alias("bucket"),
+    )
+    a = with_bucket.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("nrm_a"), "bucket",
+    )
+    b = with_bucket.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nrm_b"), F.col("bucket").alias("bucket_b"),
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot_dec(F.col("ea"), F.col("eb")) / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= EMB_DUP_TAU)
+    )
+
+
 @query(
     "dedup_embedding",
     oracle=f"""
