@@ -6,6 +6,11 @@ data stops being friendly."""
 from sql_flow_spark.plans.skew import salted_join, top_keys
 from sql_flow_spark.plans.bucketing import write_bucketed, read_table
 from sql_flow_spark.plans.audit import plan_string, assert_no_cartesian, scan_summary
+from sql_flow_spark.plans.layout import (
+    compact_directory,
+    with_date_partition,
+    write_partitioned,
+)
 
 __all__ = [
     "salted_join",
@@ -15,4 +20,7 @@ __all__ = [
     "plan_string",
     "assert_no_cartesian",
     "scan_summary",
+    "write_partitioned",
+    "with_date_partition",
+    "compact_directory",
 ]
