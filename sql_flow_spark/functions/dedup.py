@@ -179,17 +179,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_shingles(t["documents"]).select("doc_id", "shingles")
     docs.cache()
 
-    # Hash each shingle string ONCE, then derive the 32 "permutations"
-    # by re-hashing the 8-byte base hash — 32 long-hashes instead of 32
-    # string-hashes per shingle (the string hash dominates otherwise).
-    exploded = docs.select(
-        "doc_id", F.explode("shingles").alias("sh")
-    ).select("doc_id", F.xxhash64("sh").alias("base"))
-    mh = exploded.groupBy("doc_id").agg(
+    # Signatures are pure array expressions — hash each shingle string
+    # ONCE, then each "permutation" is array_min over a re-hash of the
+    # 8-byte base hashes. Entirely narrow (zero shuffle): the
+    # explode+groupBy formulation this replaces shuffled every shingle.
+    hashed = docs.select(
+        "doc_id",
+        "shingles",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("base"),
+    )
+    mh = hashed.select(
+        "doc_id",
         *[
-            F.min(F.xxhash64(F.lit(p), F.col("base"))).alias(f"h{p}")
+            F.array_min(
+                F.transform("base", lambda h: F.xxhash64(F.lit(p), h))
+            ).alias(f"h{p}")
             for p in range(MINHASH_PERMS)
-        ]
+        ],
     )
     band_structs = [
         F.struct(
@@ -278,15 +284,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming verify via bit_count(xor). Candidate generation is again a
     band join, linear at scale."""
     t = load_tables(spark, sf_dir, ("documents",))
-    toks = t["documents"].select(
-        "doc_id", F.explode(ws_tokens("text")).alias("tok")
+    # Token hashing is a narrow array transform (JVM); no
+    # explode/groupBy shuffle — the Arrow UDF receives each doc's hash
+    # array directly.
+    hashed = t["documents"].select(
+        "doc_id",
+        F.transform(
+            ws_tokens("text"), lambda tok: F.xxhash64(tok)
+        ).alias("hs"),
     )
-    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
-    sigs = (
-        hashed.groupBy("doc_id")
-        .agg(F.collect_list("h").alias("hs"))
-        .select("doc_id", _simhash_from_hashes("hs").alias("sig"))
-    )
+    sigs = hashed.select("doc_id", _simhash_from_hashes("hs").alias("sig"))
     bands = sigs.select(
         "doc_id",
         "sig",
