@@ -345,7 +345,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a low-cardinality label, then exact cosine on candidates. Same
     verify math as dedup_embedding; the blocking key is what changes
     the complexity class (see SCALING.md 10x probe)."""
-    from sql_flow_spark.functions.similarity import _hyperplanes, lsh_bucket
+    from sql_flow_spark.functions.similarity import _hyperplanes, lsh_buckets
 
     t = load_tables(spark, sf_dir, ("embeddings",))
     e = t["embeddings"]
@@ -354,18 +354,19 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         F.sqrt(sq_norm_dec(F.col("embedding"))).alias("nrm"),
-        lsh_bucket(F.col("embedding"), _hyperplanes(dim)).alias("bucket"),
+        lsh_buckets(F.col("embedding"), _hyperplanes(dim)).alias("buckets"),
     )
     a = with_bucket.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("nrm_a"), "bucket",
+        F.col("nrm").alias("nrm_a"), F.explode("buckets").alias("bucket"),
     )
     b = with_bucket.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nrm_b"), F.col("bucket").alias("bucket_b"),
+        F.col("nrm").alias("nrm_b"), F.explode("buckets").alias("bucket_b"),
     )
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .dropDuplicates(["vec_a", "vec_b"])
         .select(
             "vec_a",
             "vec_b",

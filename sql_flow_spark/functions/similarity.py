@@ -18,6 +18,7 @@ thresholds agree exactly.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -146,56 +147,80 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PLANES = 8
+# Multi-table sign LSH: L tables of k hyperplanes each. One table of
+# k bits has collision prob (1 - theta/pi)^k for angle theta — too
+# sharp a cliff alone; OR-ing L tables lifts recall to
+# 1 - (1 - p^k)^L while candidates stay ~L * n^2 / 2^k per bucket mass.
+LSH_TABLES = 8
+LSH_BITS = 4
 _LSH_SEED = 42
 
 
 def _hyperplanes(dim: int) -> np.ndarray:
-    return np.random.RandomState(_LSH_SEED).standard_normal((N_PLANES, dim))
+    return np.random.RandomState(_LSH_SEED).standard_normal(
+        (LSH_TABLES * LSH_BITS, dim)
+    )
 
 
-def lsh_bucket(emb: Column, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id from fixed random hyperplanes (broadcast as
-    literals — tiny). Double math only; bucketing needs no exactness."""
-    bucket = F.lit(0)
-    for p_i, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(float(v)) for v in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p_i)).otherwise(F.lit(0))
-    return bucket.cast("int")
+def lsh_buckets(emb: Column, planes: np.ndarray) -> Column:
+    """Array of per-table bucket ids (table index folded in, so bucket
+    values never collide across tables).
+
+    One Arrow-batched matmul computes all table x bit sign projections
+    at once (batch x dim @ dim x planes) — the expression-tree
+    formulation (one array fold per plane) costs ~plane-count more and
+    blows up codegen. Bucketing needs no cross-engine exactness, so
+    numpy doubles are fine."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    planes_t = planes.T.copy()  # dim x (tables*bits)
+    bit_weights = np.tile(1 << np.arange(LSH_BITS), LSH_TABLES)
+    table_offsets = np.repeat(np.arange(LSH_TABLES) << LSH_BITS, LSH_BITS)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _buckets(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy())  # n x dim
+        signs = (mat @ planes_t) > 0  # n x (tables*bits)
+        contrib = signs * bit_weights  # bucket bits per plane
+        per_table = contrib.reshape(len(mat), LSH_TABLES, LSH_BITS).sum(axis=2)
+        per_table = per_table + (np.arange(LSH_TABLES) << LSH_BITS)
+        return pd.Series(list(per_table.astype(np.int32)))
+
+    return _buckets(emb)
 
 
 @query("ann_lsh_topk")  # approximate -> rows-only check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: candidates scored only inside the query's
-    hyperplane-sign bucket (expected |N|/2^8 of the data), exact cosine
-    rerank. At 100 TB: bucket is the shuffle/partition key, queries
-    broadcast, per-bucket work independent; recall traded via n_planes
-    / multi-probe."""
+    """Multi-table LSH ANN: candidates are pairs sharing ANY of the 4
+    per-table buckets, deduped, then exact-cosine reranked per query.
+    At 100 TB: (table,bucket) is the shuffle key after the bucket
+    explode, queries broadcast, per-bucket work independent; recall is
+    tuned with LSH_TABLES x LSH_BITS (tested in
+    tests/test_approx_quality.py)."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     e = t["embeddings"]
     dim = len(e.select("embedding").first()[0])
     planes = _hyperplanes(dim)
     with_bucket = _with_norm(e).select(
         "vec_id", "embedding", "nrm",
-        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+        lsh_buckets(F.col("embedding"), planes).alias("buckets"),
     )
     q = with_bucket.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("qnrm"), F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"),
+        F.explode("buckets").alias("qbucket"),
     )
     c = with_bucket.where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("cnrm"), "bucket",
+        F.col("nrm").alias("cnrm"),
+        F.explode("buckets").alias("bucket"),
     )
-    scored = c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket")).select(
+    cand = (
+        c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select("qid", "nid", "ea", "eb", "qnrm", "cnrm")
+        .dropDuplicates(["qid", "nid"])
+    )
+    scored = cand.select(
         "qid",
         "nid",
         (dot_dec(F.col("ea"), F.col("eb")) / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),

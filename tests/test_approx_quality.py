@@ -1,0 +1,84 @@
+"""Semantic quality checks for the approximate/rows-only operators —
+the driver only row-counts these, so we pin their actual guarantees
+here: candidate recall, threshold soundness, subset relations vs the
+exact baselines."""
+
+from pyspark.sql import functions as F
+
+from sql_flow_spark.operators import QUERIES
+
+
+def test_minhash_pairs_satisfy_exact_jaccard(spark, sf_dir):
+    """Every pair emitted by the LSH pipeline must pass its own exact
+    jaccard verification threshold (soundness)."""
+    from sql_flow_spark.functions.dedup import MINHASH_TAU
+
+    rows = QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    assert all(r.jaccard >= MINHASH_TAU for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_simhash_pairs_within_hamming(spark, sf_dir):
+    from sql_flow_spark.functions.dedup import SIMHASH_MAX_HAMMING
+
+    rows = QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    assert all(r.hamming <= SIMHASH_MAX_HAMMING for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_ann_lsh_results_subset_of_exact_scores(spark, sf_dir):
+    """LSH top-k cosines must appear in the exact brute-force scoring
+    (same scoring math), and per-query recall@5 should be non-trivial
+    on clustered embeddings."""
+    exact = QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    approx = QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
+    exact_set = {(r.qid, r.nid): r.cosine for r in exact}
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r.qid, set()).add(r.nid)
+    hits = 0
+    total = 0
+    for r in approx:
+        # identical scoring math -> if the pair is in the exact top-k,
+        # the cosine must match bit-for-bit
+        if (r.qid, r.nid) in exact_set:
+            assert r.cosine == exact_set[(r.qid, r.nid)]
+            hits += 1
+        total += 1
+    assert total > 0
+    # recall over emitted pairs: a same-bucket neighbor that makes the
+    # exact top-5 should be common on clustered data
+    assert hits / total > 0.3, f"LSH recall suspiciously low: {hits}/{total}"
+
+
+def test_embedding_lsh_subset_of_exact_blocked(spark, sf_dir):
+    """LSH-blocked near-dups use a stricter candidate set than the
+    sampled label-blocked exact variant, but any overlapping pair must
+    carry the identical cosine."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in QUERIES["dedup_embedding"](spark, sf_dir).collect()
+    }
+    for r in QUERIES["dedup_embedding_lsh"](spark, sf_dir).collect():
+        if (r.vec_a, r.vec_b) in exact:
+            assert r.cosine == exact[(r.vec_a, r.vec_b)]
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    exact = {
+        r.event_type: r.n_users
+        for r in QUERIES["distinct_users_per_type"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / max(n, 1) < 0.1  # rsd=0.02, wide margin
+
+
+def test_percentiles_ordered(spark, sf_dir):
+    for r in QUERIES["value_percentiles"](spark, sf_dir).collect():
+        assert r.p50 <= r.p95
+        # t-digest approx should land near the exact value
+        assert abs(r.p95_approx - r.p95) / max(abs(r.p95), 1) < 0.1
