@@ -317,6 +317,88 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_order_stats",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      {o_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations in one pass)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "user_first_last_event",
+    oracle=f"""
+    SELECT
+      user_id,
+      first(event_type ORDER BY ts, event_id) AS first_event,
+      first(event_type ORDER BY ts DESC, event_id DESC) AS last_event,
+      {O_TS_STR.format(expr='min(ts)')} AS first_ts,
+      {O_TS_STR.format(expr='max(ts)')} AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event per user with a total order — min_by/max_by
+    style ordered aggregation (one shuffle, no window needed)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    # total order via (ts, event_id): pack into a sortable struct
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_event"),
+        F.max_by("event_type", key).alias("last_event"),
+        ts_str(F.min("ts")).alias("first_ts"),
+        ts_str(F.max("ts")).alias("last_ts"),
+    )
+
+
+@query(
+    "above_global_avg_customers",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_rich
+    FROM customer
+    WHERE c_acctbal > (
+      SELECT {o_dsum('c_acctbal')} / CAST(COUNT(c_acctbal) AS DOUBLE) FROM customer
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def above_global_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery comparison against a global aggregate: the
+    average is computed once (tiny, broadcast as a literal-like join),
+    not per row. Fixed-point avg so the > comparison is
+    engine-identical."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    c = t["customer"]
+    avg_df = c.agg(
+        (dsum("c_acctbal") / F.count("c_acctbal").cast("double")).alias("global_avg")
+    )
+    return (
+        c.join(F.broadcast(avg_df))
+        .where(F.col("c_acctbal") > F.col("global_avg"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_rich"))
+    )
+
+
+@query(
     "events_histogram",
     oracle=f"""
     SELECT
