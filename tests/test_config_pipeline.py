@@ -145,6 +145,26 @@ def test_dedup_pipeline_over_parquet_source(spark, tmp_path):
     assert rows == {1: 2, 3: 1}  # docs 1+2 collapse to one fingerprint
 
 
+def test_structured_batch_config(spark, tmp_path):
+    """Schema-enforced handler from config (reference:
+    kafka.structured.mem.yml): batch is cast into the declared table
+    schema, SQL runs over accumulated state."""
+    from sql_flow_spark.pipeline import new_pipeline_from_conf
+    from sql_flow_spark.serde import JSONSerde
+
+    conf = cfg.new_from_path(os.path.join(EXAMPLES, "structured.yml"))
+    pipe = new_pipeline_from_conf(conf, spark)
+    rows1 = ['{"city": "nyc", "event": "a", "n": 1}', '{"city": "nyc", "event": "b", "n": 2}']
+    out1 = pipe.invoke(JSONSerde().to_dataframe(spark, rows1))
+    assert {(r.city, r.n_events, r.total) for r in out1.collect()} == {("nyc", 2, 3)}
+    # second batch accumulates into the table state
+    out2 = pipe.invoke(JSONSerde().to_dataframe(spark, ['{"city": "bal", "event": "c", "n": 5}']))
+    assert {(r.city, r.n_events, r.total) for r in out2.collect()} == {
+        ("nyc", 2, 3),
+        ("bal", 1, 5),
+    }
+
+
 def test_config_validate_surface():
     conf = cfg.new_from_path(os.path.join(EXAMPLES, "basic.agg.yml"))
     assert conf.pipeline.source.type == "files"
