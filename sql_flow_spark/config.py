@@ -41,6 +41,8 @@ class SourceConf:
     auto_offset_reset: str = "earliest"
     # rate
     rows_per_second: int = 100
+    # websocket
+    uri: Optional[str] = None
     options: dict = field(default_factory=dict)
 
 

@@ -55,22 +55,33 @@ class StructuredBatch(Handler):
     temp view backed by accumulated micro-batches; at scale this is a
     Delta/Iceberg MERGE target instead."""
 
+    # Truncate the union lineage every N batches: an unbounded
+    # union-chain makes planning cost grow per batch (at scale the
+    # target would be a Delta/Iceberg table and this is a MERGE).
+    CHECKPOINT_EVERY = 16
+
     def __init__(self, sql: str, table: str):
         self.sql = sql
         self.table = table
         self._accumulated: Optional[DataFrame] = None
+        self._batches_since_ckpt = 0
 
     def invoke(self, spark: SparkSession, batch_df: DataFrame) -> Optional[DataFrame]:
-        target_schema = spark.table(self.table).schema
+        session = batch_df.sparkSession
+        target_schema = session.table(self.table).schema
         aligned = batch_df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema.fields]
         )
         if self._accumulated is None:
-            self._accumulated = spark.table(self.table).union(aligned)
+            self._accumulated = session.table(self.table).union(aligned)
         else:
             self._accumulated = self._accumulated.union(aligned)
+        self._batches_since_ckpt += 1
+        if self._batches_since_ckpt >= self.CHECKPOINT_EVERY:
+            self._accumulated = self._accumulated.localCheckpoint(eager=True)
+            self._batches_since_ckpt = 0
         self._accumulated.createOrReplaceTempView(self.table)
-        return spark.sql(self.sql)
+        return session.sql(self.sql)
 
 
 def new_handler_from_conf(handler_conf: config.HandlerConf) -> Handler:

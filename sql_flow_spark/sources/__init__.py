@@ -38,7 +38,7 @@ def new_source_from_conf(conf) -> Source:
     if typ == "rate":
         return RateSource(rows_per_second=conf.rows_per_second)
     if typ == "websocket":
-        return WebsocketSource(conf.options.get("uri"))
+        return WebsocketSource(conf.uri or conf.options.get("uri"))
     if typ == "webhook":
         return WebhookSource()
     raise NotImplementedError(f"unsupported source type: {typ}")
