@@ -69,6 +69,36 @@ def test_sqlcommand_sink_with_uuid_substitution(spark, tmp_path):
     assert spark.table(f"global_temp.`{created[0]}`").first().n == 2
 
 
+def test_console_sink_writes_json_lines(spark):
+    # reference: tests/sinks/test_console.py
+    import io
+
+    from sql_flow_spark.sinks import ConsoleSink
+
+    buf = io.StringIO()
+    sink = ConsoleSink(f=buf)
+    sink.write_table(spark.createDataFrame([(1, "a")], "id long, v string"))
+    sink.flush()
+    assert buf.getvalue() == '{"id":1,"v":"a"}\n'
+    assert sink.batch() is not None
+
+
+def test_all_example_configs_parse():
+    # reference: tests/test_configs.py parses every example config
+    import glob
+    import os
+
+    examples = glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "examples", "*.yml")
+    )
+    assert len(examples) >= 7
+    for path in examples:
+        conf = cfg.new_from_path(path)
+        assert conf.pipeline.handler.sql
+        assert conf.pipeline.source.type
+        assert conf.pipeline.sink.type
+
+
 def test_iceberg_sink_config_parse():
     from sql_flow_spark.sinks.core import IcebergSink
 
