@@ -210,6 +210,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mh.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    # The candidate join is a self-join: without caching, the whole
+    # signature subtree executes twice.
+    bands.cache()
 
     cand = (
         bands.alias("x")
@@ -311,6 +314,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "sig", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    bands.cache()  # self-joined below
 
     pairs = (
         bands.alias("x")
