@@ -140,22 +140,35 @@ def render_config(path: str, setting_overrides: dict | None = None) -> dict:
     return safe_load(template.render(**settings_vars))
 
 
+def _flat_merge(d: dict, typ: str, allowed: set[str]) -> dict:
+    """Merge top-level fields with the type-named subsection. Dict-valued
+    top-level keys are kept when they are known dataclass fields (e.g.
+    ``options:``) — only the type subsection itself and unknown dict
+    blobs are excluded, so a flat ``source: {type: kafka, options: ...}``
+    config does not silently lose its connector options."""
+    sub = d.get(typ, {}) if isinstance(d.get(typ), dict) else {}
+    flat = {
+        k: v
+        for k, v in d.items()
+        if k not in ("type", typ) and (not isinstance(v, dict) or k in allowed)
+    }
+    merged = {**flat, **sub}
+    # `format: {type: parquet, ...}` nesting (reference config style)
+    if isinstance(merged.get("format"), dict):
+        merged["format"] = merged["format"].get("type", "parquet")
+    return {k: v for k, v in merged.items() if k in allowed}
+
+
 def _source_from_dict(d: dict) -> SourceConf:
     typ = d["type"]
-    sub = d.get(typ, {}) if isinstance(d.get(typ), dict) else {}
-    merged = {**{k: v for k, v in d.items() if k != "type" and not isinstance(v, dict)}, **sub}
     allowed = {f_.name for f_ in SourceConf.__dataclass_fields__.values()}  # type: ignore[attr-defined]
-    return SourceConf(type=typ, **{k: v for k, v in merged.items() if k in allowed})
+    return SourceConf(type=typ, **_flat_merge(d, typ, allowed - {"type"}))
 
 
 def _sink_from_dict(d: dict) -> SinkConf:
     typ = d.get("type", "console")
-    sub = d.get(typ, {}) if isinstance(d.get(typ), dict) else {}
-    merged = {**{k: v for k, v in d.items() if k not in ("type",) and not isinstance(v, dict)}, **sub}
-    if "format" in d and isinstance(d["format"], dict):
-        merged["format"] = d["format"].get("type", "parquet")
     allowed = {f_.name for f_ in SinkConf.__dataclass_fields__.values()}  # type: ignore[attr-defined]
-    return SinkConf(type=typ, **{k: v for k, v in merged.items() if k in allowed})
+    return SinkConf(type=typ, **_flat_merge(d, typ, allowed - {"type"}))
 
 
 def new_from_dict(conf: dict) -> Conf:

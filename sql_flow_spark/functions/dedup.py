@@ -73,8 +73,16 @@ def token_ngrams(toks: Column, n: int = 3) -> Column:
     IMPORTANT: pass a bound column (e.g. via withColumn), not the
     ws_tokens(...) expression — lambdas inline their argument, so an
     expression would make Catalyst re-split the text for every
-    element_at lookup (observed 8s -> 0.5s on 5k docs)."""
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    element_at lookup (observed 8s -> 0.5s on 5k docs).
+
+    Short-doc guard: for docs with fewer than n tokens,
+    sequence(0, size-n) would count DOWN (e.g. sequence(0,-2) =
+    [0,-1,-2]) and element_at(., 0) is a runtime error under ANSI —
+    emit an empty shingle set instead, matching the oracle's
+    generate_series(1, len-2) which is empty for short docs."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(

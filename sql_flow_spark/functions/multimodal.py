@@ -76,12 +76,22 @@ def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = 
 
 @query(
     "multimodal_features",
+    # first_byte must be the first UTF-8 *byte* of the payload (what the
+    # stub reads from the binary column), not the Unicode code point —
+    # derive the UTF-8 lead byte from the code point in pure SQL so
+    # non-ASCII leading chars agree with Spark (e.g. 'é' -> 195, not 233).
     oracle=f"""
     SELECT
       doc_id,
       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
       CAST(octet_length(encode(text)) // {FRAME_BYTES} AS BIGINT) AS n_frames,
-      CAST(ascii(text) AS INTEGER) AS first_byte
+      CAST(CASE
+        WHEN octet_length(encode(text)) = 0 THEN 0
+        WHEN ascii(text) < 128 THEN ascii(text)
+        WHEN ascii(text) < 2048 THEN 192 + ascii(text) // 64
+        WHEN ascii(text) < 65536 THEN 224 + ascii(text) // 4096
+        ELSE 240 + ascii(text) // 262144
+      END AS INTEGER) AS first_byte
     FROM documents
     """,
 )

@@ -216,7 +216,7 @@ def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         user_id,
         CASE WHEN lag(ts) OVER w IS NULL
-               OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
              THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -228,11 +228,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-minute inactivity gap): the
     classic event-stream operator the reference expresses over managed
     tables. lag + conditional sum; one shuffle on user_id serving both
-    the window and the aggregation."""
+    the window and the aggregation. The gap compares at MICROSECOND
+    precision on both engines — a whole-second cast would truncate and
+    classify gaps in (1800, 1801) s differently from the oracle."""
     t = load_tables(spark, sf_dir, ("events",))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
-    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     return (
         t["events"]
         .select("user_id", "ts", "event_id")

@@ -425,22 +425,24 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_types",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|') AS event_types,
            CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
     FROM events
     GROUP BY user_id
     """,
 )
 def user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation (collect_set) with a deterministic sort —
-    set-valued outputs need a canonical order to compare at all."""
+    """Array aggregation (collect_set) with a deterministic sort.
+    The sorted set is emitted as a '|'-joined STRING (not array<string>)
+    so downstream comparators that canonicalize rows via hashing/sorting
+    can treat the column as a plain scalar."""
     t = load_tables(spark, sf_dir, ("events",))
     types = F.array_sort(F.collect_set("event_type"))
     return (
         t["events"]
         .groupBy("user_id")
         .agg(
-            types.alias("event_types"),
+            F.array_join(types, "|").alias("event_types"),
             F.size(types).alias("n_types"),
         )
     )

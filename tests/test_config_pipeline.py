@@ -171,3 +171,40 @@ def test_config_validate_surface():
     assert conf.pipeline.handler.type == "handlers.InferredBatch"
     assert conf.pipeline.sink.type == "console"
     assert conf.pipeline.batch_size == 1000
+
+
+def test_config_flat_dict_fields_survive():
+    # A flat (non-nested) source/sink block must keep dict-valued known
+    # fields like `options` instead of silently dropping them.
+    conf = cfg.new_from_dict(
+        {
+            "pipeline": {
+                "source": {
+                    "type": "kafka",
+                    "brokers": ["b:9092"],
+                    "topics": ["t"],
+                    "options": {"kafka.security.protocol": "SASL_SSL"},
+                },
+                "handler": {"sql": "SELECT * FROM batch"},
+                "sink": {
+                    "type": "files",
+                    "path": "/tmp/out",
+                    "options": {"compression": "zstd"},
+                },
+            }
+        }
+    )
+    assert conf.pipeline.source.options == {"kafka.security.protocol": "SASL_SSL"}
+    assert conf.pipeline.source.brokers == ["b:9092"]
+    assert conf.pipeline.sink.options == {"compression": "zstd"}
+    # nested type-subsection style still wins over flat keys
+    conf2 = cfg.new_from_dict(
+        {
+            "pipeline": {
+                "source": {"type": "files", "path": "/a", "files": {"path": "/b"}},
+                "handler": {},
+                "sink": {"type": "console"},
+            }
+        }
+    )
+    assert conf2.pipeline.source.path == "/b"

@@ -63,6 +63,22 @@ def test_token_ngrams(spark):
     assert out == ["a b c", "b c d"]
 
 
+def test_token_ngrams_short_docs(spark):
+    # Fewer than n tokens must yield an EMPTY shingle set, not a
+    # descending-sequence crash or a bogus partial shingle.
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "one two"), (3, "one two three")],
+        "doc_id long, text string",
+    )
+    rows = (
+        df.withColumn("toks", ws_tokens("text"))
+        .select("doc_id", token_ngrams(F.col("toks")).alias("g"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.g for r in rows] == [[], [], [], ["one two three"]]
+
+
 def test_dot_dec_exactness(spark):
     df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>")
     got = df.select(dot_dec(F.col("a"), F.col("b")).alias("d")).first().d
