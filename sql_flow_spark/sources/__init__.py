@@ -2,9 +2,9 @@
 
 A source produces either a batch DataFrame (dev-invoke over a fixture)
 or a streaming DataFrame (Structured Streaming). Kafka maps to Spark's
-native kafka connector; websocket/webhook have no in-container server
-runtime and are documented stubs with socket/file equivalents for
-tests.
+native kafka connector; websocket/webhook are spool-dir push sources
+fronted by stdlib shims (an http.server webhook receiver and a raw
+RFC 6455 websocket client — sources/shims.py).
 """
 
 from sql_flow_spark.sources.base import Source
@@ -38,9 +38,18 @@ def new_source_from_conf(conf) -> Source:
     if typ == "rate":
         return RateSource(rows_per_second=conf.rows_per_second)
     if typ == "websocket":
-        return WebsocketSource(conf.uri or conf.options.get("uri"))
+        return WebsocketSource(
+            conf.uri or conf.options.get("uri"),
+            spool_dir=conf.options.get("spool_dir"),
+            schema=conf.schema,
+        )
     if typ == "webhook":
-        return WebhookSource()
+        return WebhookSource(
+            hmac_secret=conf.options.get("hmac_secret"),
+            hmac_header=conf.options.get("hmac_header", "X-Signature"),
+            spool_dir=conf.options.get("spool_dir"),
+            schema=conf.schema,
+        )
     raise NotImplementedError(f"unsupported source type: {typ}")
 
 

@@ -5,10 +5,15 @@ Spark has no built-in websocket/HTTP-server source; the production
 design is a tiny ingest shim that appends records to a spooling
 directory (or kafka topic) which a FileSource/KafkaSource then streams
 — that keeps exactly-once semantics with Spark checkpointing instead
-of hand-rolled commit logic. ``spool_dir`` wires that up; the
-in-process server itself is STUBBED here (no fastapi/websockets libs
-in this container, and a long-running server doesn't belong inside an
-executor).
+of hand-rolled commit logic. ``spool_dir`` wires that up. The ingest
+shims themselves are stdlib implementations (sources/shims.py): a
+threaded ``http.server`` webhook receiver with HMAC validation and a
+raw-socket RFC 6455 websocket client — no fastapi/websockets deps.
+
+At scale the shim runs on the driver (or a sidecar), never in an
+executor: ingestion concurrency comes from many shim instances
+spooling to shared storage, and Spark's file-stream parallelism picks
+the files up.
 """
 
 from __future__ import annotations
@@ -50,40 +55,75 @@ class SpoolingPushSource(Source):
 
 class WebsocketSource(SpoolingPushSource):
     """Websocket consumer (reference: sources/websocket.py connects to
-    e.g. the Bluesky firehose). The socket client itself is stubbed."""
+    e.g. the Bluesky firehose and yields every message). Here the
+    stdlib RFC 6455 client (shims.WebsocketClient) streams messages
+    into the spool; Spark tails the spool as a file stream."""
 
-    def __init__(self, uri: str | None = None, **kw):
+    def __init__(self, uri: str | None = None, batch_records: int = 1, **kw):
         super().__init__(**kw)
         self.uri = uri
+        self.batch_records = batch_records
+        self._client = None
 
     def start_client(self):
-        raise NotImplementedError(
-            "websocket client is stubbed in this environment; run an external "
-            "consumer that calls .push() / writes jsonl into spool_dir"
-        )
+        """Connect to ``uri`` on a daemon thread; every received
+        message is appended to the spool (one jsonl file per
+        ``batch_records`` messages)."""
+        from sql_flow_spark.sources.shims import WebsocketClient
+
+        if not self.uri:
+            raise ValueError("WebsocketSource needs a uri to start a client")
+        pending: list[str] = []
+
+        def on_message(payload: bytes):
+            pending.append(payload.decode("utf-8"))
+            if len(pending) >= self.batch_records:
+                self.push(pending[:])
+                pending.clear()
+
+        self._client = WebsocketClient(self.uri, on_message)
+        self._client.start()
+        return self._client
+
+    def stop_client(self):
+        if self._client:
+            self._client.stop()
+            self._client = None
 
 
 class WebhookSource(SpoolingPushSource):
-    """HTTP webhook receiver (reference: sources/webhook.py with HMAC
-    validation). The HTTP server is stubbed; HMAC validation logic
-    lives in validate_hmac for the external shim to use."""
+    """HTTP webhook receiver (reference: sources/webhook.py — FastAPI
+    POST /events with ``sha256=<hex>`` HMAC validation). Served here by
+    the stdlib shims.WebhookReceiver; the source itself owns the HMAC
+    policy so any front end shares one validator."""
 
     def __init__(self, hmac_secret: str | None = None, hmac_header: str = "X-Signature", **kw):
         super().__init__(**kw)
         self.hmac_secret = hmac_secret
         self.hmac_header = hmac_header
+        self._receiver = None
 
     def validate_hmac(self, body: bytes, signature: str) -> bool:
+        """Accepts the reference's ``sha256=<hexdigest>`` format as well
+        as a bare hexdigest (reference: sources/webhook.py:80-88)."""
         import hashlib
         import hmac as hmac_mod
 
         if not self.hmac_secret:
             return True
         digest = hmac_mod.new(self.hmac_secret.encode(), body, hashlib.sha256).hexdigest()
-        return hmac_mod.compare_digest(digest, signature)
+        provided = signature.removeprefix("sha256=")
+        return hmac_mod.compare_digest(digest, provided)
 
-    def start_server(self):
-        raise NotImplementedError(
-            "webhook HTTP server is stubbed in this environment; front with any "
-            "HTTP receiver that calls .push() after validate_hmac"
-        )
+    def start_server(self, host: str = "127.0.0.1", port: int = 0):
+        """Start the in-process HTTP receiver; returns it (``.url`` has
+        the bound address — port=0 picks an ephemeral port)."""
+        from sql_flow_spark.sources.shims import WebhookReceiver
+
+        self._receiver = WebhookReceiver(self, host=host, port=port).start()
+        return self._receiver
+
+    def stop_server(self):
+        if self._receiver:
+            self._receiver.stop()
+            self._receiver = None

@@ -173,6 +173,18 @@ def test_config_validate_surface():
     assert conf.pipeline.batch_size == 1000
 
 
+def test_bluesky_websocket_example_parses():
+    conf = cfg.new_from_path(os.path.join(EXAMPLES, "bluesky.websocket.yml"))
+    assert conf.pipeline.source.type == "websocket"
+    assert conf.pipeline.source.uri.startswith("ws://")
+    assert conf.pipeline.batch_size == 100
+    from sql_flow_spark.sources import WebsocketSource, new_source_from_conf
+
+    src = new_source_from_conf(conf.pipeline.source)
+    assert isinstance(src, WebsocketSource)
+    assert "wantedCollections" in src.uri
+
+
 def test_config_flat_dict_fields_survive():
     # A flat (non-nested) source/sink block must keep dict-valued known
     # fields like `options` instead of silently dropping them.
