@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
 
 from sql_flow_spark.functions.similarity import (
     O_COSINE_PAIRS,
@@ -172,6 +173,33 @@ LSH_BANDS = 8
 ROWS_PER_BAND = MINHASH_PERMS // LSH_BANDS
 MINHASH_TAU = 0.12
 
+# A band bucket holding B docs yields B*(B-1)/2 candidate pairs; one
+# boilerplate-heavy bucket (empty docs, license headers) turns the
+# linear band join quadratic. Cap what each bucket may contribute:
+# beyond the cap a bucket is near-certainly one giant duplicate
+# cluster, and the retained members still witness it.
+BAND_BUCKET_CAP = 256
+
+
+def cap_bucket_size(
+    bands: DataFrame, keys: list[str], cap: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep at most ``cap`` rows per bucket (deterministic: lowest ids
+    win) before a band-bucket self-join.
+
+    Scale rationale: candidate pairs grow quadratically in bucket size,
+    so a single hot bucket dominates the join at 100 TB. The window
+    shuffles on the same (band, bkey) key the candidate join needs, so
+    AQE/exchange-reuse keeps it to the one partitioning the join pays
+    anyway. Truncation (vs dropping the bucket) preserves a witness
+    pair for every retained member of the duplicate cluster."""
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    return (
+        bands.withColumn("_bucket_rank", F.row_number().over(w))
+        .where(F.col("_bucket_rank") <= cap)
+        .drop("_bucket_rank")
+    )
+
 
 @query("dedup_minhash_lsh")  # hash-function specific -> rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,6 +246,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mh.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    bands = cap_bucket_size(bands, ["band", "bkey"], BAND_BUCKET_CAP)
     # The candidate join is a self-join: without caching, the whole
     # signature subtree executes twice.
     bands.cache()
@@ -322,6 +351,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "sig", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    bands = cap_bucket_size(bands, ["band", "bkey"], BAND_BUCKET_CAP)
     bands.cache()  # self-joined below
 
     pairs = (
@@ -350,42 +380,81 @@ EMB_DUP_TAU = 0.40  # synthetic embeddings top out near cosine 0.47
 _EMB_SAMPLE_MOD = 2  # keep the oracle's pair count tractable
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tau: float = EMB_DUP_TAU,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate (id_a, id_b, cosine) pairs over an embedding
+    column. THE default entry point for embedding dedup.
+
+    Blocking: by default random-hyperplane LSH buckets — candidate
+    pairs drop ~2^LSH_BITS per table and complexity stays linear in
+    rows + bucket collisions at 100 TB. Pass ``block_col`` to block on
+    an explicit key instead (exact within the block); that variant is
+    quadratic in block size (measured ~9x at a 10x probe, SCALING.md)
+    and exists as the oracle-checkable verifier, not the scale path.
+
+    Norms are attached per vector BEFORE pairing (O(vectors*dim), not
+    O(pairs*dim)); cosine is fixed-point-exact (see similarity.dot_dec)
+    so thresholds agree across engines.
+    """
+    if block_col is not None:
+        s = emb.withColumn("nrm", F.sqrt(sq_norm_dec(F.col(emb_col))))
+        a = s.select(
+            F.col(id_col).alias("vec_a"), F.col(block_col).alias("blk_a"),
+            F.col(emb_col).alias("ea"), F.col("nrm").alias("nrm_a"),
+        )
+        b = s.select(
+            F.col(id_col).alias("vec_b"), F.col(block_col).alias("blk_b"),
+            F.col(emb_col).alias("eb"), F.col("nrm").alias("nrm_b"),
+        )
+        cand = a.join(
+            b, (F.col("blk_a") == F.col("blk_b")) & (F.col("vec_a") < F.col("vec_b"))
+        )
+    else:
+        from sql_flow_spark.functions.similarity import (
+            _hyperplanes,
+            embedding_dim,
+            lsh_buckets,
+        )
+
+        dim = embedding_dim(emb, emb_col)
+        with_bucket = emb.select(
+            F.col(id_col).alias(id_col),
+            F.col(emb_col).alias(emb_col),
+            F.sqrt(sq_norm_dec(F.col(emb_col))).alias("nrm"),
+            lsh_buckets(F.col(emb_col), _hyperplanes(dim)).alias("buckets"),
+        )
+        a = with_bucket.select(
+            F.col(id_col).alias("vec_a"), F.col(emb_col).alias("ea"),
+            F.col("nrm").alias("nrm_a"), F.explode("buckets").alias("bucket"),
+        )
+        b = with_bucket.select(
+            F.col(id_col).alias("vec_b"), F.col(emb_col).alias("eb"),
+            F.col("nrm").alias("nrm_b"), F.explode("buckets").alias("bucket_b"),
+        )
+        cand = a.join(
+            b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
+        ).dropDuplicates(["vec_a", "vec_b"])
+    return cand.select(
+        "vec_a",
+        "vec_b",
+        (dot_dec(F.col("ea"), F.col("eb")) / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+    ).where(F.col("cosine") >= tau)
+
+
 @query("dedup_embedding_lsh")  # approximate blocking -> rows-only check
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB path for embedding near-dup detection: block by
-    random-hyperplane LSH bucket (candidates drop ~2^planes) instead of
-    a low-cardinality label, then exact cosine on candidates. Same
-    verify math as dedup_embedding; the blocking key is what changes
-    the complexity class (see SCALING.md 10x probe)."""
-    from sql_flow_spark.functions.similarity import _hyperplanes, lsh_buckets
-
+    """The 100 TB path for embedding near-dup detection (and the
+    default of embedding_near_dup_pairs): block by random-hyperplane
+    LSH bucket (candidates drop ~2^planes) instead of a low-cardinality
+    label, then exact cosine on candidates. The blocking key is what
+    changes the complexity class (see SCALING.md 10x probe)."""
     t = load_tables(spark, sf_dir, ("embeddings",))
-    e = t["embeddings"]
-    dim = len(e.select("embedding").first()[0])
-    with_bucket = e.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(sq_norm_dec(F.col("embedding"))).alias("nrm"),
-        lsh_buckets(F.col("embedding"), _hyperplanes(dim)).alias("buckets"),
-    )
-    a = with_bucket.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("nrm_a"), F.explode("buckets").alias("bucket"),
-    )
-    b = with_bucket.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nrm_b"), F.explode("buckets").alias("bucket_b"),
-    )
-    return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .dropDuplicates(["vec_a", "vec_b"])
-        .select(
-            "vec_a",
-            "vec_b",
-            (dot_dec(F.col("ea"), F.col("eb")) / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
-        )
-        .where(F.col("cosine") >= EMB_DUP_TAU)
-    )
+    return embedding_near_dup_pairs(t["embeddings"])
 
 
 @query(
@@ -409,29 +478,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by cluster label (at
-    scale the blocking key would be an LSH bucket — see ann_lsh_topk).
-    Norms are attached per vector BEFORE pairing (O(vectors*dim), not
-    O(pairs*dim)); cosine is fixed-point-exact so the threshold agrees
-    with the oracle."""
+    """VERIFIER, not the default: embedding-cosine near-dup pairs
+    blocked by an explicit label column — exact within the block and
+    DuckDB-checkable, but quadratic in block size (~9x at the 10x
+    probe, SCALING.md). Use embedding_near_dup_pairs() (LSH blocking,
+    the dedup_embedding_lsh path) for anything beyond oracle-scale."""
     t = load_tables(spark, sf_dir, ("embeddings",))
-    s = t["embeddings"].where(F.col("vec_id") % _EMB_SAMPLE_MOD == 0).withColumn(
-        "nrm", F.sqrt(sq_norm_dec(F.col("embedding")))
-    )
-    a = s.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
-        F.col("embedding").alias("ea"), F.col("nrm").alias("nrm_a"),
-    )
-    b = s.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-        F.col("embedding").alias("eb"), F.col("nrm").alias("nrm_b"),
-    )
-    return (
-        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select(
-            "vec_a",
-            "vec_b",
-            (dot_dec(F.col("ea"), F.col("eb")) / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
-        )
-        .where(F.col("cosine") >= EMB_DUP_TAU)
-    )
+    s = t["embeddings"].where(F.col("vec_id") % _EMB_SAMPLE_MOD == 0)
+    return embedding_near_dup_pairs(s, block_col="label")

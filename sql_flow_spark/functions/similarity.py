@@ -162,6 +162,17 @@ def _hyperplanes(dim: int) -> np.ndarray:
     )
 
 
+def embedding_dim(emb: DataFrame, emb_col: str = "embedding") -> int:
+    """Vector dimensionality from column metadata (``{"dim": N}``) when
+    present, falling back to a one-row probe. The probe is a
+    LocalLimit(1) job — cheap but an extra driver-side action per
+    builder call; attach metadata upstream to keep plans fully lazy."""
+    md = emb.schema[emb_col].metadata or {}
+    if "dim" in md:
+        return int(md["dim"])
+    return len(emb.select(emb_col).first()[0])
+
+
 def lsh_buckets(emb: Column, planes: np.ndarray) -> Column:
     """Array of per-table bucket ids (table index folded in, so bucket
     values never collide across tables).
@@ -199,8 +210,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_approx_quality.py)."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     e = t["embeddings"]
-    dim = len(e.select("embedding").first()[0])
-    planes = _hyperplanes(dim)
+    planes = _hyperplanes(embedding_dim(e))
     with_bucket = _with_norm(e).select(
         "vec_id", "embedding", "nrm",
         lsh_buckets(F.col("embedding"), planes).alias("buckets"),

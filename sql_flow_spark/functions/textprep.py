@@ -161,7 +161,10 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc argmax agree exactly."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    n_docs = docs.count()  # scalar; at scale this is a cheap metadata count
+    # corpus size as a broadcast 1-row aggregate, not a driver-side
+    # .count(): the builder stays lazy (no job per invocation) and the
+    # plan carries the dependency explicitly
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
     )
@@ -171,11 +174,13 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     # correctly rounded); see the oracle's matching floor expression
     raw = (
         F.col("tf").cast("double")
-        * F.log((F.lit(float(n_docs)) + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0)))
+        * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0)))
     )
     tfidf = F.floor(raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id", "term", tfidf.alias("tfidf")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", tfidf.alias("tfidf"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (

@@ -102,3 +102,59 @@ def test_shingles_on_documents(spark, sf_dir):
     for r in sh:
         assert len(r.shingles) >= 1
         assert all(len(s.split(" ")) == 3 for s in r.shingles)
+
+
+def test_cap_bucket_size_truncates_hot_buckets(spark):
+    from sql_flow_spark.functions.dedup import cap_bucket_size
+
+    rows = [(i, 0, 100) for i in range(10)] + [(20, 0, 200), (21, 0, 200)]
+    bands = spark.createDataFrame(rows, "doc_id long, band int, bkey long")
+    capped = cap_bucket_size(bands, ["band", "bkey"], cap=3)
+    sizes = {
+        r.bkey: r.n
+        for r in capped.groupBy("bkey").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {100: 3, 200: 2}
+    # deterministic: lowest doc_ids survive
+    kept = sorted(r.doc_id for r in capped.where(F.col("bkey") == 100).collect())
+    assert kept == [0, 1, 2]
+
+
+def test_minhash_band_join_respects_bucket_cap(spark, sf_dir, monkeypatch):
+    """With the cap forced to 1 every band bucket is a singleton, so the
+    self-join must yield zero candidate pairs — pins that
+    dedup_minhash_lsh actually routes through cap_bucket_size."""
+    import sql_flow_spark.functions.dedup as dd
+
+    baseline = dd.dedup_minhash_lsh(spark, sf_dir).count()
+    assert baseline > 0
+    monkeypatch.setattr(dd, "BAND_BUCKET_CAP", 1)
+    assert dd.dedup_minhash_lsh(spark, sf_dir).count() == 0
+
+
+def test_embedding_near_dup_pairs_default_is_lsh(spark, sf_dir):
+    """The public API defaults to LSH blocking; explicit block_col is
+    the exact verifier path and must agree on overlapping pairs."""
+    from sql_flow_spark.functions.dedup import embedding_near_dup_pairs
+    from sql_flow_spark.tables import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    lsh = embedding_near_dup_pairs(emb)
+    exact = embedding_near_dup_pairs(emb, block_col="label")
+    lsh_pairs = {(r.vec_a, r.vec_b): r.cosine for r in lsh.collect()}
+    exact_pairs = {(r.vec_a, r.vec_b): r.cosine for r in exact.collect()}
+    assert lsh_pairs, "LSH path found no near-dups on testdata"
+    # same verify math: any pair both paths surface has an identical score
+    for k in set(lsh_pairs) & set(exact_pairs):
+        assert lsh_pairs[k] == exact_pairs[k]
+
+
+def test_embedding_dim_prefers_metadata(spark):
+    from sql_flow_spark.functions.similarity import embedding_dim
+
+    df = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
+    assert embedding_dim(df) == 2  # probe fallback
+    with_md = df.withColumn(
+        "embedding", F.col("embedding").alias("embedding", metadata={"dim": 2})
+    )
+    assert embedding_dim(with_md) == 2
