@@ -102,6 +102,22 @@ class SQLCommand:
 
 
 @dataclass
+class ExternalTableConf:
+    """A live external table registered as a temp view before the
+    pipeline runs — the Spark equivalent of the reference's ATTACH
+    (reference: dev/config/examples/kafka.postgres.join.yml,
+    attach-geoip.yml). ``format: jdbc`` + options(url, dbtable, ...)
+    for databases; csv/parquet/json + path for files."""
+
+    name: str
+    format: str = "jdbc"
+    path: Optional[str] = None
+    schema: Optional[str] = None  # DDL string (file formats)
+    cache: bool = False  # cache the view (big dims, repeated micro-batches)
+    options: dict = field(default_factory=dict)
+
+
+@dataclass
 class UDFConf:
     function_name: str
     import_path: str
@@ -125,6 +141,7 @@ class Conf:
     commands: list[SQLCommand] = field(default_factory=list)
     udfs: list[UDFConf] = field(default_factory=list)
     tables: list[ManagedTableConf] = field(default_factory=list)
+    external_tables: list[ExternalTableConf] = field(default_factory=list)
 
 
 def render_config(path: str, setting_overrides: dict | None = None) -> dict:
@@ -195,6 +212,9 @@ def new_from_dict(conf: dict) -> Conf:
         )
 
     return Conf(
+        external_tables=[
+            ExternalTableConf(**e) for e in conf.get("external_tables", [])
+        ],
         commands=[SQLCommand(**c) for c in conf.get("commands", [])],
         udfs=[UDFConf(**u) for u in conf.get("udfs", [])],
         tables=tables,

@@ -188,6 +188,10 @@ def init_commands(spark: SparkSession, commands: list[cfg.SQLCommand]):
 def new_pipeline_from_conf(
     conf: cfg.Conf, spark: SparkSession, sink_override: Sink | None = None
 ) -> Pipeline:
+    from sql_flow_spark.sources.external import register_external_tables
+
+    # external views first so init commands can reference them
+    register_external_tables(spark, conf.external_tables)
     init_commands(spark, conf.commands)
     init_udfs(spark, conf.udfs)
     p = conf.pipeline

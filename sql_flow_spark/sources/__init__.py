@@ -8,6 +8,7 @@ RFC 6455 websocket client — sources/shims.py).
 """
 
 from sql_flow_spark.sources.base import Source
+from sql_flow_spark.sources.external import JdbcSource, register_external_tables
 from sql_flow_spark.sources.files import FileSource
 from sql_flow_spark.sources.kafka import KafkaSource
 from sql_flow_spark.sources.memory import MemorySource
@@ -33,6 +34,8 @@ def new_source_from_conf(conf) -> Source:
             auto_offset_reset=conf.auto_offset_reset,
             options=conf.options,
         )
+    if typ == "jdbc":
+        return JdbcSource(options=conf.options)
     if typ == "memory":
         return MemorySource()
     if typ == "rate":
@@ -56,10 +59,12 @@ def new_source_from_conf(conf) -> Source:
 __all__ = [
     "Source",
     "FileSource",
+    "JdbcSource",
     "KafkaSource",
     "MemorySource",
     "RateSource",
     "WebsocketSource",
     "WebhookSource",
     "new_source_from_conf",
+    "register_external_tables",
 ]
