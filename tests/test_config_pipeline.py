@@ -165,6 +165,88 @@ def test_structured_batch_config(spark, tmp_path):
     }
 
 
+def test_external_table_join_config(spark, tmp_path):
+    """external_tables: a parquet dim registered as a view and joined
+    in handler SQL — the Spark analogue of the reference's ATTACH+join
+    (reference: dev/config/examples/kafka.postgres.join.yml)."""
+    dim_dir = str(tmp_path / "users")
+    spark.createDataFrame(
+        [(1, "Ada Lovelace"), (2, "Alan Turing")],
+        "user_id long, full_name string",
+    ).write.parquet(dim_dir)
+    sink = MemorySink()
+    invoke(
+        spark,
+        os.path.join(EXAMPLES, "external.join.yml"),
+        _write_fixture(
+            tmp_path,
+            [
+                '{"event": "login", "user_id": 1}',
+                '{"event": "logout", "user_id": 2}',
+                '{"event": "ping", "user_id": 99}',
+            ],
+        ),
+        setting_overrides={"SQLFLOW_DIM_PATH": dim_dir},
+        sink_override=sink,
+    )
+    rows = {(r.event, r.user_id, r.full_name) for r in sink.rows()}
+    assert rows == {
+        ("login", 1, "Ada Lovelace"),
+        ("logout", 2, "Alan Turing"),
+        ("ping", 99, None),
+    }
+
+
+def test_external_table_csv_with_schema(spark, tmp_path):
+    """File-format external table honors the declared DDL schema and
+    reader options (header) without inference."""
+    from sql_flow_spark.sources.external import register_external_tables
+
+    csv = tmp_path / "dim.csv"
+    csv.write_text("code,label\n1,one\n2,two\n")
+    views = register_external_tables(
+        spark,
+        [
+            cfg.ExternalTableConf(
+                name="codes_dim",
+                format="csv",
+                path=str(csv),
+                schema="code int, label string",
+                options={"header": "true"},
+            )
+        ],
+    )
+    assert set(views) == {"codes_dim"}
+    got = {(r.code, r.label) for r in spark.table("codes_dim").collect()}
+    assert got == {(1, "one"), (2, "two")}
+    assert dict(spark.table("codes_dim").dtypes) == {"code": "int", "label": "string"}
+
+
+def test_external_table_conf_strict_keys():
+    # unknown YAML keys fail loudly at parse time, not at run time
+    with pytest.raises(TypeError):
+        cfg.new_from_dict(
+            {
+                "external_tables": [{"name": "x", "format": "parquet", "pth": "/oops"}],
+                "pipeline": {
+                    "source": {"type": "files", "path": "/tmp/x"},
+                    "handler": {},
+                    "sink": {"type": "console"},
+                },
+            }
+        )
+
+
+def test_external_table_file_format_requires_path(spark):
+    from sql_flow_spark.sources.base import SourceException
+    from sql_flow_spark.sources.external import register_external_tables
+
+    with pytest.raises(SourceException, match="needs a path"):
+        register_external_tables(
+            spark, [cfg.ExternalTableConf(name="nopath", format="parquet")]
+        )
+
+
 def test_config_validate_surface():
     conf = cfg.new_from_path(os.path.join(EXAMPLES, "basic.agg.yml"))
     assert conf.pipeline.source.type == "files"

@@ -32,6 +32,41 @@ def test_kafka_source_option_building():
     assert opts["kafka.sasl.mechanism"] == "PLAIN"
 
 
+def test_jdbc_source_option_validation():
+    """JdbcSource mirrors the kafka option tests: required keys fail
+    loudly, everything else passes through to the Spark JDBC reader
+    (partitioned range reads included)."""
+    from sql_flow_spark.sources.base import SourceException
+    from sql_flow_spark.sources.external import JdbcSource
+
+    with pytest.raises(SourceException, match="url"):
+        JdbcSource({"dbtable": "t"})
+    with pytest.raises(SourceException, match="dbtable"):
+        JdbcSource({"url": "jdbc:postgresql://h/db"})
+
+    src = JdbcSource(
+        {
+            "url": "jdbc:postgresql://h:5432/db",
+            "dbtable": "public.users",
+            "user": "u",
+            "password": "p",
+            "partitionColumn": "user_id",
+            "lowerBound": "0",
+            "upperBound": "1000000",
+            "numPartitions": "32",
+            "fetchsize": "10000",
+        }
+    )
+    opts = src.reader_options()
+    assert opts["url"] == "jdbc:postgresql://h:5432/db"
+    assert opts["numPartitions"] == "32"  # parallel range read preserved
+    # query-instead-of-dbtable is also accepted
+    JdbcSource({"url": "jdbc:h2:mem:x", "query": "SELECT 1"})
+    # no offset log -> streaming read refused with guidance
+    with pytest.raises(SourceException, match="external table"):
+        src.read_stream(None)
+
+
 def test_source_factory_from_conf():
     conf = cfg.SourceConf(type="kafka", brokers=["b:9092"], topics=["t"])
     src = new_source_from_conf(conf)
