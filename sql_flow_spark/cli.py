@@ -114,14 +114,27 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "run":
         conf = cfg.new_from_path(args.config)
         pipe = new_pipeline_from_conf(conf, spark)
-        query = pipe.start(
-            available_now=args.available_now,
-            processing_time=args.processing_time,
-            managed_tables=conf.tables,
-        )
-        query.awaitTermination()
-        for q in getattr(query, "managed_queries", []):
-            q.awaitTermination()
+        debug_server = None
+        if conf.debug_api:
+            from sql_flow_spark.http_api import DebugHTTPServer
+
+            d = conf.debug_api
+            debug_server = DebugHTTPServer(
+                spark, host=d.host, port=d.port, max_rows=d.max_rows
+            ).start()
+            print(f"debug api: {debug_server.url}?q=...")
+        try:
+            query = pipe.start(
+                available_now=args.available_now,
+                processing_time=args.processing_time,
+                managed_tables=conf.tables,
+            )
+            query.awaitTermination()
+            for q in getattr(query, "managed_queries", []):
+                q.awaitTermination()
+        finally:
+            if debug_server:
+                debug_server.stop()
         return 0
 
     return 1

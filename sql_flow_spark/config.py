@@ -118,6 +118,18 @@ class ExternalTableConf:
 
 
 @dataclass
+class DebugAPIConf:
+    """``debug_api:`` block — serve GET /sql?q= against the pipeline's
+    session while it runs (reference: sqlflow/http.py DebugAPI behind
+    cmd/sql-flow.py --with-http-debug). Debug surface: defaults to
+    localhost."""
+
+    host: str = "127.0.0.1"
+    port: int = 8080
+    max_rows: int = 1000
+
+
+@dataclass
 class UDFConf:
     function_name: str
     import_path: str
@@ -142,6 +154,7 @@ class Conf:
     udfs: list[UDFConf] = field(default_factory=list)
     tables: list[ManagedTableConf] = field(default_factory=list)
     external_tables: list[ExternalTableConf] = field(default_factory=list)
+    debug_api: Optional[DebugAPIConf] = None
 
 
 def render_config(path: str, setting_overrides: dict | None = None) -> dict:
@@ -212,6 +225,11 @@ def new_from_dict(conf: dict) -> Conf:
         )
 
     return Conf(
+        debug_api=(
+            DebugAPIConf(**(conf["debug_api"] or {}))
+            if "debug_api" in conf
+            else None
+        ),
         external_tables=[
             ExternalTableConf(**e) for e in conf.get("external_tables", [])
         ],

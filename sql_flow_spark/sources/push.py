@@ -64,24 +64,40 @@ class WebsocketSource(SpoolingPushSource):
         self.uri = uri
         self.batch_records = batch_records
         self._client = None
+        self._flush_pending = None
 
     def start_client(self):
         """Connect to ``uri`` on a daemon thread; every received
         message is appended to the spool (one jsonl file per
-        ``batch_records`` messages)."""
+        ``batch_records`` messages). Messages still buffered when the
+        stream ends — server close, error, or stop_client() — are
+        flushed, never dropped."""
+        import threading
+
         from sql_flow_spark.sources.shims import WebsocketClient
 
         if not self.uri:
             raise ValueError("WebsocketSource needs a uri to start a client")
         pending: list[str] = []
+        # on_message runs on the client thread, flush also from
+        # stop_client() on the caller thread
+        lock = threading.Lock()
+
+        def flush():
+            with lock:
+                batch, pending[:] = pending[:], []
+            if batch:
+                self.push(batch)
 
         def on_message(payload: bytes):
-            pending.append(payload.decode("utf-8"))
-            if len(pending) >= self.batch_records:
-                self.push(pending[:])
-                pending.clear()
+            with lock:
+                pending.append(payload.decode("utf-8"))
+                full = len(pending) >= self.batch_records
+            if full:
+                flush()
 
-        self._client = WebsocketClient(self.uri, on_message)
+        self._flush_pending = flush
+        self._client = WebsocketClient(self.uri, on_message, on_close=flush)
         self._client.start()
         return self._client
 
@@ -89,6 +105,11 @@ class WebsocketSource(SpoolingPushSource):
         if self._client:
             self._client.stop()
             self._client = None
+        if self._flush_pending:
+            # on_close already ran in the client thread's finally; this
+            # is an idempotent belt-and-braces for a never-started loop
+            self._flush_pending()
+            self._flush_pending = None
 
 
 class WebhookSource(SpoolingPushSource):

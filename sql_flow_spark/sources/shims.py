@@ -44,6 +44,10 @@ _WS_GUID = b"258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 # RFC 6455 opcodes
 OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = 0, 1, 2, 8, 9, 10
 
+# A frame length is peer-declared (up to 64-bit); reading it blindly
+# lets a misbehaving server allocate unbounded driver memory. Cap it.
+MAX_FRAME_SIZE = 16 * 1024 * 1024
+
 
 # ------------------------------------------------------------- webhook
 
@@ -62,6 +66,9 @@ class WebhookReceiver:
         self.source = source
         self.request_count: dict[str, int] = {}
         self.request_seconds: float = 0.0
+        # handler threads (ThreadingHTTPServer) share the metric dict;
+        # += on it is a read-modify-write race without this
+        self._metrics_lock = threading.Lock()
         receiver = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -71,9 +78,10 @@ class WebhookReceiver:
             def _reply(self, code: int, payload: dict):
                 # count BEFORE flushing the response: a caller observing
                 # the reply must also observe the metric
-                receiver.request_count[str(code)] = (
-                    receiver.request_count.get(str(code), 0) + 1
-                )
+                with receiver._metrics_lock:
+                    receiver.request_count[str(code)] = (
+                        receiver.request_count.get(str(code), 0) + 1
+                    )
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
@@ -87,8 +95,12 @@ class WebhookReceiver:
                     if self.path.rstrip("/") != "/events":
                         self._reply(404, {"detail": "not found"})
                         return
-                    length = int(self.headers.get("Content-Length", "0"))
-                    body = self.rfile.read(length)
+                    try:
+                        length = int(self.headers.get("Content-Length", "0"))
+                        body = self.rfile.read(length)
+                    except (ValueError, OSError):
+                        self._reply(400, {"detail": "Bad Content-Length"})
+                        return
                     if receiver.source.hmac_secret:
                         sig = self.headers.get(receiver.source.hmac_header)
                         if not sig:
@@ -97,12 +109,18 @@ class WebhookReceiver:
                         if not receiver.source.validate_hmac(body, sig):
                             self._reply(403, {"detail": "Invalid HMAC signature"})
                             return
-                    lines = [ln for ln in body.decode("utf-8").splitlines() if ln.strip()]
+                    try:
+                        text = body.decode("utf-8")
+                    except UnicodeDecodeError:
+                        self._reply(400, {"detail": "Body is not valid UTF-8"})
+                        return
+                    lines = [ln for ln in text.splitlines() if ln.strip()]
                     if lines:
                         receiver.source.push(lines)
                     self._reply(200, {"status": "received"})
                 finally:
-                    receiver.request_seconds += time.monotonic() - start
+                    with receiver._metrics_lock:
+                        receiver.request_seconds += time.monotonic() - start
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
@@ -186,8 +204,9 @@ def encode_frame(opcode: int, payload: bytes, masked: bool) -> bytes:
     return head + payload
 
 
-def read_frame(sock) -> tuple[int, bool, bytes]:
-    """Read one frame -> (opcode, fin, payload); unmasks if needed."""
+def read_frame(sock, max_size: int = MAX_FRAME_SIZE) -> tuple[int, bool, bytes]:
+    """Read one frame -> (opcode, fin, payload); unmasks if needed.
+    Frames over ``max_size`` are refused before allocation."""
     b1, b2 = _recv_exact(sock, 2)
     fin = bool(b1 & 0x80)
     opcode = b1 & 0x0F
@@ -197,6 +216,10 @@ def read_frame(sock) -> tuple[int, bool, bytes]:
         n = struct.unpack(">H", _recv_exact(sock, 2))[0]
     elif n == 127:
         n = struct.unpack(">Q", _recv_exact(sock, 8))[0]
+    if n > max_size:
+        raise ConnectionError(
+            f"websocket frame of {n} bytes exceeds max_frame_size {max_size}"
+        )
     mask = _recv_exact(sock, 4) if masked else b""
     payload = _recv_exact(sock, n) if n else b""
     if masked:
@@ -218,10 +241,16 @@ class WebsocketClient:
     the server ends the stream)."""
 
     def __init__(self, uri: str, on_message: Callable[[bytes], None],
-                 connect_timeout: float = 10.0):
+                 connect_timeout: float = 10.0,
+                 max_frame_size: int = MAX_FRAME_SIZE,
+                 on_close: Callable[[], None] | None = None):
         self.uri = uri
         self.on_message = on_message
         self.connect_timeout = connect_timeout
+        self.max_frame_size = max_frame_size
+        # runs exactly once when the read loop ends, however it ends —
+        # owners flush buffered-but-unspooled messages here
+        self.on_close = on_close
         self._sock: Optional[BufferedSock] = None
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -278,7 +307,7 @@ class WebsocketClient:
         first_opcode = OP_TEXT
         try:
             while not self._stop.is_set():
-                opcode, fin, payload = read_frame(sock)
+                opcode, fin, payload = read_frame(sock, self.max_frame_size)
                 if opcode == OP_PING:
                     sock.sendall(encode_frame(OP_PONG, payload, masked=True))
                     continue
@@ -308,8 +337,19 @@ class WebsocketClient:
         try:
             self.run_once()
         except BaseException as e:  # surfaced via .error for the owner
-            self.error = e
-            logger.warning("websocket client terminated: %s", e)
+            if self._stop.is_set():
+                # a deliberate stop() closes the socket under the read
+                # loop; the resulting OSError is not a failure signal
+                logger.debug("websocket client closed on stop(): %s", e)
+            else:
+                self.error = e
+                logger.warning("websocket client terminated: %s", e)
+        finally:
+            if self.on_close is not None:
+                try:
+                    self.on_close()
+                except Exception:
+                    logger.exception("websocket on_close hook failed")
 
     def start(self) -> "WebsocketClient":
         self._thread = threading.Thread(target=self._run_guarded, name="ws-client", daemon=True)

@@ -1,0 +1,97 @@
+"""Debug HTTP API: live SQL over the running session (reference:
+sqlflow/http.py DebugAPI — 400 without a query, 500 on SQL errors,
+JSON rows on success)."""
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from sql_flow_spark.http_api import DebugHTTPServer
+
+
+def _get(url: str):
+    try:
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture()
+def debug_server(spark):
+    server = DebugHTTPServer(spark, port=0, max_rows=10).start()
+    yield server
+    server.stop()
+
+
+def test_debug_api_runs_sql(spark, debug_server):
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).createOrReplaceTempView("debug_api_t")
+    q = urllib.parse.quote("SELECT id, v FROM debug_api_t ORDER BY id")
+    status, rows = _get(f"{debug_server.url}?q={q}")
+    assert status == 200
+    assert rows == [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+    # ?sql= alias (reference uses ?sql=)
+    status, rows = _get(f"{debug_server.url}?sql={q}")
+    assert status == 200 and len(rows) == 2
+
+
+def test_debug_api_contract_errors(debug_server):
+    status, body = _get(debug_server.url)  # no query at all
+    assert (status, body) == (400, {"error": "No SQL query provided"})
+    status, body = _get(f"{debug_server.url}?q=SELECT%20bogus_fn()")
+    assert status == 500 and "error" in body
+    status, _ = _get(debug_server.url.replace("/sql", "/nope"))
+    assert status == 404
+
+
+def test_debug_api_truncates_to_max_rows(spark, debug_server):
+    # max_rows=10 is applied in-plan via limit, not post-collect
+    q = urllib.parse.quote("SELECT id FROM range(1000)")
+    status, rows = _get(f"{debug_server.url}?q={q}")
+    assert status == 200
+    assert len(rows) == 10
+
+
+def test_debug_api_sees_pipeline_state(spark, debug_server):
+    """The point of the surface: inspect live pipeline artifacts —
+    here a global temp view like the ones MemorySink maintains."""
+    spark.createDataFrame([(42,)], "answer long").createOrReplaceGlobalTempView(
+        "debug_api_sink"
+    )
+    q = urllib.parse.quote("SELECT answer FROM global_temp.debug_api_sink")
+    status, rows = _get(f"{debug_server.url}?q={q}")
+    assert status == 200 and rows == [{"answer": 42}]
+
+
+def test_debug_api_config_gate():
+    from sql_flow_spark import config as cfg
+
+    conf = cfg.new_from_dict(
+        {
+            "debug_api": {"port": 9099, "max_rows": 50},
+            "pipeline": {
+                "source": {"type": "files", "path": "/tmp/x"},
+                "handler": {},
+                "sink": {"type": "console"},
+            },
+        }
+    )
+    assert conf.debug_api.port == 9099
+    assert conf.debug_api.max_rows == 50
+    assert conf.debug_api.host == "127.0.0.1"
+    # absent block -> disabled
+    conf2 = cfg.new_from_dict(
+        {
+            "pipeline": {
+                "source": {"type": "files", "path": "/tmp/x"},
+                "handler": {},
+                "sink": {"type": "console"},
+            }
+        }
+    )
+    assert conf2.debug_api is None

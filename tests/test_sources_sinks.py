@@ -305,3 +305,115 @@ def test_serde_roundtrip(spark):
     assert rdf.columns == ["value"]
     with pytest.raises(NotImplementedError):
         new_serde("xml")
+
+
+def test_websocket_pending_flushed_on_close(spark, tmp_path):
+    """batch_records > 1 buffers messages; a partial batch left when
+    the server closes the stream must still reach the spool (ADVICE r2:
+    silently dropped before)."""
+    import glob as _glob
+
+    messages = [b'{"seq": 1}', b'{"seq": 2}', b'{"seq": 3}']
+    port, server_thread = _start_test_ws_server(messages)
+    src = WebsocketSource(
+        uri=f"ws://127.0.0.1:{port}/feed",
+        batch_records=5,  # never reached: flush must come from on_close
+        spool_dir=str(tmp_path / "wsflush"),
+    )
+    client = src.start_client()
+    client.join(timeout=30)
+    server_thread.join(timeout=30)
+    assert client.error is None
+    files = _glob.glob(str(tmp_path / "wsflush" / "*.jsonl"))
+    assert len(files) == 1  # one flush of the partial batch
+    assert sorted(r.seq for r in src.read(spark).collect()) == [1, 2, 3]
+    # stop_client after the loop already flushed is a no-op, not a dup
+    src.stop_client()
+    assert len(_glob.glob(str(tmp_path / "wsflush" / "*.jsonl"))) == 1
+
+
+def test_websocket_frame_size_cap():
+    """A peer-declared 64-bit length beyond max_frame_size is refused
+    before allocation (ADVICE r2: unbounded driver memory)."""
+    import struct
+
+    from sql_flow_spark.sources.shims import MAX_FRAME_SIZE, read_frame
+
+    class FeedSock:
+        def __init__(self, data):
+            self.data = data
+
+        def recv(self, n):
+            out, self.data = self.data[:n], self.data[n:]
+            return out
+
+    # text frame, unmasked, 127 -> 8-byte length of 2**40
+    frame_head = bytes([0x81, 127]) + struct.pack(">Q", 1 << 40)
+    with pytest.raises(ConnectionError, match="exceeds max_frame_size"):
+        read_frame(FeedSock(frame_head))
+    # custom cap applies too
+    small = bytes([0x81, 126]) + struct.pack(">H", 2048)
+    with pytest.raises(ConnectionError, match="exceeds max_frame_size"):
+        read_frame(FeedSock(small), max_size=1024)
+    assert MAX_FRAME_SIZE == 16 * 1024 * 1024
+
+
+def test_websocket_clean_stop_records_no_error(tmp_path):
+    """stop() closes the socket under the blocked read loop; the
+    resulting OSError must NOT surface as .error (ADVICE r2)."""
+    import socket
+    import threading
+    import time
+
+    from sql_flow_spark.sources.shims import ws_accept_key
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    handshaken = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        req = b""
+        while b"\r\n\r\n" not in req:
+            req += conn.recv(4096)
+        key = next(
+            ln.split(":", 1)[1].strip()
+            for ln in req.decode("latin-1").splitlines()
+            if ln.lower().startswith("sec-websocket-key:")
+        )
+        conn.sendall(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {ws_accept_key(key)}\r\n\r\n"
+            ).encode()
+        )
+        handshaken.set()
+        conn.recv(65536)  # hang until the client goes away
+        conn.close()
+        server.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    src = WebsocketSource(
+        uri=f"ws://127.0.0.1:{port}/feed", spool_dir=str(tmp_path / "wsstop")
+    )
+    client = src.start_client()
+    assert handshaken.wait(timeout=10)
+    time.sleep(0.1)  # let the client block in read_frame
+    src.stop_client()
+    assert client.error is None, f"clean stop recorded error: {client.error!r}"
+
+
+def test_webhook_malformed_body_gets_400(tmp_path):
+    """Non-UTF-8 bodies get an HTTP 400 + metric, not a dropped
+    connection (ADVICE r2: handler used to raise out of do_POST)."""
+    src = WebhookSource(spool_dir=str(tmp_path / "hook400"))
+    receiver = src.start_server()
+    try:
+        assert _post(receiver.url, b"\xff\xfe\xfd not utf8") == 400
+        assert receiver.request_count.get("400") == 1
+    finally:
+        src.stop_server()
