@@ -52,6 +52,11 @@ class HandlerConf:
     sql: str = "SELECT * FROM batch"
     table: Optional[str] = None  # StructuredBatch target table
     serde: str = "json"
+    # StructuredBatch durable state: parquet-append dir (shared storage
+    # at scale); None -> a fresh temp dir. durable=False keeps state
+    # in-memory (union + localCheckpoint), lost on session death.
+    state_dir: Optional[str] = None
+    durable: bool = True
 
 
 @dataclass
@@ -243,6 +248,8 @@ def new_from_dict(conf: dict) -> Conf:
                 sql=handler_d.get("sql", "SELECT * FROM batch"),
                 table=handler_d.get("table"),
                 serde=handler_d.get("serde", "json"),
+                state_dir=handler_d.get("state_dir"),
+                durable=handler_d.get("durable", True),
             ),
             sink=_sink_from_dict(p["sink"]),
             batch_size=p.get("batch_size", 1000),

@@ -51,18 +51,36 @@ class InferredBatch(Handler):
 
 class StructuredBatch(Handler):
     """Insert the batch into a known table, then run the SQL against
-    the table (reference: handlers.py:136). The target is a spark
-    temp view backed by accumulated micro-batches; at scale this is a
-    Delta/Iceberg MERGE target instead."""
+    the table (reference: handlers.py:136).
 
-    # Truncate the union lineage every N batches: an unbounded
-    # union-chain makes planning cost grow per batch (at scale the
-    # target would be a Delta/Iceberg table and this is a MERGE).
+    Accumulated state is durable by default: each micro-batch is
+    appended as parquet to ``state_dir`` and the table view is re-bound
+    to a plain parquet scan of that directory. Planning cost per batch
+    is constant (one scan, no growing union lineage), state lives in
+    storage rather than executor memory, and it survives session or
+    executor loss — a new handler pointed at the same ``state_dir``
+    adopts the existing state instead of re-seeding. At cluster scale
+    ``state_dir`` is a shared-storage path (and the natural upgrade is
+    a Delta/Iceberg MERGE target); many small appended files are the
+    classic cost, compacted out-of-band.
+
+    ``durable=False`` keeps the previous in-memory accumulation
+    (union + periodic localCheckpoint) for environments with no
+    writable shared storage; that state is executor-pinned and lost on
+    session death.
+    """
+
+    # durable=False fallback: truncate the union lineage every N
+    # batches so planning cost doesn't grow per batch.
     CHECKPOINT_EVERY = 16
 
-    def __init__(self, sql: str, table: str):
+    def __init__(self, sql: str, table: str, state_dir: str | None = None,
+                 durable: bool = True):
         self.sql = sql
         self.table = table
+        self.durable = durable
+        self._state_dir = state_dir
+        self._adopted = False
         self._accumulated: Optional[DataFrame] = None
         self._batches_since_ckpt = 0
 
@@ -72,6 +90,49 @@ class StructuredBatch(Handler):
         aligned = batch_df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema.fields]
         )
+        if self.durable:
+            return self._invoke_durable(session, target_schema, aligned)
+        return self._invoke_in_memory(session, aligned)
+
+    # ------------------------------------------------ durable (default)
+
+    def state_dir(self) -> str:
+        if self._state_dir is None:
+            import tempfile
+
+            self._state_dir = tempfile.mkdtemp(prefix=f"sfs-state-{self.table}-")
+        return self._state_dir
+
+    @staticmethod
+    def _has_state(d: str) -> bool:
+        import os
+
+        if not os.path.isdir(d):
+            return False
+        return any(
+            name == "_SUCCESS" or name.startswith("part-")
+            for name in os.listdir(d)
+        )
+
+    def _invoke_durable(self, session: SparkSession, target_schema,
+                        aligned: DataFrame) -> DataFrame:
+        d = self.state_dir()
+        if not self._adopted:
+            # First touch: adopt pre-existing state (handler restart);
+            # otherwise seed with the target table's current contents
+            # so init-command seed rows participate in the state.
+            if not self._has_state(d):
+                session.table(self.table).write.mode("append").parquet(d)
+            self._adopted = True
+        aligned.write.mode("append").parquet(d)
+        state = session.read.schema(target_schema).parquet(d)
+        state.createOrReplaceTempView(self.table)
+        return session.sql(self.sql)
+
+    # --------------------------------------- in-memory fallback (weak)
+
+    def _invoke_in_memory(self, session: SparkSession,
+                          aligned: DataFrame) -> DataFrame:
         if self._accumulated is None:
             self._accumulated = session.table(self.table).union(aligned)
         else:
@@ -91,5 +152,10 @@ def new_handler_from_conf(handler_conf: config.HandlerConf) -> Handler:
         return InferredBatch(sql=handler_conf.sql)
     if typ == "handlers.StructuredBatch":
         assert handler_conf.table, "StructuredBatch requires a table name"
-        return StructuredBatch(sql=handler_conf.sql, table=handler_conf.table)
+        return StructuredBatch(
+            sql=handler_conf.sql,
+            table=handler_conf.table,
+            state_dir=handler_conf.state_dir,
+            durable=handler_conf.durable,
+        )
     raise NotImplementedError(f"Unsupported handler type: {typ}")
