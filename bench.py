@@ -42,6 +42,10 @@ HEADLINE = (
     "doc_fingerprint",
     "multimodal_features",
     "enrich",
+    # r3 additions (BENCH_r03 ⊇ BENCH_r02 keys, r2 advice item 7)
+    "tfidf_top_term",
+    "train_val_split",
+    "best_docs_per_lang",
 )
 
 

@@ -135,34 +135,76 @@ NGRAM_JACCARD_TAU = 0.12
     """,
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard over blocked candidate pairs (blocking key:
-    source). Jaccard from set-intersection sizes — integer counts, so
-    the double ratio is engine-identical. The unblocked scale path is
-    dedup_minhash_lsh; this is the exact verifier."""
+    """Exact 3-gram Jaccard over source-blocked pairs — the
+    oracle-checkable twin of exact_jaccard_pairs. The production
+    composition feeds LSH candidates instead (see exact_jaccard_pairs
+    docstring)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    # Intersect 8-byte hashes instead of shingle strings: same set
-    # sizes modulo 64-bit collisions (P ~ 1e-10 at this scale), ~10x
-    # cheaper pairwise comparison.
-    sh = with_shingles(t["documents"]).select(
-        "doc_id",
-        "source",
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
-    )
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"),
-        F.col("shingles").alias("sh_b"),
-    )
+    return exact_jaccard_pairs(t["documents"])
+
+
+def _jaccard_col() -> Column:
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union.cast("double")
+    return inter.cast("double") / union.cast("double")
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    tau: float = NGRAM_JACCARD_TAU,
+    block_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs (doc_a, doc_b, jaccard >= tau).
+
+    This is the VERIFIER; what makes it scale is where candidate pairs
+    come from:
+
+    - ``candidates`` given (production): any (doc_a, doc_b) DataFrame,
+      normally ``minhash_candidate_pairs`` — LSH blocking keeps
+      candidate generation linear in docs, and verification is
+      O(candidates). This is the 100 TB composition.
+    - ``candidates=None`` (oracle twin): pairs are generated within
+      ``block_col`` blocks. Exact and DuckDB-checkable, but a popular
+      block makes within-block pairing near-quadratic — keep it to
+      verification-scale data.
+
+    Jaccard uses set-intersection sizes over 8-byte xxhash64 shingle
+    hashes instead of shingle strings: same set sizes modulo 64-bit
+    collisions (P ~ 1e-10 at this scale), ~10x cheaper comparison, and
+    the integer-count double ratio is engine-identical.
+    """
+    keep = [block_col] if candidates is None else []
+    sh = with_shingles(docs, n).select(
+        "doc_id",
+        *keep,
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+    )
+    if candidates is not None:
+        sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+        sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+        cand = (
+            candidates.select("doc_a", "doc_b")
+            .distinct()
+            .join(sh_a, "doc_a")
+            .join(sh_b, "doc_b")
+        )
+    else:
+        a = sh.select(
+            F.col("doc_id").alias("doc_a"), F.col(block_col).alias("blk_a"),
+            F.col("shingles").alias("sh_a"),
+        )
+        b = sh.select(
+            F.col("doc_id").alias("doc_b"), F.col(block_col).alias("blk_b"),
+            F.col("shingles").alias("sh_b"),
+        )
+        cand = a.join(
+            b, (F.col("blk_a") == F.col("blk_b")) & (F.col("doc_a") < F.col("doc_b"))
+        )
     return (
-        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= NGRAM_JACCARD_TAU)
+        cand.select("doc_a", "doc_b", _jaccard_col().alias("jaccard"))
+        .where(F.col("jaccard") >= tau)
     )
 
 
@@ -201,27 +243,21 @@ def cap_bucket_size(
     )
 
 
-@query("dedup_minhash_lsh")  # hash-function specific -> rows-only check
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs: shingle -> 32 xxhash64 min-hashes ->
-    8 bands of 4 -> band-bucket self-join -> exact Jaccard verify.
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate (doc_a, doc_b) pairs from a (doc_id, shingles)
+    DataFrame: 32 xxhash64 min-hashes -> 8 bands of 4 -> capped
+    band-bucket self-join.
 
     Scale shape: candidate generation is a join on (band, band_hash) —
     work is linear in docs plus the (rare) bucket collisions, never
-    all-pairs. Signatures are one exploded pass with 32 min() aggs
-    (single shuffle on doc_id); band keys are a narrow map + explode.
+    all-pairs. Signatures are pure array expressions (hash each shingle
+    string ONCE, each "permutation" an array_min over a re-hash of the
+    8-byte base hashes) — entirely narrow, zero shuffle; band keys are
+    a narrow map + explode. This is the candidate feeder for both
+    dedup_minhash_lsh and exact_jaccard_pairs(candidates=...).
     """
-    t = load_tables(spark, sf_dir, ("documents",))
-    docs = with_shingles(t["documents"]).select("doc_id", "shingles")
-    docs.cache()
-
-    # Signatures are pure array expressions — hash each shingle string
-    # ONCE, then each "permutation" is array_min over a re-hash of the
-    # 8-byte base hashes. Entirely narrow (zero shuffle): the
-    # explode+groupBy formulation this replaces shuffled every shingle.
     hashed = docs.select(
         "doc_id",
-        "shingles",
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("base"),
     )
     mh = hashed.select(
@@ -251,7 +287,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature subtree executes twice.
     bands.cache()
 
-    cand = (
+    return (
         bands.alias("x")
         .join(
             bands.alias("y"),
@@ -265,15 +301,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+
+@query("dedup_minhash_lsh")  # hash-function specific -> rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: LSH candidates
+    (minhash_candidate_pairs) verified with exact Jaccard — the
+    linear-at-scale composition exact_jaccard_pairs documents."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = with_shingles(t["documents"]).select("doc_id", "shingles")
+    docs.cache()
+
+    cand = minhash_candidate_pairs(docs)
     sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union.cast("double")
     return (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .select("doc_a", "doc_b", _jaccard_col().alias("jaccard"))
         .where(F.col("jaccard") >= MINHASH_TAU)
     )
 

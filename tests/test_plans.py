@@ -72,3 +72,21 @@ def test_multimodal_is_arrow_not_row_python(spark, sf_dir):
     p = plan(spark, sf_dir, "multimodal_features")
     assert "MapInPandas" in p
     assert "BatchEvalPython" not in p
+
+
+def test_minhash_bucket_cap_exchange_shape(spark, sf_dir):
+    """The bucket-cap window must cost exactly ONE exchange on
+    (band, bkey), paid once inside the cached bands relation that both
+    sides of the candidate self-join read (r2 verdict item 10). Spark 4
+    additionally inserts WindowGroupLimit, which truncates each bucket
+    to the cap map-side BEFORE the shuffle — the cap reduces shuffle
+    volume rather than adding a pass over the full band table."""
+    p = plan(spark, sf_dir, "dedup_minhash_lsh")
+    # exactly ONE shuffle partitioned on the band key: the cap window's,
+    # materialized once in the cache. A second hashpartitioning(band,..)
+    # would mean the window and the join shuffle independently.
+    assert p.count("hashpartitioning(band") == 1
+    assert "WindowGroupLimit" in p  # map-side bucket truncation
+    assert "CartesianProduct" not in p
+    # both join sides read the cached bands, not two window recomputes
+    assert p.count("InMemoryRelation") >= 2
