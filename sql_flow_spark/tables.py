@@ -36,6 +36,41 @@ BROADCAST_DIMS = ("region", "nation")
 # same way DuckDB does (truncating integer division).
 _NANO_TS_COLS = {"events": ("ts",)}
 
+# Vector columns get a {"dim": N} metadata tag at load time so ANN /
+# embedding-dedup builders (similarity.embedding_dim) never fall back
+# to a .first() probe — builders stay fully lazy, zero driver jobs.
+_VECTOR_COLS = {"embeddings": ("embedding",)}
+
+
+def _array_dim_from_parquet(path: str, col: str) -> int | None:
+    """Vector dimensionality by decoding ONE value of ``col`` from the
+    first row group — a driver-side pyarrow read of a few KB, not a
+    Spark job. Parquet schemas don't carry list lengths, so this is the
+    cheapest source of truth; at cluster scale the same read hits only
+    one footer + one column chunk of one file."""
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            if not parts:
+                return None
+            target = os.path.join(path, parts[0])
+        pf = pq.ParquetFile(target)
+        if col not in pf.schema_arrow.names:
+            return None
+        batch = next(pf.iter_batches(batch_size=1, columns=[col]), None)
+        if batch is None or batch.num_rows == 0:
+            return None
+        value = batch.column(0)[0].as_py()
+        return len(value) if value is not None else None
+    except Exception:  # missing/odd file: builders fall back to probing
+        return None
+
 
 def load_tables(
     spark: SparkSession,
@@ -61,6 +96,13 @@ def load_tables(
         for col in _NANO_TS_COLS.get(name, ()):
             if dict(df.dtypes).get(col) == "bigint":
                 df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        for col in _VECTOR_COLS.get(name, ()):
+            if col in df.columns:
+                dim = _array_dim_from_parquet(path, col)
+                if dim is not None:
+                    df = df.withColumn(
+                        col, F.col(col).alias(col, metadata={"dim": dim})
+                    )
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df
