@@ -68,8 +68,29 @@ class KafkaSource(Source):
             F.col("topic").alias("kafka_topic"),
         )
 
+    @staticmethod
+    def _load(reader):
+        """Translate the connector-jar-missing failure into an
+        actionable error instead of Spark's generic
+        DATA_SOURCE_NOT_FOUND (the jar is deliberately not bundled;
+        clusters ship it via --packages)."""
+        from sql_flow_spark.sources.base import SourceException
+
+        try:
+            return reader.load()
+        except Exception as e:
+            if "kafka" in str(e).lower() and (
+                "DATA_SOURCE_NOT_FOUND" in str(e) or "Failed to find" in str(e)
+            ):
+                raise SourceException(
+                    "the kafka connector jar is not on the classpath; launch "
+                    "with --packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
+                    "<spark-version> (see SCALING.md kafka probe)"
+                ) from e
+            raise
+
     def read(self, spark: SparkSession) -> DataFrame:
-        return self.decode(self._apply(spark.read).load())
+        return self.decode(self._load(self._apply(spark.read)))
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
-        return self.decode(self._apply(spark.readStream).load())
+        return self.decode(self._load(self._apply(spark.readStream)))

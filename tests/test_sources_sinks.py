@@ -417,3 +417,16 @@ def test_webhook_malformed_body_gets_400(tmp_path):
         assert receiver.request_count.get("400") == 1
     finally:
         src.stop_server()
+
+
+def test_kafka_missing_jar_raises_actionable_error(spark):
+    """The connector jar is deliberately not bundled (cluster ships it
+    via --packages); the failure must name the coordinate, not surface
+    Spark's generic DATA_SOURCE_NOT_FOUND (r3 jar probe, SCALING.md)."""
+    from sql_flow_spark.sources.base import SourceException
+
+    src = KafkaSource(brokers=["b:9092"], topics=["t"])
+    with pytest.raises(SourceException, match="spark-sql-kafka-0-10"):
+        src.read_stream(spark)
+    with pytest.raises(SourceException, match="--packages"):
+        src.read(spark)
