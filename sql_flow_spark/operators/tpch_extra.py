@@ -1,0 +1,495 @@
+"""Deeper TPC-H-style coverage (SURVEY.md §2 rows 21p-21x): the query
+shapes the reference's DuckDB surface answers that the first two
+rounds had not yet exercised — bidirectional nation volume, market
+share ratios, returned-item rankings, order-count distributions,
+promo shares, top-supplier argmax, large-order HAVING joins,
+OR-of-ANDs predicate pushdown, and idle-customer anti-joins.
+
+Q2/Q9/Q11/Q16/Q20 need the partsupp table (absent from the synthetic
+star schema) and Q12/Q21 need commit/receipt dates; everything else
+from the classic set that this schema can express is here or in
+analytics.py/extra.py.
+
+Determinism contract as everywhere (registry.py): money sums go
+through fixed-point DECIMAL, ratios divide two exact sums in DOUBLE,
+top-k orderings carry total tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sql_flow_spark.registry import dsum, o_dsum, query
+from sql_flow_spark.tables import load_tables
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue_col() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {o_dsum('volume')} AS revenue
+    FROM (
+      SELECT
+        n1.n_name AS supp_nation,
+        n2.n_name AS cust_nation,
+        EXTRACT(year FROM l_shipdate) AS l_year,
+        {_REVENUE} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: trade volume between two nations in both directions,
+    by ship year. supplier/nation broadcast; the only large shuffle is
+    orders<->lineitem on orderkey, then one agg exchange on the tiny
+    (nation, nation, year) key space."""
+    t = load_tables(
+        spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        t["lineitem"]
+        .select("l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            _revenue_col().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("volume")).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT
+      o_year,
+      ({o_dsum('nation_volume')}) / ({o_dsum('volume')}) AS mkt_share
+    FROM (
+      SELECT
+        EXTRACT(year FROM o_orderdate) AS o_year,
+        {_REVENUE} AS volume,
+        CASE WHEN n2.n_name = 'NATION_3' THEN {_REVENUE} ELSE 0.0 END
+          AS nation_volume
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of PROMO-part revenue sold into a
+    region, by order year. The share is a ratio of two fixed-point
+    sums divided in DOUBLE — partitioning-invariant and
+    engine-identical. All dims broadcast; fact shuffle only on
+    orderkey."""
+    t = load_tables(
+        spark,
+        sf_dir,
+        ("part", "lineitem", "orders", "customer", "nation", "region", "supplier"),
+    )
+    cust_nation = (
+        t["customer"].select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                t["nation"]
+                .join(
+                    F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        t["supplier"].select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("nk2"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = _revenue_col()
+    joined = (
+        t["lineitem"]
+        .select("l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(
+                t["part"].where(F.col("p_type") == "PROMO").select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust_nation, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            F.when(F.col("supp_nation") == "NATION_3", vol)
+            .otherwise(F.lit(0.0))
+            .alias("nation_volume"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (dsum(F.col("nation_volume")) / dsum(F.col("volume"))).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, {o_dsum(_REVENUE)} AS revenue, c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers ranked by revenue they returned in a
+    quarter-ish window. Predicates push to both scans; nation
+    broadcasts; TakeOrderedAndProject keeps the top-k without a global
+    sort."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        t["customer"].select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_revenue_col()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed how many orders, zero
+    included (left join, count of non-null keys). Two shuffles: custkey
+    agg, then the tiny c_count distribution agg."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"].select("c_custkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT
+      100.0 * ({o_dsum(f"CASE WHEN p_type = 'PROMO' THEN {_REVENUE} ELSE 0.0 END")})
+        / ({o_dsum(_REVENUE)}) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo parts' share of shipped revenue in a window.
+    part broadcasts into lineitem; a single global agg of two exact
+    sums, zero wide shuffle."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    vol = _revenue_col()
+    return (
+        li.join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            vol.alias("volume"),
+            F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)).alias("promo"),
+        )
+        .agg(
+            (F.lit(100.0) * dsum(F.col("promo")) / dsum(F.col("volume")))
+            .alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {o_dsum(_REVENUE)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the max quarterly revenue. The
+    argmax-vs-global-aggregate is a rank() window over an empty
+    partition — one extra tiny exchange instead of recomputing the
+    revenue CTE twice (the subquery formulation would)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(_revenue_col()).alias("total_revenue"))
+    )
+    top = (
+        rev.withColumn(
+            "_rnk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
+        )
+        .where(F.col("_rnk") == 1)
+        .drop("_rnk")
+    )
+    return (
+        F.broadcast(top)
+        .join(
+            t["supplier"].select("s_suppkey", "s_name"),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q18_QTY_THRESHOLD = 250
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, {o_dsum('l_quantity')} AS total_qty,
+           {o_dsum(_REVENUE)} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey
+    HAVING {o_dsum('l_quantity')} > {Q18_QTY_THRESHOLD}
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold,
+    with their customer. The classic form filters with an IN-subquery
+    over the same aggregation; one orderkey-partitioned agg computes
+    both the filter and the output — lineitem is shuffled once."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    per_order = (
+        t["lineitem"]
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .groupBy("l_orderkey")
+        .agg(
+            dsum(F.col("l_quantity")).alias("total_qty"),
+            dsum(_revenue_col()).alias("revenue"),
+        )
+        .where(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        per_order.join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            t["customer"].select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_name", F.col("o_orderkey"), "total_qty", "revenue")
+    )
+
+
+@query(
+    "q19_flexible_predicates",
+    oracle=f"""
+    SELECT {o_dsum(_REVENUE)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE
+      (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+      OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+      OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_flexible_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs over join columns from both sides. The
+    part-side conjuncts (brand, size) filter before the broadcast; the
+    mixed-source OR evaluates post-join. Result is one global exact
+    sum."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    part = t["part"].select("p_partkey", "p_brand", "p_size").where(
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(1, 35))
+    )
+    joined = t["lineitem"].select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return joined.where(cond).agg(dsum(_revenue_col()).alias("revenue"))
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(floor(c_acctbal * 10000.0 + 0.5) AS DECIMAL(30,0)))
+                AS DOUBLE) / 10000.0 AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
+    GROUP BY n_name
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: nation stands in for the phone country
+    code this schema lacks, and "never ordered" becomes "no order
+    since 1999" — the synthetic generator gives every customer at
+    least one order, so the unmodified predicate is vacuous): wealthy
+    customers gone idle. Scalar subquery broadcasts the global
+    average; the NOT EXISTS is a left-anti join on custkey with the
+    date predicate pushed to the orders scan; nation broadcasts into
+    the final agg.
+
+    Determinism: the AVG threshold is compared, never emitted — both
+    engines compute IEEE-double avg over the same values, and no
+    customer's acctbal sits within one ulp of the average in this
+    synthetic data (acctbals have 2 decimals; asserted by the oracle
+    replica matching). The emitted sum is fixed-point as usual."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "nation"))
+    cust = t["customer"].select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    wealthy = (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    recent = t["orders"].where(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    idle = wealthy.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        idle.join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
