@@ -1,0 +1,354 @@
+"""Corpus-curation operators for training-data pipelines (SURVEY.md §2
+rows 46-49): PII scrubbing, intra-document repetition scoring,
+benchmark-contamination checks, and duplicate-cluster resolution.
+
+These extend the dedup/text-analysis family with the steps a real
+pretraining pipeline runs between "raw documents" and "training set":
+redact, score, decontaminate, and collapse duplicate families to one
+keeper. Everything except the (inherently iterative) connected
+components is pure Catalyst with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_flow_spark.functions.dedup import (
+    NGRAM_JACCARD_TAU,
+    O_NGRAMS,
+    O_TOKENS,
+    token_ngrams,
+    ws_tokens,
+)
+from sql_flow_spark.functions.textops import O_NORMALIZE, fingerprint
+from sql_flow_spark.registry import query
+from sql_flow_spark.tables import load_tables
+
+# ------------------------------------------------------------ PII scrub
+
+# Same regex text for Spark (java.util.regex) and DuckDB (RE2): only
+# character classes, bounded quantifiers and \b — semantics agree.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d -]{7,}\d",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+# The synthetic corpus carries no digits, so the registry query also
+# redacts a term that DOES occur — proving the scrub path end-to-end
+# on real rows, not just on zero counts.
+REDACT_TERM = r"\bcustomer\b"
+
+
+def scrub_text(col: Column | str, extra_term: str | None = REDACT_TERM) -> Column:
+    """Chain of regexp_replace redactions; order fixed so engines
+    agree. At scale this is a narrow map — zero shuffle, whole-stage
+    codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_PATTERNS["email"], "<EMAIL>")
+    c = F.regexp_replace(c, PII_PATTERNS["ipv4"], "<IP>")
+    c = F.regexp_replace(c, PII_PATTERNS["phone"], "<PHONE>")
+    if extra_term:
+        c = F.regexp_replace(c, extra_term, "<REDACTED>")
+    return c
+
+
+def _o_scrub(expr: str) -> str:
+    out = expr
+    for pat, tok in (
+        (PII_PATTERNS["email"], "<EMAIL>"),
+        (PII_PATTERNS["ipv4"], "<IP>"),
+        (PII_PATTERNS["phone"], "<PHONE>"),
+        (REDACT_TERM, "<REDACTED>"),
+    ):
+        out = f"regexp_replace({out}, '{pat}', '{tok}', 'g')"
+    return out
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(len(regexp_extract_all(text, '{PII_PATTERNS['email']}')) AS BIGINT)
+        AS n_emails,
+      CAST(len(regexp_extract_all(text, '{PII_PATTERNS['ipv4']}')) AS BIGINT)
+        AS n_ips,
+      CAST(len(regexp_extract_all(text, '{PII_PATTERNS['phone']}')) AS BIGINT)
+        AS n_phones,
+      CAST(len(regexp_extract_all(text, '{REDACT_TERM}')) AS BIGINT)
+        AS n_terms,
+      md5({_o_scrub('text')}) AS scrubbed_fp
+    FROM documents
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails/IPv4s/phones (plus a
+    term that actually occurs in the synthetic corpus, so the replace
+    path is exercised on every doc). Emits per-doc match counts and
+    the md5 of the scrubbed text — the downstream pipeline would write
+    the scrubbed column itself; hashing keeps the oracle compare
+    compact. Pure Catalyst narrow map; nothing shuffles."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_PATTERNS["email"])).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PATTERNS["ipv4"])).cast("long").alias("n_ips"),
+        F.regexp_count("text", F.lit(PII_PATTERNS["phone"])).cast("long").alias("n_phones"),
+        F.regexp_count("text", F.lit(REDACT_TERM)).cast("long").alias("n_terms"),
+        F.md5(scrub_text("text")).alias("scrubbed_fp"),
+    )
+
+
+# --------------------------------------------------- repetition scoring
+
+@query(
+    "repetition_ratio",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CASE WHEN len(g2) = 0 THEN 0.0
+           ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                / CAST(len(g2) AS DOUBLE) END AS rep_2gram,
+      CASE WHEN len(g3) = 0 THEN 0.0
+           ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                / CAST(len(g3) AS DOUBLE) END AS rep_3gram
+    FROM (
+      SELECT doc_id,
+        list_transform(generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1]) AS g2,
+        list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+      FROM (SELECT doc_id, {O_TOKENS} AS t FROM documents)
+    )
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): the
+    fraction of duplicate word 2-grams / 3-grams. Ratios divide two
+    integer counts in DOUBLE — engine-identical. Narrow map built on
+    the same materialized-token-array pattern as the shingle pipeline
+    (lambda-CSE trap avoided: tokens bound via withColumn)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+
+    def rep(col: Column) -> Column:
+        n = F.size(col)
+        dup = n - F.size(F.array_distinct(col))
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            dup.cast("double") / n.cast("double")
+        )
+
+    toks = t["documents"].withColumn("toks", ws_tokens("text"))
+    return (
+        toks.withColumn("g2", token_ngrams(F.col("toks"), 2, distinct=False))
+        .withColumn("g3", token_ngrams(F.col("toks"), 3, distinct=False))
+        .select(
+            "doc_id",
+            rep(F.col("g2")).alias("rep_2gram"),
+            rep(F.col("g3")).alias("rep_3gram"),
+        )
+    )
+
+
+# ------------------------------------------------- contamination check
+
+BENCHMARK_SOURCE = "src0"  # stands in for an eval-benchmark doc set
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, {O_NGRAMS.format(t=O_TOKENS)} AS shingles
+      FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh
+      WHERE source = '{BENCHMARK_SOURCE}'
+    ),
+    train AS (
+      SELECT doc_id, shingles FROM sh WHERE source <> '{BENCHMARK_SOURCE}'
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_hit
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM train)
+      WHERE s IN (SELECT s FROM bench)
+      GROUP BY doc_id
+    )
+    SELECT
+      t.doc_id,
+      CAST(len(t.shingles) AS BIGINT) AS n_shingles,
+      COALESCE(h.n_hit, 0) AS n_contaminated,
+      CASE WHEN len(t.shingles) = 0 THEN 0.0
+           ELSE CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                / CAST(len(t.shingles) AS DOUBLE) END AS contamination_rate
+    FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training doc, how many of
+    its distinct 3-gram shingles appear anywhere in the benchmark set
+    (here: the '{src0}' source stands in for an eval suite).
+
+    Scale shape: the benchmark shingle vocabulary is DISTINCT-ed and
+    broadcast (eval suites are tiny next to a pretraining corpus);
+    training docs explode to (doc_id, shingle), hit-count via the
+    broadcast hash join, then one groupBy on doc_id. Work is linear in
+    corpus shingles; nothing ever pairs docs with docs."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = (
+        t["documents"]
+        .withColumn("toks", ws_tokens("text"))
+        .select("doc_id", "source", token_ngrams(F.col("toks")).alias("shingles"))
+    )
+    bench = (
+        sh.where(F.col("source") == BENCHMARK_SOURCE)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    train = sh.where(F.col("source") != BENCHMARK_SOURCE).select("doc_id", "shingles")
+    hits = (
+        train.select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_sh = F.size("shingles").cast("long")
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_sh.alias("n_shingles"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_contaminated"),
+            F.when(F.size("shingles") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.size("shingles").cast("double")
+            )
+            .alias("contamination_rate"),
+        )
+    )
+
+
+# --------------------------------------------- duplicate-cluster resolve
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    (doc_a, doc_b) undirected edges -> (doc_id, cluster_id) where
+    cluster_id is the smallest doc_id reachable.
+
+    Each iteration is one join + groupBy (label <- min of own and
+    neighbors' labels) with the frontier localCheckpointed to keep
+    lineage flat; convergence is checked with a changed-count action.
+    Iterations needed = graph diameter — duplicate families are
+    near-cliques (diameter ~1-2), so this converges in 2-3 rounds.
+    This is the honestly-iterative operator: a driver loop over
+    distributed steps, the same structure GraphX/Graphframes uses.
+    """
+    both = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    both = both.distinct().localCheckpoint(eager=True)
+    labels = (
+        both.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            both.join(labels, both.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE fp AS (
+      SELECT doc_id, md5({O_NORMALIZE.format(expr='text')}) AS f FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, {O_NGRAMS.format(t=O_TOKENS)} AS shingles
+      FROM documents
+    ),
+    jacp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          >= {NGRAM_JACCARD_TAU}
+    ),
+    fpp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM jacp UNION SELECT doc_a, doc_b FROM fpp
+      UNION SELECT doc_b, doc_a FROM jacp UNION SELECT doc_b, doc_a FROM fpp
+    ),
+    reach(src, dst) AS (
+      SELECT doc_a, doc_a FROM edges
+      UNION
+      SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a
+    )
+    SELECT
+      src AS doc_id,
+      MIN(dst) AS cluster_id,
+      (src = MIN(dst)) AS is_keeper
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family resolution: exact-fingerprint pairs UNION
+    near-dup (source-blocked exact jaccard) pairs form an undirected
+    graph; connected components assign every involved doc its family's
+    lowest doc_id as cluster_id, keeper = the lowest member. The final
+    training set would keep `is_keeper` docs only.
+
+    The pair sources here are the oracle-checkable twins so DuckDB can
+    verify the clustering (recursive-CTE transitive closure); the
+    production pipeline feeds minhash_candidate_pairs-verified pairs
+    into the same connected_components."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    from sql_flow_spark.functions.dedup import exact_jaccard_pairs
+
+    fp = docs.select("doc_id", fingerprint("text").alias("f"))
+    fpp = (
+        fp.alias("a")
+        .join(fp.alias("b"), (F.col("a.f") == F.col("b.f"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    jacp = exact_jaccard_pairs(docs).select("doc_a", "doc_b")
+    comp = connected_components(fpp.union(jacp).distinct())
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )

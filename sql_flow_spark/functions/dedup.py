@@ -66,7 +66,7 @@ def ws_tokens(text: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
-def token_ngrams(toks: Column, n: int = 3) -> Column:
+def token_ngrams(toks: Column, n: int = 3, distinct: bool = True) -> Column:
     """Distinct word n-gram shingles from a *materialized* token-array
     column, built with array built-ins (transform over an index
     sequence) — a narrow map, no explode needed to build.
@@ -90,7 +90,7 @@ def token_ngrams(toks: Column, n: int = 3) -> Column:
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def with_shingles(df: DataFrame, n: int = 3) -> DataFrame:

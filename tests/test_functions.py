@@ -202,3 +202,40 @@ def test_exact_jaccard_composes_with_lsh_candidates(spark):
         p: j for p, j in lsh.items() if source_of[p[0]] == source_of[p[1]]
     }
     assert same_source_lsh == blocked
+
+
+def test_pii_scrub_redacts_real_pii(spark):
+    """The synthetic corpus has no digits, so the registry query's PII
+    counts are zero there; this fixture proves the patterns on real
+    shapes (reference has no PII op — this is the training-data
+    extension surface)."""
+    from sql_flow_spark.functions.curation import scrub_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@example.co.uk please"),
+            (2, "server at 10.0.255.7 answered"),
+            (3, "call +1 415 555 0199 or 020-7946-0958 now"),
+            (4, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.s for r in df.select("id", scrub_text("text", None).alias("s")).collect()}
+    assert out[1] == "mail me at <EMAIL> please"
+    assert out[2] == "server at <IP> answered"
+    assert out[3] == "call <PHONE> or <PHONE> now"
+    assert out[4] == "nothing sensitive here"
+
+
+def test_connected_components_small_graph(spark):
+    """Min-label propagation on a known graph: two chains and an
+    isolated pair; labels converge to each component's min id."""
+    from sql_flow_spark.functions.curation import connected_components
+
+    edges = spark.createDataFrame(
+        # component {1,2,3,4} as a chain, component {10,11}, {20,21,22}
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
