@@ -352,3 +352,75 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+# ----------------------------------------------------- sequence packing
+
+PACK_BUDGET = 512  # token budget per packed training sequence
+
+
+@query(
+    "doc_packing",
+    oracle=f"""
+    SELECT
+      doc_id,
+      lang,
+      n_tokens,
+      CAST(floor(CAST(running - n_tokens AS DOUBLE) / {PACK_BUDGET}.0)
+           AS BIGINT) AS pack_id,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY lang,
+          CAST(floor(CAST(running - n_tokens AS DOUBLE) / {PACK_BUDGET}.0)
+               AS BIGINT)
+        ORDER BY doc_id) AS BIGINT) AS pack_pos
+    FROM (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS running
+      FROM (
+        SELECT doc_id, lang,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents
+      )
+    )
+    """,
+)
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed token-budget
+    training sequences, per language stream, in doc_id order — pack_id
+    = which packed sequence the doc starts in (offset-based packing:
+    floor(tokens-before / budget)), pack_pos = its position inside.
+
+    Scale shape: ONE window per language partition (running sum +
+    row_number share the same (lang, doc_id) sort), so packing a 100 TB
+    corpus is a per-partition scan — the langs are independent streams.
+    A doc longer than the budget still gets a slot (real packers split
+    it downstream; doc_chunking is the splitting operator here)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    from pyspark.sql import Window
+
+    from sql_flow_spark.functions.textops import ws_token_count
+
+    toks = t["documents"].select(
+        "doc_id", "lang", ws_token_count("text").cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_run = toks.withColumn("running", F.sum("n_tokens").over(w))
+    pack_id = F.floor(
+        (F.col("running") - F.col("n_tokens")).cast("double") / F.lit(float(PACK_BUDGET))
+    ).cast("long")
+    packed = with_run.withColumn("pack_id", pack_id)
+    pos_w = Window.partitionBy("lang", "pack_id").orderBy("doc_id")
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "pack_id",
+        F.row_number().over(pos_w).cast("long").alias("pack_pos"),
+    )

@@ -241,3 +241,109 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("qid", "nid", "cosine", "rank")
     )
+
+
+# ----------------------------------------------------------------- IVF
+
+# IVF (inverted-file) coarse quantization: k-means centroids trained on
+# a bounded deterministic sample (exactly how production coarse
+# quantizers are trained — faiss trains on a corpus sample, not the
+# full set), corpus vectors assigned to their nearest centroid once,
+# queries probe the IVF_NPROBE nearest cells. Scored pairs drop from
+# |Q|*n to ~|Q|*n*nprobe/k while recall stays high on clustered data.
+IVF_K = 16
+IVF_NPROBE = 4
+_IVF_TRAIN_SAMPLE = 1024
+_IVF_TRAIN_ITERS = 5
+
+
+def ivf_centroids(
+    e: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = IVF_K,
+    sample: int = _IVF_TRAIN_SAMPLE,
+    iters: int = _IVF_TRAIN_ITERS,
+) -> np.ndarray:
+    """Train k cosine-space centroids with Lloyd iterations on a
+    deterministic sample (lowest ids — bounded driver transfer of
+    sample*dim doubles, ~0.5 MB; at 100 TB this stays a sample, never
+    the corpus). Returns L2-normalized centroids, so nearest-centroid
+    by dot product equals nearest by cosine."""
+    rows = (
+        e.select(id_col, emb_col).orderBy(id_col).limit(sample).collect()
+    )
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cent = mat[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for j in range(k):
+            members = mat[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ivf_assign(emb: Column, centroids: np.ndarray, nprobe: int = 1) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids for each vector
+    (one Arrow-batched matmul per batch; centroids ride the closure —
+    k*dim doubles, broadcast-sized)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cent_t = centroids.T.copy()
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _assign(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = (mat / norms) @ cent_t
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return _assign(emb)
+
+
+@query("ann_ivf_topk")  # approximate -> rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus vectors live in ONE centroid cell each; queries
+    probe their IVF_NPROBE nearest cells; exact cosine rerank inside
+    the probed cells.
+
+    At 100 TB: cell id is the join/shuffle key (corpus partitioned by
+    cell once, reusable across query batches), queries broadcast, and
+    per-cell work is independent — the classic IVF layout, expressed
+    as a DataFrame join instead of an index file. Recall/latency tunes
+    with IVF_K (cells) and IVF_NPROBE (cells probed per query), pinned
+    by tests/test_approx_quality.py."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    cent = ivf_centroids(e)
+    with_cell = _with_norm(e)
+    q = with_cell.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("qnrm"),
+        F.explode(ivf_assign(F.col("embedding"), cent, IVF_NPROBE)).alias("qcell"),
+    )
+    c = with_cell.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("cnrm"),
+        ivf_assign(F.col("embedding"), cent, 1)[0].alias("cell"),
+    )
+    cand = (
+        c.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
+        .select("qid", "nid", "ea", "eb", "qnrm", "cnrm")
+        .dropDuplicates(["qid", "nid"])
+    )
+    scored = cand.select(
+        "qid",
+        "nid",
+        (dot_dec(F.col("ea"), F.col("eb")) / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "nid", "cosine", "rank")
+    )

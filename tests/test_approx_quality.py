@@ -82,3 +82,25 @@ def test_percentiles_ordered(spark, sf_dir):
         assert r.p50 <= r.p95
         # t-digest approx should land near the exact value
         assert abs(r.p95_approx - r.p95) / max(abs(r.p95), 1) < 0.1
+
+
+def test_ann_ivf_results_subset_of_exact_scores(spark, sf_dir):
+    """IVF top-k: identical scoring math means any pair shared with
+    the exact top-k must carry the bit-identical cosine; on clustered
+    embeddings probing 4/16 cells should keep recall high."""
+    exact = {
+        (r.qid, r.nid): r.cosine
+        for r in QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    approx = QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
+    assert len(approx) > 0
+    hits = 0
+    for r in approx:
+        if (r.qid, r.nid) in exact:
+            assert r.cosine == exact[(r.qid, r.nid)]
+            hits += 1
+    assert hits / len(approx) > 0.6, f"IVF recall too low: {hits}/{len(approx)}"
+    # determinism: training is sample+seed-free deterministic (lowest
+    # ids, fixed iteration count), so two runs agree exactly
+    again = QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))

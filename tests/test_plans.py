@@ -81,6 +81,10 @@ def test_minhash_bucket_cap_exchange_shape(spark, sf_dir):
     additionally inserts WindowGroupLimit, which truncates each bucket
     to the cap map-side BEFORE the shuffle — the cap reduces shuffle
     volume rather than adding a pass over the full band table."""
+    # a warm cache from an earlier test changes how the cached subtree
+    # is printed (the relation's plan can appear once per scan); start
+    # cold so the assertion is order-independent
+    spark.catalog.clearCache()
     p = plan(spark, sf_dir, "dedup_minhash_lsh")
     # exactly ONE shuffle partitioned on the band key: the cap window's,
     # materialized once in the cache. A second hashpartitioning(band,..)
