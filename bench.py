@@ -46,6 +46,22 @@ HEADLINE = (
     "tfidf_top_term",
     "train_val_split",
     "best_docs_per_lang",
+    # r3 new-operator coverage: curation family + TPC-H depth + IVF
+    "pii_scrub",
+    "repetition_ratio",
+    "contamination_check",
+    "dedup_clusters",
+    "doc_packing",
+    "ann_ivf_topk",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_flexible_predicates",
+    "q22_idle_customers",
 )
 
 

@@ -201,6 +201,11 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("toks", ws_tokens("text"))
         .select("doc_id", "source", token_ngrams(F.col("toks")).alias("shingles"))
     )
+    # The shingle subtree feeds three consumers (benchmark vocab, the
+    # explode, the final join-back); uncached it is recomputed — and its
+    # large generated-code stage recompiled — per consumer (measured
+    # 18.5s -> 4.4s at sf0.1 with the cache).
+    sh = sh.cache()
     bench = (
         sh.where(F.col("source") == BENCHMARK_SOURCE)
         .select(F.explode("shingles").alias("s"))

@@ -181,6 +181,9 @@ def exact_jaccard_pairs(
         *keep,
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
     )
+    # Both pairing modes read the shingle table twice (a/b sides);
+    # cache so the shingle build + its codegen stage run once.
+    sh = sh.cache()
     if candidates is not None:
         sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
         sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
