@@ -429,3 +429,117 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_id",
         F.row_number().over(pos_w).cast("long").alias("pack_pos"),
     )
+
+
+# -------------------------------------------- composite keep/drop gate
+
+QUALITY_MIN = 0.61
+REP_MAX = 0.10
+
+_O_QUALITY = """
+  SELECT doc_id,
+    0.5 * (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE))
+    + 0.3 * (CAST(len(regexp_extract_all(lower(text),
+        '\\b(the|and|of|to|in|is|that|it|was|for)\\b')) AS DOUBLE)
+        / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE))
+    + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                        AS DOUBLE) / CAST(length(text) AS DOUBLE))
+    AS q
+  FROM documents
+"""
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, md5({O_NORMALIZE.format(expr='text')}) AS f FROM documents
+    ),
+    keepers AS (
+      SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f
+    ),
+    quality AS ({_O_QUALITY}),
+    rep AS (
+      SELECT doc_id,
+        CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                  / CAST(len(g2) AS DOUBLE) END AS rep_2gram
+      FROM (
+        SELECT doc_id,
+          list_transform(generate_series(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1]) AS g2
+        FROM (SELECT doc_id, {O_TOKENS} AS t FROM documents)
+      )
+    )
+    SELECT
+      d.doc_id,
+      CASE
+        WHEN k.keep_id <> d.doc_id THEN 'duplicate'
+        WHEN q.q < {QUALITY_MIN} THEN 'low_quality'
+        WHEN r.rep_2gram > {REP_MAX} THEN 'repetitive'
+        ELSE 'keep'
+      END AS verdict
+    FROM documents d
+    JOIN fp ON fp.doc_id = d.doc_id
+    JOIN keepers k ON k.f = fp.f
+    JOIN quality q ON q.doc_id = d.doc_id
+    JOIN rep r ON r.doc_id = d.doc_id
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end keep/drop gate a pretraining pipeline applies per
+    document, with the FIRST failing rule as the verdict (precedence:
+    duplicate > low_quality > repetitive > keep): exact-dup keeper
+    check, heuristic quality floor, repetition ceiling.
+
+    Composition shape: the dup check is the one shuffle (fingerprint
+    groupBy, map-side combine); quality and repetition are narrow maps
+    over the same scan; the rule CASE evaluates identically in both
+    engines because every signal is an integer-count ratio or an md5.
+    At 100 TB the near-dup family (minhash_candidate_pairs ->
+    dedup_clusters) slots in as an extra rule on the same structure."""
+    from sql_flow_spark.functions.textops import _stop_re, ws_token_count
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+
+    fp = d.select("doc_id", fingerprint("text").alias("f"))
+    keepers = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+
+    n_chars = F.length("text")
+    n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_re("en")), 0)
+    )
+    quality = (
+        F.lit(0.5) * (n_alpha.cast("double") / n_chars.cast("double"))
+        + F.lit(0.3) * (n_stop.cast("double") / ws_token_count("text").cast("double"))
+        + F.lit(0.2)
+        * (F.lit(1.0) - n_punct.cast("double") / n_chars.cast("double"))
+    )
+
+    toks = ws_tokens("text")
+    g2 = token_ngrams(toks, 2, distinct=False)
+    n2 = F.size(g2)
+    rep2 = F.when(n2 == 0, F.lit(0.0)).otherwise(
+        (n2 - F.size(F.array_distinct(g2))).cast("double") / n2.cast("double")
+    )
+
+    signals = d.select(
+        "doc_id",
+        fingerprint("text").alias("f"),
+        quality.alias("q"),
+        rep2.alias("rep_2gram"),
+    )
+    verdict = (
+        F.when(F.col("keep_id") != F.col("doc_id"), "duplicate")
+        .when(F.col("q") < QUALITY_MIN, "low_quality")
+        .when(F.col("rep_2gram") > REP_MAX, "repetitive")
+        .otherwise("keep")
+    )
+    return (
+        signals.join(F.broadcast(keepers), "f")
+        .select("doc_id", verdict.alias("verdict"))
+    )

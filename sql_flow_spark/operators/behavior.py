@@ -1,0 +1,124 @@
+"""User-behavior analytics over the events stream (SURVEY.md §2 rows
+21y-21z): ordered funnels and cohort retention — the event-analytics
+shapes (sessionize/pivot/running totals live in operators/extra.py and
+analytics.py) a reference user would run on a clickstream topic.
+
+Both are expressed as staged aggregations that co-partition on
+user_id, so at 100 TB the whole analysis is one shuffle of the events
+table onto user_id reused across stages plus broadcast-sized
+reductions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_flow_spark.registry import query
+from sql_flow_spark.tables import load_tables
+
+
+@query(
+    "user_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT
+      v.user_id,
+      (c.user_id IS NOT NULL) AS clicked_after_view,
+      (p.user_id IS NOT NULL) AS purchased_after_click
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel view -> click -> purchase: a user
+    reaches a stage only with an event AFTER their first event of the
+    previous stage. Three min-aggregations, each co-partitioned on
+    user_id (one logical shuffle key reused); the per-stage tables are
+    user-cardinality, tiny next to events. Timestamps are compared,
+    never emitted — no cross-engine formatting risk."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v.select(F.col("user_id").alias("vu"), "t1"),
+              (F.col("user_id") == F.col("vu")) & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c.select(F.col("user_id").alias("cu"), "t2"),
+              (F.col("user_id") == F.col("cu")) & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c.select(F.col("user_id").alias("cu2"), "t2"),
+               F.col("user_id") == F.col("cu2"), "left")
+        .join(p.select(F.col("user_id").alias("pu"), "t3"),
+              F.col("user_id") == F.col("pu"), "left")
+        .select(
+            "user_id",
+            F.col("t2").isNotNull().alias("clicked_after_view"),
+            F.col("t3").isNotNull().alias("purchased_after_click"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      strftime(cohort_day, '%Y-%m-%d') AS cohort,
+      CAST(date_diff('day', cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+        AS day_offset,
+      CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    distinct on each later day offset. first-day table is
+    user-cardinality (broadcast-sized); the distinct-count agg
+    shuffles on the small (cohort, offset) key space with map-side
+    partial distinct."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("long").alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+    )
