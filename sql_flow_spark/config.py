@@ -143,6 +143,19 @@ class UDFConf:
 
 
 @dataclass
+class PipelineLegConf:
+    """One extra handler->sink leg in a fan-out pipeline (``fanout:``
+    top-level list). Every leg shares the main pipeline's source: in
+    streaming mode ONE micro-batch read serves all legs (vs N queries
+    re-reading the source), which is the whole point of fan-out —
+    beyond the reference's single-pipeline configs."""
+
+    name: str
+    handler: HandlerConf
+    sink: SinkConf
+
+
+@dataclass
 class PipelineConf:
     source: SourceConf
     handler: HandlerConf
@@ -160,6 +173,7 @@ class Conf:
     tables: list[ManagedTableConf] = field(default_factory=list)
     external_tables: list[ExternalTableConf] = field(default_factory=list)
     debug_api: Optional[DebugAPIConf] = None
+    fanout: list[PipelineLegConf] = field(default_factory=list)
 
 
 def render_config(path: str, setting_overrides: dict | None = None) -> dict:
@@ -229,7 +243,26 @@ def new_from_dict(conf: dict) -> Conf:
             )
         )
 
+    fanout: list[PipelineLegConf] = []
+    for leg in conf.get("fanout", []):
+        h = leg.get("handler", {})
+        fanout.append(
+            PipelineLegConf(
+                name=leg["name"],
+                handler=HandlerConf(
+                    type=h.get("type", "handlers.InferredBatch"),
+                    sql=h.get("sql", "SELECT * FROM batch"),
+                    table=h.get("table"),
+                    serde=h.get("serde", "json"),
+                    state_dir=h.get("state_dir"),
+                    durable=h.get("durable", True),
+                ),
+                sink=_sink_from_dict(leg["sink"]),
+            )
+        )
+
     return Conf(
+        fanout=fanout,
         debug_api=(
             DebugAPIConf(**(conf["debug_api"] or {}))
             if "debug_api" in conf

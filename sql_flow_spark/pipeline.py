@@ -55,6 +55,7 @@ class Pipeline:
         error_policy: str = cfg.Policy.RAISE,
         dlq_sink: Optional[Sink] = None,
         batch_size: int = 1000,
+        legs: Optional[list[tuple[str, Handler, Sink]]] = None,
     ):
         self.spark = spark
         self.source = source
@@ -63,13 +64,17 @@ class Pipeline:
         self.error_policy = error_policy
         self.dlq = DLQSink(dlq_sink or NoopSink(), spark)
         self.batch_size = batch_size
+        # fan-out legs: extra (name, handler, sink) run on the SAME
+        # batch/micro-batch — one source read serves every leg
+        self.legs = legs or []
         self.stats = Stats()
 
     # ------------------------------------------------------ batch mode
 
     def invoke(self, batch_df: Optional[DataFrame] = None) -> Optional[DataFrame]:
         """Run one batch through handler+sink (reference: lifecycle.py
-        invoke). Returns the handler result."""
+        invoke), then through every fan-out leg. Returns the main
+        handler result."""
         df = batch_df if batch_df is not None else self.source.read(self.spark)
         try:
             result = self.handler.invoke(self.spark, df)
@@ -84,7 +89,25 @@ class Pipeline:
             self.sink.write_table(result)
             self.sink.flush()
             self.stats.num_batches += 1
+        self._run_legs(df, "batch")
         return result
+
+    def _run_legs(self, df: DataFrame, ctx: str):
+        """Each leg is error-isolated under the pipeline policy: one
+        leg failing routes to DLQ/raise without silently skipping the
+        remaining legs (IGNORE/DLQ continue; RAISE propagates)."""
+        for name, handler, sink in self.legs:
+            try:
+                leg_result = handler.invoke(self.spark, df)
+                if leg_result is not None:
+                    sink.write_table(leg_result)
+                    sink.flush()
+            except Exception as e:
+                self.stats.num_errors += 1
+                if self.error_policy == cfg.Policy.RAISE:
+                    raise
+                if self.error_policy == cfg.Policy.DLQ:
+                    self.dlq.write_error(str(e), f"{ctx} leg {name}", f"leg.{name}")
 
     # -------------------------------------------------- streaming mode
 
@@ -103,6 +126,7 @@ class Pipeline:
             self.sink.write_table(result)
             self.sink.flush()
             self.stats.num_batches += 1
+        self._run_legs(batch_df, f"micro-batch {batch_id}")
 
     def start(
         self,
@@ -198,6 +222,11 @@ def new_pipeline_from_conf(
     dlq_sink = (
         new_sink_from_conf(p.on_error.dlq, spark) if p.on_error.dlq else None
     )
+    legs = [
+        (leg.name, new_handler_from_conf(leg.handler),
+         new_sink_from_conf(leg.sink, spark))
+        for leg in conf.fanout
+    ]
     return Pipeline(
         spark=spark,
         source=new_source_from_conf(p.source),
@@ -206,6 +235,7 @@ def new_pipeline_from_conf(
         error_policy=p.on_error.policy,
         dlq_sink=dlq_sink,
         batch_size=p.batch_size,
+        legs=legs,
     )
 
 

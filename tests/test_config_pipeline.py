@@ -302,3 +302,87 @@ def test_config_flat_dict_fields_survive():
         }
     )
     assert conf2.pipeline.source.path == "/b"
+
+
+def test_fanout_pipeline_batch(spark, tmp_path):
+    """fanout: one source read, three handler->sink legs (main + 2)."""
+    from sql_flow_spark.pipeline import new_pipeline_from_conf
+    from sql_flow_spark.serde import JSONSerde
+
+    conf = cfg.new_from_path(os.path.join(EXAMPLES, "fanout.yml"))
+    assert [leg.name for leg in conf.fanout] == ["raw_passthrough", "distinct_cities"]
+    pipe = new_pipeline_from_conf(conf, spark)
+    pipe.invoke(JSONSerde().to_dataframe(spark, CITY_ROWS))
+    counts = {
+        (r.city, r.city_count)
+        for r in spark.table("global_temp.fanout_counts").collect()
+    }
+    assert counts == {("New York", 2), ("Baltimore", 1)}
+    assert spark.table("global_temp.fanout_raw").count() == 3
+    cities = {r.city for r in spark.table("global_temp.fanout_cities").collect()}
+    assert cities == {"New York", "Baltimore"}
+
+
+def test_fanout_pipeline_streaming(spark, tmp_path):
+    """Streaming fan-out: every leg sees every micro-batch from the
+    single foreachBatch read."""
+    import json as _json
+
+    from sql_flow_spark.pipeline import new_pipeline_from_conf
+
+    in_dir = tmp_path / "fan-in"
+    in_dir.mkdir()
+    (in_dir / "a.json").write_text(
+        "\n".join(
+            _json.dumps({"event": f"e{i}", "properties": {"city": c}})
+            for i, c in enumerate(["New York", "New York", "Baltimore"])
+        )
+    )
+    conf = cfg.new_from_path(
+        os.path.join(EXAMPLES, "fanout.yml"),
+        {"SQLFLOW_INPUT_PATH": str(in_dir)},
+    )
+    pipe = new_pipeline_from_conf(conf, spark)
+    q = pipe.start(available_now=True, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert spark.table("global_temp.fanout_raw").count() == 3
+    cities = {r.city for r in spark.table("global_temp.fanout_cities").collect()}
+    assert cities == {"New York", "Baltimore"}
+
+
+def test_fanout_leg_error_isolated_with_dlq(spark):
+    """A failing leg routes to the DLQ without killing the other legs
+    under the DLQ policy."""
+    from sql_flow_spark.pipeline import new_pipeline_from_conf
+    from sql_flow_spark.serde import JSONSerde
+
+    conf = cfg.new_from_dict(
+        {
+            "pipeline": {
+                "source": {"type": "files", "path": "/tmp/unused"},
+                "handler": {"sql": "SELECT * FROM batch"},
+                "sink": {"type": "memory", "name": "fanout_err_main"},
+                "on_error": {
+                    "policy": "DLQ",
+                    "dlq": {"type": "memory", "name": "fanout_err_dlq"},
+                },
+            },
+            "fanout": [
+                {
+                    "name": "bad_leg",
+                    "handler": {"sql": "SELECT missing_col FROM batch"},
+                    "sink": {"type": "memory", "name": "fanout_err_bad"},
+                },
+                {
+                    "name": "good_leg",
+                    "handler": {"sql": "SELECT COUNT(*) AS n FROM batch"},
+                    "sink": {"type": "memory", "name": "fanout_err_good"},
+                },
+            ],
+        }
+    )
+    pipe = new_pipeline_from_conf(conf, spark)
+    pipe.invoke(JSONSerde().to_dataframe(spark, CITY_ROWS))
+    assert spark.table("global_temp.fanout_err_good").first().n == 3
+    dlq = spark.table("global_temp.fanout_err_dlq").collect()
+    assert len(dlq) == 1 and dlq[0].phase == "leg.bad_leg"
