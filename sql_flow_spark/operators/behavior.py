@@ -122,3 +122,42 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "day_offset")
         .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
     )
+
+
+@query(
+    "events_enrich_salted",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen_s
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, d.n_events, d.first_seen_s
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    """,
+)
+def events_enrich_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim enrichment routed through plans.salted_join — the
+    hot-key scatter join for the pathological skew AQE can't fix (one
+    key larger than an executor). Going through the value-hash gate
+    proves salting is semantics-preserving: the oracle is the PLAIN
+    join. The dim side is exploded x salt (8 copies of a
+    user-cardinality table), the fact side's hot keys scatter across
+    the 8 sub-keys."""
+    from sql_flow_spark.plans.skew import salted_join
+    from sql_flow_spark.registry import ts_str
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("event_id", "user_id")
+    dim = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            ts_str(F.min("ts")).alias("first_seen_s"),
+        )
+    )
+    return salted_join(ev, dim, "user_id").select(
+        "event_id", "user_id", "n_events", "first_seen_s"
+    )

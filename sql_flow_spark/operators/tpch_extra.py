@@ -17,7 +17,7 @@ top-k orderings carry total tiebreaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_flow_spark.registry import dsum, o_dsum, query
@@ -321,9 +321,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the max quarterly revenue. The
-    argmax-vs-global-aggregate is a rank() window over an empty
-    partition — one extra tiny exchange instead of recomputing the
-    revenue CTE twice (the subquery formulation would)."""
+    argmax-vs-global-aggregate is a 1-row max() broadcast-joined back
+    onto the cached revenue table — NOT a global rank() window, which
+    would pull every supplier's revenue into a single partition (fine
+    locally, a straggler with millions of suppliers)."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
     rev = (
         t["lineitem"]
@@ -334,13 +335,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(_revenue_col()).alias("total_revenue"))
     )
-    top = (
-        rev.withColumn(
-            "_rnk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
-        )
-        .where(F.col("_rnk") == 1)
-        .drop("_rnk")
-    )
+    rev.cache()  # read twice: max aggregate + equality filter
+    max_rev = rev.agg(F.max("total_revenue").alias("_max"))
+    top = rev.join(F.broadcast(max_rev)).where(
+        F.col("total_revenue") == F.col("_max")
+    ).select("supplier_no", "total_revenue")
     return (
         F.broadcast(top)
         .join(
