@@ -386,3 +386,38 @@ def test_fanout_leg_error_isolated_with_dlq(spark):
     assert spark.table("global_temp.fanout_err_good").first().n == 3
     dlq = spark.table("global_temp.fanout_err_dlq").collect()
     assert len(dlq) == 1 and dlq[0].phase == "leg.bad_leg"
+
+
+def test_curation_pipeline_config(spark, tmp_path):
+    """The curation stage as a YAML pipeline: keep/drop verdicts in the
+    main leg, PII-scrubbed text in a fan-out leg."""
+    from sql_flow_spark.pipeline import new_pipeline_from_conf
+
+    docs_dir = str(tmp_path / "cdocs")
+    spark.createDataFrame(
+        [
+            (1, "Hello World this is fine"),
+            (2, "hello,   world! this is FINE"),  # dup of 1 after normalize
+            (3, "x"),  # too short
+            (4, "mail me at a@b.co now"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(docs_dir)
+    conf = cfg.new_from_path(
+        os.path.join(EXAMPLES, "curation.pipeline.yml"),
+        {"SQLFLOW_INPUT_PATH": docs_dir},
+    )
+    pipe = new_pipeline_from_conf(conf, spark)
+    pipe.invoke()
+    verdicts = {
+        r.doc_id: r.verdict
+        for r in spark.table("global_temp.curation_verdicts").collect()
+    }
+    assert verdicts[3] == "too_short"
+    assert verdicts[2] == "duplicate"  # doc 1 is the keeper
+    assert verdicts[1] == "keep" and verdicts[4] == "keep"
+    scrubbed = {
+        r.doc_id: r.text
+        for r in spark.table("global_temp.curation_scrubbed").collect()
+    }
+    assert scrubbed[4] == "mail me at <EMAIL> now"
