@@ -9,7 +9,7 @@ from sql_flow_spark.streaming.window import (
     tumbling_aggregate,
 )
 from sql_flow_spark.streaming.dedupe import dedupe_stream
-from sql_flow_spark.streaming.state import running_aggregate
+from sql_flow_spark.streaming.state import running_aggregate, running_aggregate_ttl
 
 __all__ = [
     "TumblingWindow",
@@ -18,4 +18,5 @@ __all__ = [
     "session_aggregate",
     "dedupe_stream",
     "running_aggregate",
+    "running_aggregate_ttl",
 ]

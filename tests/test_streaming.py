@@ -250,3 +250,64 @@ def test_running_aggregate_state(spark, tmp_path):
         final.update(b)
     assert final[1] == (3, 17.0)  # state carried across micro-batches
     assert final[2] == (1, 1.0)
+
+
+def test_running_aggregate_ttl_streaming_and_expiry(spark, tmp_path):
+    """TTL state: the streaming path matches running_aggregate while
+    keys are live (expired=false), and the timeout branch emits the
+    final state and REMOVES the key (unit-driven — firing a real
+    processing-time timeout in a test is wall-clock flaky)."""
+    from sql_flow_spark.streaming import running_aggregate_ttl
+    from sql_flow_spark.streaming.state import make_ttl_update
+
+    in_dir = str(tmp_path / "ttl-in")
+    _write_jsonl(in_dir, "a.jsonl", [
+        {"user_id": 1, "value": 10.0},
+        {"user_id": 2, "value": 1.0},
+    ])
+    _write_jsonl(in_dir, "b.jsonl", [
+        {"user_id": 1, "value": 7.0},
+    ])
+    stream = FileSource(in_dir, format="json", max_files_per_trigger=1).read_stream(spark)
+    out = running_aggregate_ttl(stream, "user_id", "value", ttl_ms=3_600_000)
+    per_batch = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: per_batch.append(
+            {r.user_id: (r.n_events, r.total_value, r.expired) for r in df.collect()}))
+        .option("checkpointLocation", str(tmp_path / "ttl-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for b in per_batch:
+        final.update(b)
+    assert final[1] == (2, 17.0, False)
+    assert final[2] == (1, 1.0, False)
+
+    # -- timeout branch, unit-driven with a stub GroupState
+    class StubState:
+        hasTimedOut = True
+        exists = True
+        get = (5, 42.0)
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):  # pragma: no cover - must not be called
+            raise AssertionError("expired key must not update state")
+
+        def setTimeoutDuration(self, ms):  # pragma: no cover
+            raise AssertionError("expired key must not re-arm the timeout")
+
+    update = make_ttl_update("user_id", "value", ttl_ms=1000)
+    st = StubState()
+    rows = list(update((7,), iter(()), st))
+    assert st.removed
+    assert len(rows) == 1
+    r = rows[0].iloc[0]
+    assert (r["user_id"], r["n_events"], r["total_value"], bool(r["expired"])) == (
+        7, 5, 42.0, True,
+    )
