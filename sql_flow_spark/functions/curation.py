@@ -21,7 +21,7 @@ from sql_flow_spark.functions.dedup import (
     token_ngrams,
     ws_tokens,
 )
-from sql_flow_spark.functions.textops import O_NORMALIZE, fingerprint
+from sql_flow_spark.functions.textops import O_NORMALIZE, _o_hits, fingerprint
 from sql_flow_spark.registry import query
 from sql_flow_spark.tables import load_tables
 
@@ -436,12 +436,14 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_MIN = 0.61
 REP_MAX = 0.10
 
-_O_QUALITY = """
+# Stopword term derived from the SAME _stop_re('en') the Spark side
+# uses (via _o_hits) — an inline literal here once drifted from
+# STOPWORDS['en'] and made quality scores diverge between engines.
+_O_QUALITY = f"""
   SELECT doc_id,
     0.5 * (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
            / CAST(length(text) AS DOUBLE))
-    + 0.3 * (CAST(len(regexp_extract_all(lower(text),
-        '\\b(the|and|of|to|in|is|that|it|was|for)\\b')) AS DOUBLE)
+    + 0.3 * (CAST({_o_hits('en')} AS DOUBLE)
         / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE))
     + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
                         AS DOUBLE) / CAST(length(text) AS DOUBLE))
@@ -539,7 +541,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("rep_2gram") > REP_MAX, "repetitive")
         .otherwise("keep")
     )
+    # keepers is corpus-cardinality (one row per DISTINCT fingerprint)
+    # — never broadcast it. The shuffle join on `f` reuses the
+    # hashpartitioning(f) exchange the keeper groupBy already built, so
+    # the dup check stays "the one shuffle" at 100 TB.
     return (
-        signals.join(F.broadcast(keepers), "f")
+        signals.join(keepers, "f")
         .select("doc_id", verdict.alias("verdict"))
     )

@@ -103,15 +103,18 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity day, counted
-    distinct on each later day offset. first-day table is
-    user-cardinality (broadcast-sized); the distinct-count agg
+    distinct on each later day offset. `firsts` is user-cardinality —
+    hundreds of millions of rows at 100 TB, so it must NOT be
+    broadcast: the shuffle join on user_id reuses the
+    hashpartitioning(user_id) exchange the groupBy already built, so
+    enrichment costs no extra shuffle. The distinct-count agg then
     shuffles on the small (cohort, offset) key space with map-side
     partial distinct."""
     t = load_tables(spark, sf_dir, ("events",))
     ev = t["events"].select("user_id", "ts")
     firsts = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
     return (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .select(
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
             F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("long").alias(

@@ -86,8 +86,13 @@ def load_tables(
     #   every events read dies with PARQUET_TYPE_ILLEGAL.
     # - UTC session tz: formatted timestamp outputs must render the
     #   stored instant unshifted to match DuckDB's naive timestamps.
+    # - inferTimestampNTZ off: plain timestamp[us] parquet (no tz
+    #   annotation) must read as instant-semantics TIMESTAMP, not
+    #   TIMESTAMP_NTZ — functions like unix_micros reject NTZ, and with
+    #   the session tz pinned to UTC the two render identically anyway.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
     out: dict[str, DataFrame] = {}
     for name in names:
@@ -96,6 +101,12 @@ def load_tables(
         for col in _NANO_TS_COLS.get(name, ()):
             if dict(df.dtypes).get(col) == "bigint":
                 df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        # Belt-and-braces for NTZ: with session tz pinned UTC the cast
+        # keeps the same instant, and downstream micros/window math
+        # works on either source schema generation.
+        for col, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
         for col in _VECTOR_COLS.get(name, ()):
             if col in df.columns:
                 dim = _array_dim_from_parquet(path, col)
