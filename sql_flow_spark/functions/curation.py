@@ -237,6 +237,18 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- duplicate-cluster resolve
 
+def _iter_checkpoint(df: DataFrame) -> DataFrame:
+    """Flatten lineage between CC iterations. Reliable ``checkpoint()``
+    (HDFS/object-store, survives executor loss — required for a 100 TB
+    job whose iteration state must not die with one machine) when the
+    application configured a checkpoint dir; ``localCheckpoint``
+    (executor-pinned, fine for short local runs) otherwise."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame, max_iters: int = 20
 ) -> DataFrame:
@@ -245,30 +257,36 @@ def connected_components(
     cluster_id is the smallest doc_id reachable.
 
     Each iteration is one join + groupBy (label <- min of own and
-    neighbors' labels) with the frontier localCheckpointed to keep
-    lineage flat; convergence is checked with a changed-count action.
-    Iterations needed = graph diameter — duplicate families are
-    near-cliques (diameter ~1-2), so this converges in 2-3 rounds.
-    This is the honestly-iterative operator: a driver loop over
-    distributed steps, the same structure GraphX/Graphframes uses.
+    neighbors' labels) with the frontier checkpointed (reliable when a
+    checkpoint dir is set, see _iter_checkpoint) to keep lineage flat;
+    convergence is checked with a changed-count action. Iterations
+    needed = graph diameter — duplicate families are near-cliques
+    (diameter ~1-2), so this converges in 2-3 rounds. This is the
+    honestly-iterative operator: a driver loop over distributed steps,
+    the same structure GraphX/Graphframes uses.
+
+    Raises RuntimeError if max_iters is reached before convergence:
+    returning silently would hand back WRONG labels for any component
+    whose diameter exceeds max_iters (e.g. a long chain of pairwise
+    dups), and the caller can't tell.
     """
     both = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    both = both.distinct().localCheckpoint(eager=True)
-    labels = (
+    both = _iter_checkpoint(both.distinct())
+    labels = _iter_checkpoint(
         both.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iters):
         neighbor_min = (
             both.join(labels, both.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        new_labels = _iter_checkpoint(
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -276,7 +294,6 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -287,7 +304,51 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iters above the graph diameter"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def duplicate_edges(docs: DataFrame, method: str = "lsh") -> DataFrame:
+    """Undirected duplicate-pair edges (doc_a, doc_b): exact-fingerprint
+    pairs UNION verified near-dup (jaccard >= tau) pairs.
+
+    method="lsh" — the production/100 TB path: minhash_candidate_pairs
+    (linear LSH blocking) feeds exact_jaccard_pairs(candidates=...), so
+    pair generation never goes all-pairs. Not SQL-expressible (hash
+    permutations), so no oracle — recall is pinned by
+    tests/test_approx_quality.py and the composition equivalence by
+    tests/test_functions.py.
+
+    method="blocked" — the oracle twin: within-source-block exact
+    jaccard, DuckDB-checkable, near-quadratic in block size; keep to
+    verification-scale data.
+    """
+    from sql_flow_spark.functions.dedup import (
+        exact_jaccard_pairs,
+        minhash_candidate_pairs,
+        with_shingles,
+    )
+
+    fp = docs.select("doc_id", fingerprint("text").alias("f"))
+    fpp = (
+        fp.alias("a")
+        .join(fp.alias("b"), (F.col("a.f") == F.col("b.f"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    if method == "lsh":
+        cand = minhash_candidate_pairs(with_shingles(docs, 3))
+        jacp = exact_jaccard_pairs(docs, candidates=cand).select("doc_a", "doc_b")
+    elif method == "blocked":
+        jacp = exact_jaccard_pairs(docs).select("doc_a", "doc_b")
+    else:
+        raise ValueError(f"unknown duplicate_edges method: {method!r}")
+    return fpp.union(jacp).distinct()
 
 
 @query(
