@@ -315,18 +315,30 @@ def connected_components(
 
 def duplicate_edges(docs: DataFrame, method: str = "lsh") -> DataFrame:
     """Undirected duplicate-pair edges (doc_a, doc_b): exact-fingerprint
-    pairs UNION verified near-dup (jaccard >= tau) pairs.
+    star edges UNION verified near-dup (jaccard >= tau) pairs.
+
+    The exact-fingerprint component emits STAR edges — each doc links
+    to its group's min(doc_id) keeper — not the all-pairs self-join: a
+    B-doc identical-text family (empty docs, license boilerplate)
+    yields B-1 edges instead of B*(B-1)/2, so this component is linear
+    in docs with no cap needed, and the connected components are
+    identical (a star spans the same member set as the clique).
 
     method="lsh" — the production/100 TB path: minhash_candidate_pairs
-    (linear LSH blocking) feeds exact_jaccard_pairs(candidates=...), so
-    pair generation never goes all-pairs. Not SQL-expressible (hash
-    permutations), so no oracle — recall is pinned by
-    tests/test_approx_quality.py and the composition equivalence by
-    tests/test_functions.py.
+    (linear LSH blocking, capped buckets) feeds
+    exact_jaccard_pairs(candidates=...), so pair generation never goes
+    all-pairs. It pairs across ALL docs, so it also finds cross-block
+    near-dups the blocked twin cannot; conversely, borderline pairs at
+    jaccard ~= tau have a band-limited candidate probability
+    (1-(1-j^4)^8, ~0.2% at j=0.12), so the two methods agree exactly
+    only on exact-fingerprint families and strong near-dups. That
+    contract — not naive output equality — is what
+    tests/test_functions.py::test_duplicate_edges_lsh_composition pins.
 
     method="blocked" — the oracle twin: within-source-block exact
     jaccard, DuckDB-checkable, near-quadratic in block size; keep to
-    verification-scale data.
+    verification-scale data. This is the edge source the registered
+    dedup_clusters uses so DuckDB can verify the clustering.
     """
     from sql_flow_spark.functions.dedup import (
         exact_jaccard_pairs,
@@ -335,11 +347,11 @@ def duplicate_edges(docs: DataFrame, method: str = "lsh") -> DataFrame:
     )
 
     fp = docs.select("doc_id", fingerprint("text").alias("f"))
+    keepers = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
     fpp = (
-        fp.alias("a")
-        .join(fp.alias("b"), (F.col("a.f") == F.col("b.f"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        fp.join(keepers, "f")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("keep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     if method == "lsh":
         cand = minhash_candidate_pairs(with_shingles(docs, 3))
@@ -396,23 +408,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest doc_id as cluster_id, keeper = the lowest member. The final
     training set would keep `is_keeper` docs only.
 
-    The pair sources here are the oracle-checkable twins so DuckDB can
-    verify the clustering (recursive-CTE transitive closure); the
-    production pipeline feeds minhash_candidate_pairs-verified pairs
-    into the same connected_components."""
+    The edge source here is duplicate_edges(method="blocked") — the
+    oracle-checkable twin, so DuckDB can verify the clustering
+    (recursive-CTE transitive closure); the production pipeline is the
+    SAME code path with method="lsh" (minhash-candidate-verified
+    pairs), so the two cannot drift."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    from sql_flow_spark.functions.dedup import exact_jaccard_pairs
-
-    fp = docs.select("doc_id", fingerprint("text").alias("f"))
-    fpp = (
-        fp.alias("a")
-        .join(fp.alias("b"), (F.col("a.f") == F.col("b.f"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
-    jacp = exact_jaccard_pairs(docs).select("doc_a", "doc_b")
-    comp = connected_components(fpp.union(jacp).distinct())
+    comp = connected_components(duplicate_edges(docs, method="blocked"))
     return comp.select(
         "doc_id",
         "cluster_id",

@@ -146,7 +146,11 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_col() -> Column:
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return inter.cast("double") / union.cast("double")
+    # Two empty shingle sets (short/boilerplate docs) make union 0;
+    # under ANSI mode a bare division crashes the whole query. NULL
+    # matches DuckDB's x/0 and is dropped by the >= tau filter — such
+    # pairs are the fingerprint component's job, not jaccard's.
+    return F.when(union > 0, inter.cast("double") / union.cast("double"))
 
 
 def exact_jaccard_pairs(
