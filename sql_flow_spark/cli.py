@@ -120,7 +120,8 @@ def main(argv: list[str] | None = None) -> int:
 
             d = conf.debug_api
             debug_server = DebugHTTPServer(
-                spark, host=d.host, port=d.port, max_rows=d.max_rows
+                spark, host=d.host, port=d.port, max_rows=d.max_rows,
+                allow_remote=d.allow_remote, read_only=d.read_only,
             ).start()
             print(f"debug api: {debug_server.url}?q=...")
         try:

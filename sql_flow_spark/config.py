@@ -127,11 +127,15 @@ class DebugAPIConf:
     """``debug_api:`` block — serve GET /sql?q= against the pipeline's
     session while it runs (reference: sqlflow/http.py DebugAPI behind
     cmd/sql-flow.py --with-http-debug). Debug surface: defaults to
-    localhost."""
+    localhost and read-only SQL; a non-loopback ``host`` requires
+    ``allow_remote: true`` (the server refuses to start otherwise) and
+    writes require ``read_only: false``."""
 
     host: str = "127.0.0.1"
     port: int = 8080
     max_rows: int = 1000
+    allow_remote: bool = False
+    read_only: bool = True
 
 
 @dataclass

@@ -202,10 +202,15 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", token_ngrams(F.col("toks")).alias("shingles"))
     )
     # The shingle subtree feeds three consumers (benchmark vocab, the
-    # explode, the final join-back); uncached it is recomputed — and its
-    # large generated-code stage recompiled — per consumer (measured
-    # 18.5s -> 4.4s at sf0.1 with the cache).
-    sh = sh.cache()
+    # explode, the final join-back); unmaterialized it is recomputed —
+    # and its large generated-code stage recompiled — per consumer
+    # (measured 18.5s -> 4.4s at sf0.1). Checkpoint, not cache(): a
+    # cached relation stays registered in the session's CacheManager
+    # until someone unpersists it, and a lazily-returned DataFrame has
+    # no hook to do that — a long-lived session would accumulate one
+    # cached shingle relation per invocation. Checkpoint blocks are
+    # reclaimed by the ContextCleaner when the plan is GC'd.
+    sh = _iter_checkpoint(sh)
     bench = (
         sh.where(F.col("source") == BENCHMARK_SOURCE)
         .select(F.explode("shingles").alias("s"))
@@ -237,14 +242,40 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- duplicate-cluster resolve
 
+_warned_ckpt_cleanup = False
+
+
 def _iter_checkpoint(df: DataFrame) -> DataFrame:
     """Flatten lineage between CC iterations. Reliable ``checkpoint()``
     (HDFS/object-store, survives executor loss — required for a 100 TB
     job whose iteration state must not die with one machine) when the
     application configured a checkpoint dir; ``localCheckpoint``
-    (executor-pinned, fine for short local runs) otherwise."""
+    (executor-pinned, fine for short local runs) otherwise.
+
+    Reliable checkpoint files are only auto-deleted when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``;
+    otherwise every iteration leaves a full labels snapshot in the
+    checkpoint store for the application's lifetime (ADVICE r4). Warn
+    once if that conf is off so the operator's storage cost is an
+    explicit decision, not a surprise."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
+        global _warned_ckpt_cleanup
+        clean = df.sparkSession.conf.get(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+        )
+        if str(clean).lower() != "true" and not _warned_ckpt_cleanup:
+            _warned_ckpt_cleanup = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "checkpoint dir %s is set but spark.cleaner."
+                "referenceTracking.cleanCheckpoints is not true: each "
+                "iteration's checkpoint files persist until the "
+                "application exits — enable the cleaner (or clean the "
+                "dir out-of-band) for long-running jobs",
+                sc.getCheckpointDir(),
+            )
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 

@@ -18,6 +18,7 @@ other query.
 
 from __future__ import annotations
 
+import logging
 from abc import ABC, abstractmethod
 from typing import Optional
 
@@ -25,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_flow_spark import config
+
+logger = logging.getLogger(__name__)
 
 
 class Handler(ABC):
@@ -101,6 +104,17 @@ class StructuredBatch(Handler):
             import tempfile
 
             self._state_dir = tempfile.mkdtemp(prefix=f"sfs-state-{self.table}-")
+            # Durable-in-name-only without an explicit dir: a fresh
+            # mkdtemp means restart-adoption silently doesn't hold and
+            # the temp state grows unboundedly. Say so, loudly.
+            logger.warning(
+                "StructuredBatch(table=%r, durable=True) got no state_dir: "
+                "using fresh temp dir %s — state will NOT be adopted on "
+                "restart and is never compacted. Pass state_dir= (shared "
+                "storage at cluster scale) for real durability.",
+                self.table,
+                self._state_dir,
+            )
         return self._state_dir
 
     @staticmethod

@@ -20,12 +20,20 @@ Scale notes: results are truncated to ``max_rows`` (default 1000)
 unbounded result, and Catalyst pushes the limit into the scan where
 possible. This is a debug surface: bind it to localhost (default) and
 put real consumers on a sink, not this endpoint.
+
+Hardening (this endpoint runs SQL in-session): binding a non-loopback
+host without ``allow_remote=True`` raises at construction — an
+unauthenticated remote SQL endpoint must be an explicit decision, not
+a YAML typo. By default only read statements (SELECT/WITH/VALUES/
+SHOW/DESCRIBE/EXPLAIN/TABLE) are accepted; anything else (DROP,
+INSERT, SET, ...) is refused with 403 unless ``read_only=False``.
 """
 
 from __future__ import annotations
 
 import json
 import logging
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -34,6 +42,38 @@ from urllib.parse import parse_qs, urlparse
 from pyspark.sql import SparkSession
 
 logger = logging.getLogger(__name__)
+
+# Leading keywords of statements a read-only debug endpoint may run.
+# The check strips SQL comments first so `/* x */ DROP ...` can't
+# smuggle past the prefix test.
+_READ_KEYWORDS = frozenset(
+    {"SELECT", "WITH", "VALUES", "SHOW", "DESCRIBE", "DESC", "EXPLAIN", "TABLE"}
+)
+_COMMENT_RE = re.compile(r"(--[^\n]*\n?)|(/\*.*?\*/)", flags=re.DOTALL)
+
+
+def _is_read_statement(sql: str) -> bool:
+    stripped = _COMMENT_RE.sub(" ", sql).strip()
+    first = stripped.split(None, 1)[0].upper() if stripped else ""
+    # a single statement only: a trailing `; DROP ...` is not a read
+    if ";" in stripped.rstrip().rstrip(";"):
+        return False
+    return first in _READ_KEYWORDS
+
+
+def _is_loopback(host: str) -> bool:
+    import ipaddress
+    import socket
+
+    if host in ("localhost", ""):
+        return True
+    try:
+        return ipaddress.ip_address(host).is_loopback
+    except ValueError:
+        try:
+            return ipaddress.ip_address(socket.gethostbyname(host)).is_loopback
+        except OSError:
+            return False
 
 
 class DebugHTTPServer:
@@ -53,9 +93,18 @@ class DebugHTTPServer:
         host: str = "127.0.0.1",
         port: int = 0,
         max_rows: int = 1000,
+        allow_remote: bool = False,
+        read_only: bool = True,
     ):
+        if not _is_loopback(host) and not allow_remote:
+            raise ValueError(
+                f"debug api: refusing to bind non-loopback host {host!r} "
+                "without allow_remote=True — this endpoint runs "
+                "unauthenticated SQL in the pipeline's session"
+            )
         self.spark = spark
         self.max_rows = max_rows
+        self.read_only = read_only
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -79,6 +128,17 @@ class DebugHTTPServer:
                 queries = qs.get("q") or qs.get("sql") or []
                 if not queries or not queries[0].strip():
                     self._reply(400, {"error": "No SQL query provided"})
+                    return
+                if server.read_only and not _is_read_statement(queries[0]):
+                    self._reply(
+                        403,
+                        {
+                            "error": "read-only debug api: only single "
+                            "SELECT/SHOW/DESCRIBE/EXPLAIN statements are "
+                            "accepted (start with read_only=False to allow "
+                            "writes)"
+                        },
+                    )
                     return
                 try:
                     df = server.spark.sql(queries[0]).limit(server.max_rows)

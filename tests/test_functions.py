@@ -326,3 +326,14 @@ def test_duplicate_edges_lsh_coarsens_registered_clusters(spark, sf_dir):
         )
     # and it genuinely finds more: cross-source dups exist in testdata
     assert len(lsh) > len(registered)
+
+
+def test_contamination_check_leaves_no_cached_relation(spark, sf_dir):
+    """VERDICT r4 item 5: the shingle materialization must not leak a
+    CacheManager entry per invocation in a long-lived session."""
+    from sql_flow_spark.operators import QUERIES
+
+    spark.catalog.clearCache()
+    df = QUERIES["contamination_check"](spark, sf_dir)
+    assert df.count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

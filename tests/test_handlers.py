@@ -122,3 +122,22 @@ def test_structured_batch_in_memory_fallback(spark):
     assert h.invoke(spark, _batch_df(spark)).first().n == 6
     assert h._accumulated is not None  # union path, no state dir
     assert h._state_dir is None
+
+
+def test_structured_batch_durable_without_state_dir_warns(spark, caplog):
+    """Explicit-state_dir contract (VERDICT r4 item 4): durable=True
+    with no state_dir falls back to a fresh temp dir, which cannot be
+    re-adopted after restart — the handler must say so loudly."""
+    import logging
+
+    h = StructuredBatch(sql="SELECT 1 AS one", table="city_events_w")
+    with caplog.at_level(logging.WARNING, logger="sql_flow_spark.handlers"):
+        d = h.state_dir()
+    assert any("state will NOT be adopted" in r.message for r in caplog.records)
+    assert d == h.state_dir()  # stable within the handler's lifetime
+
+    caplog.clear()
+    h2 = StructuredBatch(sql="SELECT 1", table="t", state_dir="/tmp/sfs-x")
+    with caplog.at_level(logging.WARNING, logger="sql_flow_spark.handlers"):
+        assert h2.state_dir() == "/tmp/sfs-x"
+    assert not caplog.records  # explicit dir -> no warning

@@ -95,3 +95,47 @@ def test_debug_api_config_gate():
         }
     )
     assert conf2.debug_api is None
+
+
+def test_debug_api_refuses_non_loopback_without_opt_in(spark):
+    """VERDICT r4 item 4: an unauthenticated in-session SQL endpoint
+    must not bind a routable interface by YAML typo."""
+    with pytest.raises(ValueError, match="allow_remote"):
+        DebugHTTPServer(spark, host="0.0.0.0", port=0)
+    # loopback spellings all fine
+    for host in ("127.0.0.1", "localhost"):
+        DebugHTTPServer(spark, host=host, port=0)._server.server_close()
+    # explicit opt-in works (bind to loopback anyway to keep CI quiet?
+    # no — the point is construction succeeds with the flag)
+    s = DebugHTTPServer(spark, host="0.0.0.0", port=0, allow_remote=True)
+    s._server.server_close()
+
+
+def test_debug_api_read_only_default(spark, debug_server):
+    """Writes are refused with 403 by default; read statements
+    (including WITH/SHOW and comment-prefixed) still pass."""
+    drop = urllib.parse.quote("DROP TABLE IF EXISTS debug_api_t")
+    status, body = _get(f"{debug_server.url}?q={drop}")
+    assert status == 403 and "read-only" in body["error"]
+    # comment smuggling and statement stacking are refused too
+    for evil in ("/* x */ SET spark.foo=1",
+                 "SELECT 1; DROP TABLE debug_api_t"):
+        status, _ = _get(f"{debug_server.url}?q={urllib.parse.quote(evil)}")
+        assert status == 403
+    for ok in ("WITH t AS (SELECT 1 AS a) SELECT * FROM t",
+               "SHOW TABLES", "-- c\nSELECT 2 AS b"):
+        status, _ = _get(f"{debug_server.url}?q={urllib.parse.quote(ok)}")
+        assert status == 200
+
+
+def test_debug_api_write_opt_in(spark):
+    server = DebugHTTPServer(spark, port=0, read_only=False).start()
+    try:
+        q = urllib.parse.quote(
+            "CREATE OR REPLACE TEMPORARY VIEW debug_api_w AS SELECT 7 AS x"
+        )
+        status, _ = _get(f"{server.url}?q={q}")
+        assert status == 200
+        assert spark.table("debug_api_w").collect()[0].x == 7
+    finally:
+        server.stop()
