@@ -6,20 +6,28 @@ write_table/flush mirrors the reference Sink ABC (sinks.py:21).
 """
 
 from sql_flow_spark.sinks.core import (
+    ClickHouseSink,
     ConsoleSink,
     DLQSink,
     FileSink,
+    IcebergSink,
+    JDBCSink,
     KafkaSink,
     MemorySink,
     NoopSink,
     RecordingSink,
     Sink,
+    SinkException,
     SQLCommandSink,
     new_sink_from_conf,
 )
 
 __all__ = [
     "Sink",
+    "SinkException",
+    "ClickHouseSink",
+    "IcebergSink",
+    "JDBCSink",
     "ConsoleSink",
     "MemorySink",
     "NoopSink",

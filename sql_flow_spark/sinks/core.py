@@ -169,6 +169,12 @@ class SQLCommandSink(Sink):
         self.spark.sql(self._apply_substitutions())
 
 
+class SinkException(Exception):
+    """Actionable sink failure (mirrors sources.base.SourceException):
+    raised instead of Spark's generic connector errors when the fix is
+    a deployment step (jar/catalog), not a code change."""
+
+
 class JDBCSink(Sink):
     """JDBC table append — the reference reaches postgres/clickhouse
     through DuckDB ATTACH or native clients (reference: sinks.py:147
@@ -192,6 +198,34 @@ class JDBCSink(Sink):
         w.save()
 
 
+class ClickHouseSink(JDBCSink):
+    """ClickHouse table append as a JDBC write (reference: sinks.py:147
+    ClickhouseSink — buffers a batch, then ``client.insert_arrow`` on
+    flush via clickhouse-connect).
+
+    Semantics mapping: the reference's per-flush arrow insert becomes a
+    per-micro-batch JDBC batch insert. ClickHouse has no transactions,
+    so ``isolationLevel=NONE`` (a COMMIT would error); inserts land in
+    row-batches of ``batchsize`` (each an atomic ClickHouse insert
+    block — same at-least-once unit as the reference's flush);
+    the driver class is pinned so the write doesn't depend on
+    DriverManager scanning. The clickhouse-jdbc jar is cluster-side,
+    like every connector here. Explicit options override any default.
+    """
+
+    CLICKHOUSE_DEFAULTS = {
+        "driver": "com.clickhouse.jdbc.ClickHouseDriver",
+        "isolationLevel": "NONE",
+        "batchsize": "100000",
+    }
+
+    def __init__(self, url: str, table: str, options: dict | None = None):
+        super().__init__(
+            url=url, table=table,
+            options={**self.CLICKHOUSE_DEFAULTS, **(options or {})},
+        )
+
+
 class IcebergSink(Sink):
     """Iceberg table append (reference: sinks.py:71 via pyiceberg).
     Spark-native: ``df.writeTo(table).append()`` against a configured
@@ -205,7 +239,26 @@ class IcebergSink(Sink):
         self.table = table
 
     def write_table(self, df: DataFrame):
-        df.writeTo(self.table).append()
+        try:
+            df.writeTo(self.table).append()
+        except Exception as e:
+            msg = str(e)
+            # three shapes of "the catalog isn't really there": plugin
+            # class missing (jar not shipped), catalog name unknown, or
+            # the multi-part name fell through to spark_catalog
+            if "catalog" in msg.lower() and (
+                "plugin" in msg.lower()
+                or "CATALOG_NOT_FOUND" in msg
+                or "REQUIRES_SINGLE_PART_NAMESPACE" in msg
+            ):
+                raise SinkException(
+                    f"no usable catalog for iceberg table {self.table!r}: "
+                    "launch with --packages org.apache.iceberg:"
+                    "iceberg-spark-runtime-<spark>_<scala>:<version> and "
+                    "configure spark.sql.catalog.<name> (see "
+                    "examples/files.lakehouse.yml and SCALING.md jar probe)"
+                ) from e
+            raise
 
 
 class DLQSink(Sink):
@@ -251,6 +304,10 @@ def new_sink_from_conf(sink_conf, spark: SparkSession) -> Sink:
         return IcebergSink(table=sink_conf.name or sink_conf.path)
     if typ == "jdbc":
         return JDBCSink(
+            url=sink_conf.path, table=sink_conf.name, options=sink_conf.options
+        )
+    if typ == "clickhouse":
+        return ClickHouseSink(
             url=sink_conf.path, table=sink_conf.name, options=sink_conf.options
         )
     raise NotImplementedError(f"unsupported sink type: {typ}")

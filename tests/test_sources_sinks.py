@@ -430,3 +430,79 @@ def test_kafka_missing_jar_raises_actionable_error(spark):
         src.read_stream(spark)
     with pytest.raises(SourceException, match="--packages"):
         src.read(spark)
+
+
+def test_iceberg_missing_catalog_raises_actionable_error(spark):
+    """Like the kafka jar test: without the iceberg-spark-runtime jar
+    (r3 probe, SCALING.md) the write must name the --packages
+    coordinate, whether the catalog conf is absent or points at the
+    missing plugin class."""
+    from sql_flow_spark.sinks import IcebergSink, SinkException
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(SinkException, match="iceberg-spark-runtime"):
+        IcebergSink("nocatalog.db.t").write_table(df)
+    spark.conf.set(
+        "spark.sql.catalog.lakeprobe", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        with pytest.raises(SinkException, match="--packages"):
+            IcebergSink("lakeprobe.db.t").write_table(df)
+    finally:
+        spark.conf.unset("spark.sql.catalog.lakeprobe")
+
+
+def test_clickhouse_sink_option_mapping():
+    """Reference ClickhouseSink semantics (sinks.py:147) on JDBC:
+    no-transaction isolation, pinned driver, block-sized batches;
+    explicit options win over defaults."""
+    from sql_flow_spark.sinks import ClickHouseSink
+
+    sink = new_sink_from_conf(
+        cfg.SinkConf(
+            type="clickhouse",
+            path="jdbc:clickhouse://ch:8123/default",
+            name="events_out",
+        ),
+        spark=None,
+    )
+    assert isinstance(sink, ClickHouseSink)
+    opts = sink.writer_options()
+    assert opts["url"] == "jdbc:clickhouse://ch:8123/default"
+    assert opts["dbtable"] == "events_out"
+    assert opts["driver"] == "com.clickhouse.jdbc.ClickHouseDriver"
+    assert opts["isolationLevel"] == "NONE"
+    assert opts["batchsize"] == "100000"
+    override = ClickHouseSink(
+        url="jdbc:clickhouse://ch:8123/d", table="t",
+        options={"batchsize": "5000"},
+    )
+    assert override.writer_options()["batchsize"] == "5000"
+
+
+def test_lakehouse_example_config(spark):
+    """examples/files.lakehouse.yml (reference kafka.ducklake.yml
+    shape): catalog SETs as init commands + iceberg sink; jar-gated at
+    the write, parseable everywhere."""
+    import os
+
+    from sql_flow_spark.sinks import IcebergSink, SinkException
+    from sql_flow_spark.sinks.core import new_sink_from_conf as mk
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "files.lakehouse.yml")
+    conf = cfg.new_from_path(path)
+    assert [c.sql.startswith("SET spark.sql.catalog") for c in conf.commands] \
+        == [True, True, True]
+    sink = mk(conf.pipeline.sink, spark=None)
+    assert isinstance(sink, IcebergSink) and sink.table == "lake.db.documents"
+    # run the init commands, then the gated write fails actionably
+    for c in conf.commands:
+        spark.sql(c.sql)
+    try:
+        with pytest.raises(SinkException, match="--packages"):
+            sink.write_table(spark.createDataFrame([(1,)], "doc_id long"))
+    finally:
+        spark.conf.unset("spark.sql.catalog.lake")
+        spark.conf.unset("spark.sql.catalog.lake.type")
+        spark.conf.unset("spark.sql.catalog.lake.warehouse")
