@@ -62,6 +62,12 @@ HEADLINE = (
     "q18_large_orders",
     "q19_flexible_predicates",
     "q22_idle_customers",
+    # r5 additions (BENCH_r05 ⊇ r04 keys, r4 verdict item 2): the
+    # heaviest previously-unbenched shapes
+    "user_funnel",
+    "cohort_retention",
+    "curation_pipeline",
+    "events_enrich_salted",
 )
 
 

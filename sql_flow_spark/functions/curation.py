@@ -617,18 +617,26 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1.0) - n_punct.cast("double") / n_chars.cast("double"))
     )
 
-    toks = ws_tokens("text")
-    g2 = token_ngrams(toks, 2, distinct=False)
+    # Bind tokens/ngrams as real columns BEFORE the ratio touches them:
+    # inlining ws_tokens into the token_ngrams lambda re-splits the text
+    # per array element (no CSE through lambda scopes — measured 18.4s
+    # -> 1.1s at sf0.1 for this signal alone, same trap
+    # repetition_ratio's docstring pins).
+    g2 = F.col("g2")
     n2 = F.size(g2)
     rep2 = F.when(n2 == 0, F.lit(0.0)).otherwise(
         (n2 - F.size(F.array_distinct(g2))).cast("double") / n2.cast("double")
     )
 
-    signals = d.select(
-        "doc_id",
-        fingerprint("text").alias("f"),
-        quality.alias("q"),
-        rep2.alias("rep_2gram"),
+    signals = (
+        d.withColumn("toks", ws_tokens("text"))
+        .withColumn("g2", token_ngrams(F.col("toks"), 2, distinct=False))
+        .select(
+            "doc_id",
+            fingerprint("text").alias("f"),
+            quality.alias("q"),
+            rep2.alias("rep_2gram"),
+        )
     )
     verdict = (
         F.when(F.col("keep_id") != F.col("doc_id"), "duplicate")

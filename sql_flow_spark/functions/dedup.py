@@ -178,6 +178,14 @@ def exact_jaccard_pairs(
     hashes instead of shingle strings: same set sizes modulo 64-bit
     collisions (P ~ 1e-10 at this scale), ~10x cheaper comparison, and
     the integer-count double ratio is engine-identical.
+
+    A size-ratio prefilter prunes pairs before the O(|A|+|B|)
+    intersection: jaccard(A,B) >= tau implies min(|A|,|B|) >=
+    tau * max(|A|,|B|), so pairs outside that band can be dropped on
+    two cached ints with ZERO false negatives — exact semantics, the
+    oracle needs no change. On length-skewed real corpora this removes
+    most of the quadratic block's intersect work (the synthetic
+    testdata's uniform doc lengths barely exercise it, ~10-20%).
     """
     keep = [block_col] if candidates is None else []
     sh = with_shingles(docs, n).select(
@@ -187,27 +195,40 @@ def exact_jaccard_pairs(
     )
     # Both pairing modes read the shingle table twice (a/b sides);
     # cache so the shingle build + its codegen stage run once.
-    sh = sh.cache()
+    sh = sh.withColumn("nsh", F.size("shingles")).cache()
+    size_band = (
+        F.col("n_a").cast("double") >= F.lit(tau) * F.col("n_b").cast("double")
+    ) & (F.col("n_b").cast("double") >= F.lit(tau) * F.col("n_a").cast("double"))
     if candidates is not None:
-        sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-        sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+        sh_a = sh.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+            F.col("nsh").alias("n_a"),
+        )
+        sh_b = sh.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+            F.col("nsh").alias("n_b"),
+        )
         cand = (
             candidates.select("doc_a", "doc_b")
             .distinct()
             .join(sh_a, "doc_a")
             .join(sh_b, "doc_b")
+            .where(size_band)
         )
     else:
         a = sh.select(
             F.col("doc_id").alias("doc_a"), F.col(block_col).alias("blk_a"),
-            F.col("shingles").alias("sh_a"),
+            F.col("shingles").alias("sh_a"), F.col("nsh").alias("n_a"),
         )
         b = sh.select(
             F.col("doc_id").alias("doc_b"), F.col(block_col).alias("blk_b"),
-            F.col("shingles").alias("sh_b"),
+            F.col("shingles").alias("sh_b"), F.col("nsh").alias("n_b"),
         )
         cand = a.join(
-            b, (F.col("blk_a") == F.col("blk_b")) & (F.col("doc_a") < F.col("doc_b"))
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & size_band,
         )
     return (
         cand.select("doc_a", "doc_b", _jaccard_col().alias("jaccard"))
