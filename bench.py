@@ -68,6 +68,12 @@ HEADLINE = (
     "cohort_retention",
     "curation_pipeline",
     "events_enrich_salted",
+    # r5 new operators
+    "q12_late_shipments",
+    "q21_waiting_supplier",
+    "boilerplate_flag",
+    "stratified_sample",
+    "mix_weights",
 )
 
 

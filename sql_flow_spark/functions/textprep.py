@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sql_flow_spark.functions.dedup import ws_tokens
+from sql_flow_spark.functions.dedup import O_NGRAMS, O_TOKENS, ws_tokens
 from sql_flow_spark.registry import query
 from sql_flow_spark.tables import load_tables
 
@@ -213,4 +213,195 @@ def best_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= 5)
         .select("lang", "doc_id", "n_chars", "rnk")
+    )
+
+
+# C4/RefinedWeb-style boilerplate: an n-gram shingle occurring in at
+# least this many distinct docs of one source is boilerplate (license
+# headers, navigation chrome, templated intros).
+BOILERPLATE_MIN_DOCS = 3
+
+
+@query(
+    "boilerplate_flag",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, {O_NGRAMS.format(t=O_TOKENS)} AS shingles
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, source, unnest(shingles) AS s FROM sh
+    ),
+    bp AS (
+      SELECT source, s FROM ex
+      GROUP BY source, s
+      HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+    ),
+    hits AS (
+      SELECT e.doc_id, COUNT(*) AS n_bp
+      FROM ex e JOIN bp ON e.source = bp.source AND e.s = bp.s
+      GROUP BY e.doc_id
+    )
+    SELECT
+      sh.doc_id,
+      CAST(len(sh.shingles) AS BIGINT) AS n_shingles,
+      COALESCE(h.n_bp, 0) AS n_boilerplate,
+      CASE WHEN len(sh.shingles) = 0 THEN 0.0
+           ELSE CAST(COALESCE(h.n_bp, 0) AS DOUBLE)
+                / CAST(len(sh.shingles) AS DOUBLE) END AS boilerplate_ratio
+    FROM sh LEFT JOIN hits h ON sh.doc_id = h.doc_id
+    """,
+)
+def boilerplate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (C4/RefinedWeb cleaning step): flag the
+    fraction of each doc's 3-gram shingles that occur in >=
+    BOILERPLATE_MIN_DOCS distinct docs of the same source — repeated
+    headers/footers/templates, the stuff stripped before training.
+
+    Scale shape (contamination_check's linear skeleton): explode to
+    (source, shingle, doc), one distinct-doc count per (source,
+    shingle) with map-side partials, join the boilerplate vocabulary
+    back on the SAME (source, shingle) key (shuffle join — the vocab
+    is corpus-cardinality, never broadcast), one per-doc count, one
+    join back to docs. Work is linear in corpus shingles; docs never
+    pair with docs."""
+    from sql_flow_spark.functions.curation import _iter_checkpoint
+    from sql_flow_spark.functions.dedup import token_ngrams, ws_tokens
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = (
+        t["documents"]
+        .withColumn("toks", ws_tokens("text"))
+        .select("doc_id", "source", token_ngrams(F.col("toks")).alias("shingles"))
+    )
+    # three consumers (explode for counts, explode for hits, final
+    # join-back): materialize once, no lingering cache entry
+    sh = _iter_checkpoint(sh)
+    ex = sh.select("doc_id", "source", F.explode("shingles").alias("s"))
+    bp = (
+        ex.groupBy("source", "s")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= BOILERPLATE_MIN_DOCS)
+        .select("source", "s")
+    )
+    hits = (
+        ex.join(bp, ["source", "s"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bp"))
+    )
+    n_sh = F.size("shingles")
+    return (
+        sh.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_sh.cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_bp"), F.lit(0)).alias("n_boilerplate"),
+            F.when(n_sh == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("n_bp"), F.lit(0)).cast("double")
+                / n_sh.cast("double")
+            )
+            .alias("boilerplate_ratio"),
+        )
+    )
+
+
+STRATA_FRACTION = 0.1
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+        ROW_NUMBER() OVER (
+          PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    WHERE rn <= CAST(ceil({STRATA_FRACTION} * n) AS BIGINT)
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly ceil(10%) of every
+    language stratum, chosen by md5-of-id order — reproducible across
+    engines and runs (unlike df.sample, which is partitioning
+    dependent), and unbiased because the hash destroys doc_id
+    structure.
+
+    Scale shape: one window per lang partition (rank and stratum size
+    share the sort); the same shape doc_packing uses. A skewed-lang
+    corpus would range-partition within lang; at 100 TB you'd swap the
+    full sort for a two-pass quantile cut on the same hash."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .where(
+            F.col("rn")
+            <= F.ceil(F.lit(STRATA_FRACTION) * F.col("n")).cast("long")
+        )
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "mix_weights",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+        COUNT(*) AS n_docs,
+        SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
+          AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) AS total, COUNT(*) AS n_sources FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+      (CAST(total AS DOUBLE) / CAST(n_sources AS DOUBLE))
+        / CAST(n_tokens AS DOUBLE) AS weight
+    FROM per CROSS JOIN tot
+    """,
+)
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights: per-source token counts and the sampling
+    weight that would equalize token mass across sources (weight > 1
+    means upsample). The integer token sums are exact in both engines;
+    the single double division at the boundary is IEEE-identical.
+
+    Scale shape: one groupBy(source) with map-side partials over a
+    narrow token-count map; the totals row is a broadcast of ONE row
+    back across the per-source aggregates."""
+    from sql_flow_spark.functions.textops import ws_token_count
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    per = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ws_token_count("text").cast("long")).alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total"), F.count("*").alias("n_sources")
+    )
+    weight = (
+        F.col("total").cast("double") / F.col("n_sources").cast("double")
+    ) / F.col("n_tokens").cast("double")
+    return per.join(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens", weight.alias("weight")
     )

@@ -6,7 +6,9 @@ promo shares, top-supplier argmax, large-order HAVING joins,
 OR-of-ANDs predicate pushdown, and idle-customer anti-joins.
 
 Q2/Q9/Q11/Q16/Q20 need the partsupp table (absent from the synthetic
-star schema) and Q12/Q21 need commit/receipt dates; everything else
+star schema). Q12/Q21 need commit/receipt dates, so their SHAPES are
+covered by adapted variants on the columns that exist
+(q12_late_shipments, q21_waiting_supplier below); everything else
 from the classic set that this schema can express is here or in
 analytics.py/extra.py.
 
@@ -491,4 +493,118 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q12_late_shipments",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+               THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+      CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY
+               THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape, adapted: the classic query buckets lineitems
+    into late/on-time per shipmode; this schema has no
+    shipmode/commitdate, so the bucket is "shipped more than 60 days
+    after ordering" and the group is o_orderpriority — the same
+    join-then-conditional-two-way-count structure.
+
+    Scale shape: the one big shuffle is orders<->lineitem on orderkey
+    (both facts co-partition); the conditional counts are map-side
+    partials into a 5-key agg. Timestamp arithmetic (+ INTERVAL) is
+    exact in both engines."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_shipdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("late_count"),
+            F.sum(F.when(late, 0).otherwise(1)).cast("long").alias("ontime_count"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH sm AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sm
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    waiting AS (
+      SELECT s1.l_orderkey, s1.l_suppkey
+      FROM sm s1
+      WHERE EXISTS (
+          SELECT 1 FROM sm s2
+          WHERE s2.l_orderkey = s1.l_orderkey
+            AND s2.l_suppkey <> s1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM sm s3
+          WHERE s3.l_orderkey = s1.l_orderkey
+            AND s3.l_suppkey <> s1.l_suppkey
+            AND s3.sm >= s1.sm)
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape, adapted: suppliers who were the *unique last*
+    shipper on multi-supplier orders (the classic query's
+    receipt-after-commit EXISTS / NOT-EXISTS pair, expressed on the
+    columns this schema has).
+
+    Spark-first rewrite: instead of correlated subqueries, per-order
+    window aggregates over per-(order, supplier) ship maxima —
+    "another supplier exists" is n_supp >= 2 and "every other supplier
+    shipped strictly earlier" is (sm == max1 AND only one supplier at
+    max1). Two shuffles on the same orderkey-rooted keys; supplier
+    names broadcast; the top-10 carries a (numwait DESC, s_name) total
+    order so ties at the cut are deterministic."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    sm = (
+        t["lineitem"]
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("sm"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    per = (
+        sm.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("max1", F.max("sm").over(w))
+        .withColumn(
+            "cnt_max",
+            F.sum(F.when(F.col("sm") == F.col("max1"), 1).otherwise(0)).over(w),
+        )
+    )
+    waiting = per.where(
+        (F.col("n_supp") >= 2)
+        & (F.col("sm") == F.col("max1"))
+        & (F.col("cnt_max") == 1)
+    )
+    return (
+        waiting.join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
     )

@@ -104,3 +104,39 @@ def test_ann_ivf_results_subset_of_exact_scores(spark, sf_dir):
     # ids, fixed iteration count), so two runs agree exactly
     again = QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_boilerplate_flag_fires_on_dup_families(spark, sf_dir):
+    """Non-degeneracy: the synthetic corpus's duplicate families repeat
+    shingles across >=3 docs of a source, so the detector must flag a
+    non-zero boilerplate fraction somewhere — and never more shingles
+    than a doc has."""
+    rows = QUERIES["boilerplate_flag"](spark, sf_dir).collect()
+    assert any(r.n_boilerplate > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_boilerplate <= r.n_shingles
+        assert 0.0 <= r.boilerplate_ratio <= 1.0
+
+
+def test_stratified_sample_exact_fractions(spark, sf_dir):
+    """Each language stratum contributes exactly ceil(0.1 * n) docs,
+    and re-running yields the identical sample (deterministic, unlike
+    df.sample)."""
+    import math
+
+    from sql_flow_spark.tables import load_tables
+
+    strata = {
+        r.lang: r.n
+        for r in load_tables(spark, sf_dir, ("documents",))["documents"]
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    got = QUERIES["stratified_sample"](spark, sf_dir).collect()
+    per_lang: dict = {}
+    for r in got:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    assert per_lang == {k: math.ceil(0.1 * v) for k, v in strata.items()}
+    again = QUERIES["stratified_sample"](spark, sf_dir).collect()
+    assert sorted((r.doc_id, r.lang) for r in got) == sorted(
+        (r.doc_id, r.lang) for r in again
+    )
