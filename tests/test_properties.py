@@ -70,3 +70,45 @@ def test_fixed_point_sum_matches_engines(spark):
 
     got_py = _fixed_point_sum(pdf_vals)
     assert got_spark == got_duck == pytest.approx(got_py, abs=0)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized + adversarial graphs vs a brute-force union-find:
+    random sparse graphs, a 12-node chain (forces ~11 propagation
+    iterations — the existing fixed tests only cover diameter <= 3),
+    a clique, and disjoint stars."""
+    from sql_flow_spark.functions.curation import connected_components
+
+    rng = np.random.RandomState(11)
+    graphs = [
+        [(int(a), int(b)) for a, b in rng.randint(0, 30, (25, 2)) if a != b],
+        [(i, i + 1) for i in range(12)],                     # chain
+        [(a, b) for a in range(6) for b in range(a + 1, 6)], # clique
+        [(0, k) for k in range(1, 5)] + [(100, 100 + k) for k in range(1, 5)],
+        [(int(a), int(b)) for a, b in rng.randint(0, 60, (40, 2)) if a != b],
+    ]
+    for edges in graphs:
+        expected = _union_find_components(edges)
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(df, max_iters=25).collect()
+        }
+        assert got == expected, f"mismatch on graph {edges[:5]}..."
