@@ -21,6 +21,10 @@ from sql_flow_spark.functions.dedup import (
     token_ngrams,
     ws_tokens,
 )
+# materialize_once flattens lineage between CC iterations and
+# materializes multi-consumer subtrees without leaking cache entries
+# (lives in functions/mat.py so dedup.py shares it cycle-free)
+from sql_flow_spark.functions.mat import materialize_once as _iter_checkpoint
 from sql_flow_spark.functions.textops import O_NORMALIZE, _o_hits, fingerprint
 from sql_flow_spark.registry import query
 from sql_flow_spark.tables import load_tables
@@ -242,42 +246,6 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- duplicate-cluster resolve
 
-_warned_ckpt_cleanup = False
-
-
-def _iter_checkpoint(df: DataFrame) -> DataFrame:
-    """Flatten lineage between CC iterations. Reliable ``checkpoint()``
-    (HDFS/object-store, survives executor loss — required for a 100 TB
-    job whose iteration state must not die with one machine) when the
-    application configured a checkpoint dir; ``localCheckpoint``
-    (executor-pinned, fine for short local runs) otherwise.
-
-    Reliable checkpoint files are only auto-deleted when
-    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``;
-    otherwise every iteration leaves a full labels snapshot in the
-    checkpoint store for the application's lifetime (ADVICE r4). Warn
-    once if that conf is off so the operator's storage cost is an
-    explicit decision, not a surprise."""
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        global _warned_ckpt_cleanup
-        clean = df.sparkSession.conf.get(
-            "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
-        )
-        if str(clean).lower() != "true" and not _warned_ckpt_cleanup:
-            _warned_ckpt_cleanup = True
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "checkpoint dir %s is set but spark.cleaner."
-                "referenceTracking.cleanCheckpoints is not true: each "
-                "iteration's checkpoint files persist until the "
-                "application exits — enable the cleaner (or clean the "
-                "dir out-of-band) for long-running jobs",
-                sc.getCheckpointDir(),
-            )
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
 
 
 def connected_components(

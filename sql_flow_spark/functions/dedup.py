@@ -23,6 +23,7 @@ from sql_flow_spark.functions.similarity import (
     dot_dec,
     sq_norm_dec,
 )
+from sql_flow_spark.functions.mat import materialize_once
 from sql_flow_spark.functions.textops import O_NORMALIZE, fingerprint
 from sql_flow_spark.registry import query
 from sql_flow_spark.tables import load_tables
@@ -194,8 +195,10 @@ def exact_jaccard_pairs(
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
     )
     # Both pairing modes read the shingle table twice (a/b sides);
-    # cache so the shingle build + its codegen stage run once.
-    sh = sh.withColumn("nsh", F.size("shingles")).cache()
+    # materialize so the shingle build + its codegen stage run once
+    # (checkpoint, not cache: no CacheManager entry to leak — see
+    # functions/mat.py).
+    sh = materialize_once(sh.withColumn("nsh", F.size("shingles")))
     size_band = (
         F.col("n_a").cast("double") >= F.lit(tau) * F.col("n_b").cast("double")
     ) & (F.col("n_b").cast("double") >= F.lit(tau) * F.col("n_a").cast("double"))
@@ -311,9 +314,10 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
     bands = cap_bucket_size(bands, ["band", "bkey"], BAND_BUCKET_CAP)
-    # The candidate join is a self-join: without caching, the whole
-    # signature subtree executes twice.
-    bands.cache()
+    # The candidate join is a self-join: unmaterialized, the whole
+    # signature subtree executes twice (and a bare cache() would leak
+    # a CacheManager entry per invocation).
+    bands = materialize_once(bands)
 
     return (
         bands.alias("x")
@@ -336,8 +340,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (minhash_candidate_pairs) verified with exact Jaccard — the
     linear-at-scale composition exact_jaccard_pairs documents."""
     t = load_tables(spark, sf_dir, ("documents",))
-    docs = with_shingles(t["documents"]).select("doc_id", "shingles")
-    docs.cache()
+    docs = materialize_once(
+        with_shingles(t["documents"]).select("doc_id", "shingles")
+    )
 
     cand = minhash_candidate_pairs(docs)
     sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
@@ -424,7 +429,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bs"),
     ).select("doc_id", "sig", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
     bands = cap_bucket_size(bands, ["band", "bkey"], BAND_BUCKET_CAP)
-    bands.cache()  # self-joined below
+    bands = materialize_once(bands)  # self-joined below; no cache leak
 
     pairs = (
         bands.alias("x")

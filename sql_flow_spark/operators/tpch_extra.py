@@ -337,7 +337,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(_revenue_col()).alias("total_revenue"))
     )
-    rev.cache()  # read twice: max aggregate + equality filter
+    # read twice (max aggregate + equality filter): materialize once
+    # without registering a CacheManager entry nobody unpersists
+    from sql_flow_spark.functions.mat import materialize_once
+
+    rev = materialize_once(rev)
     max_rev = rev.agg(F.max("total_revenue").alias("_max"))
     top = rev.join(F.broadcast(max_rev)).where(
         F.col("total_revenue") == F.col("_max")

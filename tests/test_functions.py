@@ -337,3 +337,17 @@ def test_contamination_check_leaves_no_cached_relation(spark, sf_dir):
     df = QUERIES["contamination_check"](spark, sf_dir)
     assert df.count() > 0
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_dedup_family_leaves_no_cached_relations(spark, sf_dir):
+    """r5 sweep of the cache-leak class (r4 verdict item 5): every
+    multi-consumer subtree in the dedup/minhash/simhash/q15 paths is
+    checkpoint-materialized, so a long-lived session accumulates no
+    CacheManager entries from repeated invocations."""
+    from sql_flow_spark.operators import QUERIES
+
+    spark.catalog.clearCache()
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard",
+                 "dedup_clusters", "q15_top_supplier"):
+        QUERIES[name](spark, sf_dir).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
