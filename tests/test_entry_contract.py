@@ -31,3 +31,36 @@ def test_queries_return_fresh_dict():
     a = entrymod.queries()
     a["__mutated__"] = None
     assert "__mutated__" not in entrymod.queries()
+
+
+def test_bench_headline_is_superset_of_last_round():
+    """BENCH_r{N} keys must be ⊇ every earlier round's (the judge
+    compares rounds key-by-key; silently dropping a benched query would
+    hide a regression)."""
+    import glob
+    import json
+    import os
+
+    import bench
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = set(bench.HEADLINE) | {"streaming_pipeline_agg"}
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        with open(path) as f:
+            recorded = set(json.load(f).get("queries", {}))
+        missing = recorded - current
+        assert not missing, f"{os.path.basename(path)} keys dropped: {missing}"
+
+
+def test_never_checked_keys_rotate_to_window_front():
+    """The driver checks only the first 50 queries() keys; operators
+    without any prior CORRECTNESS row must sort first so every new
+    operator gets a driver row next round."""
+    import __spark_entry__ as m
+
+    checked = m._ever_checked()
+    keys = list(m.queries())
+    never = [k for k in keys if k not in checked]
+    assert never == keys[: len(never)], (
+        "never-checked keys are not at the front of the window"
+    )
