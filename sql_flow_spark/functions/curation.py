@@ -331,8 +331,10 @@ def duplicate_edges(docs: DataFrame, method: str = "lsh") -> DataFrame:
     jaccard ~= tau have a band-limited candidate probability
     (1-(1-j^4)^8, ~0.2% at j=0.12), so the two methods agree exactly
     only on exact-fingerprint families and strong near-dups. That
-    contract — not naive output equality — is what
-    tests/test_functions.py::test_duplicate_edges_lsh_composition pins.
+    contract — not naive output equality — is what the
+    test_duplicate_edges_lsh_composition_synthetic and
+    test_duplicate_edges_lsh_coarsens_registered_clusters tests
+    (tests/test_functions.py) pin.
 
     method="blocked" — the oracle twin: within-source-block exact
     jaccard, DuckDB-checkable, near-quadratic in block size; keep to

@@ -65,7 +65,11 @@ def _is_loopback(host: str) -> bool:
     import ipaddress
     import socket
 
-    if host in ("localhost", ""):
+    if host == "":
+        # empty host means bind ALL interfaces (INADDR_ANY) — the
+        # opposite of loopback
+        return False
+    if host == "localhost":
         return True
     try:
         return ipaddress.ip_address(host).is_loopback

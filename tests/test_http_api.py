@@ -100,8 +100,9 @@ def test_debug_api_config_gate():
 def test_debug_api_refuses_non_loopback_without_opt_in(spark):
     """VERDICT r4 item 4: an unauthenticated in-session SQL endpoint
     must not bind a routable interface by YAML typo."""
-    with pytest.raises(ValueError, match="allow_remote"):
-        DebugHTTPServer(spark, host="0.0.0.0", port=0)
+    for bad in ("0.0.0.0", ""):  # "" binds INADDR_ANY too
+        with pytest.raises(ValueError, match="allow_remote"):
+            DebugHTTPServer(spark, host=bad, port=0)
     # loopback spellings all fine
     for host in ("127.0.0.1", "localhost"):
         DebugHTTPServer(spark, host=host, port=0)._server.server_close()
