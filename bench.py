@@ -74,6 +74,7 @@ HEADLINE = (
     "boilerplate_flag",
     "stratified_sample",
     "mix_weights",
+    "corpus_report",
 )
 
 

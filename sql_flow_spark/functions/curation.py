@@ -622,3 +622,91 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         signals.join(keepers, "f")
         .select("doc_id", verdict.alias("verdict"))
     )
+
+
+# --------------------------------------------------- corpus reporting
+
+@query(
+    "corpus_report",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, source,
+             md5({O_NORMALIZE.format(expr='text')}) AS f,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    keepers AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f),
+    quality AS ({_O_QUALITY})
+    SELECT
+      fp.lang,
+      fp.source,
+      COUNT(*) AS n_docs,
+      SUM(fp.n_tokens) AS total_tokens,
+      CAST(SUM(CAST(floor(q.q * 10000.0 + 0.5) AS DECIMAL(30,0))) AS DOUBLE)
+        / 10000.0 / CAST(COUNT(*) AS DOUBLE) AS avg_quality,
+      CAST(SUM(CASE WHEN k.keep_id <> fp.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM fp
+    JOIN keepers k ON k.f = fp.f
+    JOIN quality q ON q.doc_id = fp.doc_id
+    GROUP BY fp.lang, fp.source
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(lang, source) corpus dashboard a pipeline materializes
+    after each ingest: document counts, token mass, mean quality score
+    and exact-duplicate rate — the numbers that decide re-crawl,
+    re-weight (mix_weights) and re-filter actions.
+
+    Scale shape: one scan computes fingerprint + token count + quality
+    signals (narrow); the exact-dup check reuses curation_pipeline's
+    fingerprint groupBy (the one corpus-sized shuffle, never
+    broadcast); the final agg lands on the tiny (lang, source) key
+    space with map-side partials. The mean quality divides two exact
+    fixed-point sums, so both engines emit identical doubles."""
+    from sql_flow_spark.functions.textops import _stop_re, ws_token_count
+    from sql_flow_spark.registry import scaled_int
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+
+    n_chars = F.length("text")
+    n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_re("en")), 0)
+    )
+    quality = (
+        F.lit(0.5) * (n_alpha.cast("double") / n_chars.cast("double"))
+        + F.lit(0.3) * (n_stop.cast("double") / ws_token_count("text").cast("double"))
+        + F.lit(0.2)
+        * (F.lit(1.0) - n_punct.cast("double") / n_chars.cast("double"))
+    )
+
+    sig = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        fingerprint("text").alias("f"),
+        ws_token_count("text").cast("long").alias("n_tokens"),
+        quality.alias("q"),
+    )
+    keepers = sig.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    is_dup = (F.col("keep_id") != F.col("doc_id")).cast("int")
+    return (
+        sig.join(keepers, "f")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum(scaled_int(F.col("q"))).cast("double")
+                / F.lit(10000.0)
+                / F.count("*").cast("double")
+            ).alias("avg_quality"),
+            (F.sum(is_dup).cast("double") / F.count("*").cast("double")).alias(
+                "dup_rate"
+            ),
+        )
+    )
