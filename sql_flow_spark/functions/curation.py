@@ -1,6 +1,7 @@
 """Corpus-curation operators for training-data pipelines (SURVEY.md §2
-rows 46-49): PII scrubbing, intra-document repetition scoring,
-benchmark-contamination checks, and duplicate-cluster resolution.
+rows 46-51, 55): PII scrubbing, intra-document repetition scoring,
+benchmark-contamination checks, duplicate-cluster resolution, the
+composite keep/drop gate, and the per-(lang, source) corpus report.
 
 These extend the dedup/text-analysis family with the steps a real
 pretraining pipeline runs between "raw documents" and "training set":
