@@ -29,42 +29,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # SURVEY.md §7.
 
 
-def _ever_checked() -> set[str]:
-    """Keys with a driver CORRECTNESS row in ANY prior round."""
+def _driver_history() -> tuple[set[str], set[str]]:
+    """(ever-checked keys, keys whose LATEST driver row failed).
+
+    A row "fails" if any of its match flags is explicitly false, or it
+    recorded an err other than the expected "no_oracle" marker rows-only
+    keys always carry (their pass is spark_rows being recorded).
+    Latest-round status wins: a key that failed in r5 and passed in r6
+    is not failing."""
     import glob
     import json
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
     seen: set[str] = set()
+    failing: set[str] = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                seen |= set(json.load(f))
+                rows = json.load(f)
         except Exception:
             continue
-    return seen
+        seen |= set(rows)
+        for k, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            flags = (
+                row.get("rows_match"),
+                row.get("schema_match"),
+                row.get("hash_match"),
+            )
+            if err == "no_oracle":
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = err is None and all(f is not False for f in flags)
+            if ok:
+                failing.discard(k)
+            else:
+                failing.add(k)
+    return seen, failing
 
 
 def _ordered_keys() -> list[str]:
     """Self-rotating priority within the driver's 50-key window:
+    0. keys whose LATEST driver row FAILED (a fix must land a green row
+       — without this, a failed key sorts as "previously checked" and
+       can rotate out of the window before its fix is ever verified),
     1. never-driver-checked oracle-backed keys (strongest check, most
        to gain), 2. never-checked rows-only keys, 3. previously-proven
        oracle-backed keys (keep them formally green while slots
        remain), 4. previously-proven rows-only keys. Within each tier,
        registration order."""
-    checked = _ever_checked()
+    checked, failing = _driver_history()
 
     def tier(k: str) -> int:
+        if k in failing:
+            return 0
         new = k not in checked
         oracle = k in ORACLES
         if new and oracle:
-            return 0
-        if new:
             return 1
-        if oracle:
+        if new:
             return 2
-        return 3
+        if oracle:
+            return 3
+        return 4
 
     return sorted(QUERIES, key=lambda k: (tier(k), list(QUERIES).index(k)))
 

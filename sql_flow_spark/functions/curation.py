@@ -643,7 +643,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       fp.lang,
       fp.source,
       COUNT(*) AS n_docs,
-      SUM(fp.n_tokens) AS total_tokens,
+      CAST(SUM(fp.n_tokens) AS BIGINT) AS total_tokens,
       CAST(SUM(CAST(floor(q.q * 10000.0 + 0.5) AS DECIMAL(30,0))) AS DOUBLE)
         / 10000.0 / CAST(COUNT(*) AS DOUBLE) AS avg_quality,
       CAST(SUM(CASE WHEN k.keep_id <> fp.doc_id THEN 1 ELSE 0 END) AS DOUBLE)

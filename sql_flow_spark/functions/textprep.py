@@ -363,8 +363,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per AS (
       SELECT source,
         COUNT(*) AS n_docs,
-        SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
-          AS n_tokens
+        CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
+          AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
     tot AS (

@@ -53,14 +53,31 @@ def test_bench_headline_is_superset_of_last_round():
 
 
 def test_never_checked_keys_rotate_to_window_front():
-    """The driver checks only the first 50 queries() keys; operators
-    without any prior CORRECTNESS row must sort first so every new
-    operator gets a driver row next round."""
+    """The driver checks only the first 50 queries() keys; keys whose
+    latest driver row FAILED must sort first (a fix needs its green
+    row), then operators without any prior CORRECTNESS row, so every
+    fix and every new operator gets a driver row next round."""
     import __spark_entry__ as m
 
-    checked = m._ever_checked()
+    checked, failing = m._driver_history()
     keys = list(m.queries())
-    never = [k for k in keys if k not in checked]
-    assert never == keys[: len(never)], (
-        "never-checked keys are not at the front of the window"
+    front = [k for k in keys if k in failing or k not in checked]
+    assert front == keys[: len(front)], (
+        "failing/never-checked keys are not at the front of the window"
     )
+    fail_keys = [k for k in keys if k in failing]
+    assert fail_keys == keys[: len(fail_keys)], (
+        "latest-FAIL keys must sort before never-checked keys"
+    )
+
+
+def test_latest_fail_keys_in_window():
+    """Regression guard for the r5→r6 hazard: corpus_report and
+    mix_weights failed the r5 driver hash check; after the oracle fix
+    they must re-enter the 50-key window to land a green row."""
+    import __spark_entry__ as m
+
+    _, failing = m._driver_history()
+    window = list(m.queries())[:50]
+    for k in failing:
+        assert k in window, f"latest-FAIL key {k!r} rotated out of the window"
