@@ -75,6 +75,9 @@ HEADLINE = (
     "stratified_sample",
     "mix_weights",
     "corpus_report",
+    # r6: the production (linear LSH) cluster path benched next to its
+    # quadratic oracle twin — this is the number that matters at scale
+    "dedup_clusters_lsh",
 )
 
 

@@ -425,6 +425,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_clusters_lsh")
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION duplicate-family resolver — the same
+    connected_components over duplicate_edges, but with the linear
+    method="lsh" edge source: minhash band-bucket candidate pairs
+    (capped buckets, never all-pairs) verified by exact jaccard, plus
+    the exact-fingerprint star edges. This is the path a 100 TB corpus
+    runs; the registered `dedup_clusters` twin keeps the quadratic
+    within-source-blocked edge source only because DuckDB can verify
+    that one (rows-only here: minhash permutations are
+    engine-specific, so there is no SQL oracle — semantics are pinned
+    by the composition tests in tests/test_functions.py and the
+    cluster-coarsening contract documented on duplicate_edges)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    comp = connected_components(duplicate_edges(docs, method="lsh"))
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 # ----------------------------------------------------- sequence packing
 
 PACK_BUDGET = 512  # token budget per packed training sequence
