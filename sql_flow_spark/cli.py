@@ -117,13 +117,17 @@ def main(argv: list[str] | None = None) -> int:
         debug_server = None
         if conf.debug_api:
             from sql_flow_spark.http_api import DebugHTTPServer
+            from sql_flow_spark.observability import attach_metrics
 
             d = conf.debug_api
             debug_server = DebugHTTPServer(
                 spark, host=d.host, port=d.port, max_rows=d.max_rows,
                 allow_remote=d.allow_remote, read_only=d.read_only,
+                metrics=attach_metrics(spark),
             ).start()
-            print(f"debug api: {debug_server.url}?q=...")
+            host, port = debug_server.address
+            print(f"debug api: {debug_server.url}?q=... "
+                  f"(metrics: http://{host}:{port}/metrics)")
         try:
             query = pipe.start(
                 available_now=args.available_now,

@@ -129,6 +129,110 @@ def test_debug_api_read_only_default(spark, debug_server):
         assert status == 200
 
 
+def test_debug_api_read_only_cte_dml_bypass(spark, debug_server):
+    """ADVICE r5: the grammar accepts a CTE prologue before DML, so a
+    leading-keyword allowlist alone lets `WITH ... INSERT` through.
+    The gate now classifies by the parsed plan."""
+    evil = [
+        "WITH t AS (SELECT 1 AS x) INSERT INTO tgt SELECT * FROM t",
+        "WITH t AS (SELECT 1) DELETE FROM tgt WHERE x IN (SELECT * FROM t)",
+        "WITH t AS (SELECT 1) UPDATE tgt SET x = 1",
+        ("WITH t AS (SELECT 1 AS x) MERGE INTO tgt USING t ON tgt.x = t.x "
+         "WHEN MATCHED THEN DELETE"),
+    ]
+    for q in evil:
+        status, body = _get(f"{debug_server.url}?q={urllib.parse.quote(q)}")
+        assert status == 403, q
+        assert "read-only" in body["error"]
+
+
+def test_debug_api_read_only_literal_false_positives(spark, debug_server):
+    """ADVICE r5 (low): semicolons and DML words inside string literals
+    are data, not statements — they must not 403."""
+    ok = [
+        "SELECT split('a;b', ';') AS parts",
+        "SELECT ';' AS semi",
+        "SELECT 'please INSERT nothing' AS note",
+        "WITH t AS (SELECT 'DELETE me' AS v) SELECT * FROM t",
+    ]
+    for q in ok:
+        status, _ = _get(f"{debug_server.url}?q={urllib.parse.quote(q)}")
+        assert status == 200, q
+
+
+def test_is_read_statement_textual_fallback():
+    """Without a session (no JVM parser), the textual scan must still
+    catch CTE-smuggled DML and keep literal-only matches green."""
+    from sql_flow_spark.http_api import _is_read_statement
+
+    assert not _is_read_statement(
+        "WITH t AS (SELECT 1) INSERT INTO tgt SELECT * FROM t", None
+    )
+    assert not _is_read_statement("WITH t AS (SELECT 1) UPDATE tgt SET x=1", None)
+    assert _is_read_statement("SELECT 'INSERT' AS w FROM t", None)
+    assert _is_read_statement("SELECT split(c, ';') FROM t", None)
+    assert not _is_read_statement("SELECT 1; DROP TABLE t", None)
+
+
+def test_metrics_endpoint_exposes_stream_counters(spark, tmp_path):
+    """Reference cmd/sql-flow.py:53 serves Prometheus; our /metrics
+    renders MetricsListener counters after a streamed micro-batch."""
+    import time
+
+    from sql_flow_spark.observability import attach_metrics
+
+    listener = attach_metrics(spark)
+    server = DebugHTTPServer(spark, port=0, metrics=listener).start()
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.json").write_text('{"x": 1}\n{"x": 2}\n')
+        q = (
+            spark.readStream.schema("x long").json(str(src))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .queryName("metrics_probe")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        # listener events are delivered async on the bus thread
+        def scrape_rows() -> tuple[str, float]:
+            host, port = server.address
+            with urllib.request.urlopen(
+                f"http://{host}:{port}/metrics", timeout=30
+            ) as resp:
+                assert resp.status == 200
+                assert resp.headers["Content-Type"].startswith("text/plain")
+                text = resp.read().decode()
+            lines = [
+                ln for ln in text.splitlines()
+                if ln.startswith('sqlflow_input_rows_total{query="metrics_probe"')
+            ]
+            return text, (float(lines[0].rsplit(" ", 1)[1]) if lines else -1.0)
+
+        deadline = time.time() + 30
+        text, rows = scrape_rows()
+        while rows < 2.0 and time.time() < deadline:
+            time.sleep(0.5)
+            text, rows = scrape_rows()
+        assert rows == 2.0, text
+        assert "# TYPE sqlflow_input_rows_total counter" in text
+        assert 'sqlflow_batches_total{query="metrics_probe"' in text
+    finally:
+        server.stop()
+        spark.streams.removeListener(listener)
+
+
+def test_metrics_endpoint_without_listener(spark, debug_server):
+    host, port = debug_server.address
+    with urllib.request.urlopen(
+        f"http://{host}:{port}/metrics", timeout=30
+    ) as resp:
+        assert resp.status == 200
+        assert "no metrics listener" in resp.read().decode()
+
+
 def test_debug_api_write_opt_in(spark):
     server = DebugHTTPServer(spark, port=0, read_only=False).start()
     try:
