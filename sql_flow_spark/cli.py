@@ -89,7 +89,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "validate":
-        conf = cfg.new_from_path(args.config)
+        rendered = cfg.render_config(args.config)
+        errors = cfg.validate_dict(rendered)
+        if errors:
+            for e in errors:
+                print(f"invalid: {e}", file=sys.stderr)
+            return 1
+        conf = cfg.new_from_dict(rendered)
         print(f"ok: source={conf.pipeline.source.type} "
               f"handler={conf.pipeline.handler.type} sink={conf.pipeline.sink.type}")
         return 0

@@ -301,3 +301,40 @@ def new_from_dict(conf: dict) -> Conf:
 
 def new_from_path(path: str, setting_overrides: dict | None = None) -> Conf:
     return new_from_dict(render_config(path, setting_overrides))
+
+
+SCHEMA_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "static", "schemas", "config.json"
+)
+
+
+def schema() -> dict:
+    """The machine-readable JSON Schema for the YAML surface (the
+    Spark-native mirror of reference sqlflow/static/schemas/config.json,
+    shipped so editors/CI can validate configs without importing us)."""
+    import json
+
+    with open(SCHEMA_PATH) as f:
+        return json.load(f)
+
+
+def validate_dict(conf: dict) -> list[str]:
+    """Validate a rendered config against the shipped JSON schema.
+
+    Returns human-actionable messages ("pipeline.source: 'type' is a
+    required property"), empty when valid. Schema validation runs
+    BEFORE dataclass parsing in ``cli validate`` so a bad config fails
+    with a located message instead of a KeyError. Gated on jsonschema
+    being importable (it is in this image); without it, returns [] and
+    the dataclass parse remains the only check."""
+    try:
+        import jsonschema
+    except ImportError:  # pragma: no cover - present in this image
+        return []
+
+    validator = jsonschema.Draft202012Validator(schema())
+    errors = []
+    for err in sorted(validator.iter_errors(conf), key=lambda e: list(e.path)):
+        where = ".".join(str(p) for p in err.path) or "<root>"
+        errors.append(f"{where}: {err.message}")
+    return errors

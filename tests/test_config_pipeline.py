@@ -421,3 +421,96 @@ def test_curation_pipeline_config(spark, tmp_path):
         for r in spark.table("global_temp.curation_scrubbed").collect()
     }
     assert scrubbed[4] == "mail me at <EMAIL> now"
+
+
+# --------------------------------------------------- JSON schema gate
+
+
+def test_schema_accepts_every_example_config():
+    """The shipped JSON schema (reference parity:
+    sqlflow/static/schemas/config.json) must accept every example the
+    repo ships — the schema describes the real surface, not a wish."""
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(EXAMPLES, "*.yml"))):
+        rendered = cfg.render_config(path)
+        errors = cfg.validate_dict(rendered)
+        assert not errors, f"{os.path.basename(path)}: {errors}"
+
+
+def test_schema_rejects_bad_configs_with_located_messages():
+    base = {
+        "pipeline": {
+            "source": {"type": "files", "path": "/tmp/in"},
+            "handler": {"sql": "SELECT * FROM batch"},
+            "sink": {"type": "console"},
+        }
+    }
+    import copy
+
+    # unknown sink type
+    bad = copy.deepcopy(base)
+    bad["pipeline"]["sink"]["type"] = "carrier_pigeon"
+    errs = cfg.validate_dict(bad)
+    assert errs and any("pipeline.sink.type" in e for e in errs)
+
+    # missing source type
+    bad = copy.deepcopy(base)
+    del bad["pipeline"]["source"]["type"]
+    errs = cfg.validate_dict(bad)
+    assert errs and any(
+        "pipeline.source" in e and "type" in e for e in errs
+    )
+
+    # bad error policy
+    bad = copy.deepcopy(base)
+    bad["pipeline"]["on_error"] = {"policy": "EXPLODE"}
+    errs = cfg.validate_dict(bad)
+    assert errs and any("on_error.policy" in e for e in errs)
+
+    # wrong type for batch_size
+    bad = copy.deepcopy(base)
+    bad["pipeline"]["batch_size"] = "many"
+    errs = cfg.validate_dict(bad)
+    assert errs and any("batch_size" in e for e in errs)
+
+    # top-level typo (additionalProperties: false at root)
+    bad = copy.deepcopy(base)
+    bad["pipelines"] = bad.pop("pipeline")
+    errs = cfg.validate_dict(bad)
+    assert errs
+
+    # the base itself is clean
+    assert cfg.validate_dict(base) == []
+
+
+def test_cli_validate_uses_schema(tmp_path):
+    """cli validate must fail (exit 1, located stderr message) on a
+    schema violation and pass a good config."""
+    from sql_flow_spark.cli import main
+
+    good = tmp_path / "good.yml"
+    good.write_text(
+        "pipeline:\n"
+        "  source: {type: files, path: /tmp/in, format: json}\n"
+        "  handler: {sql: SELECT * FROM batch}\n"
+        "  sink: {type: console}\n"
+    )
+    assert main(["validate", str(good)]) == 0
+
+    bad = tmp_path / "bad.yml"
+    bad.write_text(
+        "pipeline:\n"
+        "  source: {type: files, path: /tmp/in}\n"
+        "  sink: {type: carrier_pigeon}\n"
+    )
+    assert main(["validate", str(bad)]) == 1
+
+
+def test_example_command_output_validates():
+    """`cli example` prints a config; it must pass its own schema."""
+    from yaml import safe_load
+
+    from sql_flow_spark.cli import EXAMPLE_CONFIG
+
+    assert cfg.validate_dict(safe_load(EXAMPLE_CONFIG)) == []
