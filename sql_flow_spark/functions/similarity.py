@@ -266,12 +266,21 @@ def ivf_centroids(
     iters: int = _IVF_TRAIN_ITERS,
 ) -> np.ndarray:
     """Train k cosine-space centroids with Lloyd iterations on a
-    deterministic sample (lowest ids — bounded driver transfer of
-    sample*dim doubles, ~0.5 MB; at 100 TB this stays a sample, never
-    the corpus). Returns L2-normalized centroids, so nearest-centroid
-    by dot product equals nearest by cosine."""
+    deterministic sample: the ``sample`` rows with the smallest
+    xxhash64(id) — a uniform pseudo-random draw (hashing destroys any
+    id↔content correlation a lowest-ids sample would inherit) that is
+    reproducible across runs and partitionings. Bounded driver
+    transfer of sample*dim doubles, ~0.5 MB; at 100 TB this stays a
+    sample, never the corpus. The plan is TakeOrderedAndProject
+    (per-partition top-k heap, merged at the driver) — no Exchange, no
+    global Sort; pinned by test_plans.test_ivf_trainer_plan_has_no_
+    exchange. Returns L2-normalized centroids, so nearest-centroid by
+    dot product equals nearest by cosine."""
     rows = (
-        e.select(id_col, emb_col).orderBy(id_col).limit(sample).collect()
+        e.select(id_col, emb_col)
+        .orderBy(F.xxhash64(F.col(id_col)), id_col)
+        .limit(sample)
+        .collect()
     )
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)

@@ -153,3 +153,27 @@ def test_embedding_builders_trigger_no_driver_jobs(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", _no_probe)
     for name in ("ann_lsh_topk", "ann_cosine_topk", "dedup_embedding_lsh"):
         QUERIES[name](spark, sf_dir)  # plan construction only
+
+
+def test_ivf_trainer_plan_has_no_exchange(spark, sf_dir):
+    """VERDICT r5 item 6: the IVF centroid training sample must not
+    shuffle — the hash-ordered bounded sample compiles to
+    TakeOrderedAndProject (per-partition top-k, driver merge), never an
+    Exchange + global Sort."""
+    from pyspark.sql import functions as F
+
+    from sql_flow_spark.functions.similarity import _IVF_TRAIN_SAMPLE
+    from sql_flow_spark.tables import load_tables
+
+    e = load_tables(spark, sf_dir, ("embeddings",), register_views=False)[
+        "embeddings"
+    ]
+    sample_df = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
+        .limit(_IVF_TRAIN_SAMPLE)
+    )
+    p = sample_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+    assert "Sort " not in p
