@@ -514,3 +514,30 @@ def test_example_command_output_validates():
     from sql_flow_spark.cli import EXAMPLE_CONFIG
 
     assert cfg.validate_dict(safe_load(EXAMPLE_CONFIG)) == []
+
+
+def test_s3_parquet_sink_example(spark):
+    """Reference s3.parquet.sink.yml parity: the object-store sink is
+    just a FileSink with an s3a:// path; the SET fs.s3a.* init
+    commands must land in the session Hadoop conf (that is the whole
+    mapping of DuckDB's SET s3_*). Jar-gated: no hadoop-aws in this
+    container, so nothing is written — the config surface and conf
+    propagation are what's tested."""
+    conf = cfg.new_from_path(os.path.join(EXAMPLES, "s3.parquet.sink.yml"))
+    assert conf.pipeline.sink.type == "files"
+    assert conf.pipeline.sink.path.startswith("s3a://")
+    assert conf.pipeline.sink.format == "parquet"
+    assert conf.pipeline.sink.options.get("compression") == "zstd"
+
+    from sql_flow_spark.sinks import FileSink, new_sink_from_conf
+
+    sink = new_sink_from_conf(conf.pipeline.sink, spark)
+    assert isinstance(sink, FileSink)
+
+    # run the init commands; they must reach the hadoop conf file
+    # sources use (SessionState.newHadoopConf merges SQLConf in)
+    for c in conf.commands:
+        spark.sql(c.sql)
+    hc = spark._jsparkSession.sessionState().newHadoopConf()
+    assert hc.get("fs.s3a.endpoint") == "http://localhost:9000"
+    assert hc.get("fs.s3a.path.style.access") == "true"
