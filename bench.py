@@ -78,6 +78,11 @@ HEADLINE = (
     # r6: the production (linear LSH) cluster path benched next to its
     # quadratic oracle twin — this is the number that matters at scale
     "dedup_clusters_lsh",
+    # r6 new operators: the remaining TPC-H shapes, adapted
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_suppliers",
+    "q20_dominant_supplier",
 )
 
 

@@ -5,12 +5,14 @@ share ratios, returned-item rankings, order-count distributions,
 promo shares, top-supplier argmax, large-order HAVING joins,
 OR-of-ANDs predicate pushdown, and idle-customer anti-joins.
 
-Q2/Q9/Q11/Q16/Q20 need the partsupp table (absent from the synthetic
-star schema). Q12/Q21 need commit/receipt dates, so their SHAPES are
-covered by adapted variants on the columns that exist
-(q12_late_shipments, q21_waiting_supplier below); everything else
-from the classic set that this schema can express is here or in
-analytics.py/extra.py.
+Q2/Q9/Q11/Q16/Q20 classically need the partsupp table (absent from
+the synthetic star schema) and Q12/Q21 need commit/receipt dates, so
+their SHAPES are covered by adapted variants on the columns that
+exist: q12_late_shipments, q21_waiting_supplier, and (r6, lineitem as
+the part<->supplier bridge) q9_product_profit, q11_important_stock,
+q16_parts_suppliers, q20_dominant_supplier below; Q2's argmin shape
+is argmin_cheapest_part in extra.py. Everything else from the classic
+set that this schema can express is here or in analytics.py/extra.py.
 
 Determinism contract as everywhere (registry.py): money sums go
 through fixed-point DECIMAL, ratios divide two exact sums in DOUBLE,
@@ -612,3 +614,296 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------- r6:
+# the remaining classic shapes this schema can express, adapted around
+# the missing partsupp table (lineitem is the part<->supplier bridge,
+# p_retailprice stands in for ps_supplycost, and the below-average-
+# balance suppliers stand in for Q16's complaint subquery). Threshold
+# comparisons are pure scaled-integer arithmetic on both engines, so a
+# borderline row can never flip sides between Spark and DuckDB.
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, {o_dsum('amount')} AS profit
+    FROM (
+      SELECT
+        n_name AS nation,
+        EXTRACT(year FROM o_orderdate) AS o_year,
+        l_extendedprice * (1 - l_discount)
+          - 0.1 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted:
+    no partsupp, so unit cost is proxied by 0.1*p_retailprice — the
+    join graph (5-way: fact x 3 broadcast dims + one fact-fact
+    shuffle), the LIKE part filter, and the (nation, year) rollup are
+    the Q9 semantics being exercised. part (200 rows) / supplier /
+    nation broadcast; orders<->lineitem on orderkey is the one big
+    shuffle, then the agg lands on a tiny key space."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "part", "supplier", "nation", "orders")
+    )
+    amount = _revenue_col() - F.lit(0.1) * F.col("p_retailprice") * F.col(
+        "l_quantity"
+    )
+    joined = (
+        t["lineitem"]
+        .select(
+            "l_partkey", "l_suppkey", "l_orderkey",
+            "l_extendedprice", "l_discount", "l_quantity",
+        )
+        .join(
+            F.broadcast(
+                t["part"]
+                .where(F.col("p_name").like("%widget%"))
+                .select("p_partkey", "p_retailprice")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount")).alias("profit"))
+    )
+
+
+_Q11_NATIONS = ("NATION_1", "NATION_2", "NATION_3")
+_Q11_MULTIPLE = 2  # part passes when value > 2x the mean part value
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_partkey,
+        SUM(CAST(floor(l_extendedprice * l_quantity * 10000.0 + 0.5)
+                 AS DECIMAL(30,0))) AS vs
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN {str(tuple(_Q11_NATIONS))}
+      GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(vs) AS total, COUNT(*) AS n_parts FROM v)
+    SELECT l_partkey, CAST(vs AS DOUBLE) / 10000.0 AS value
+    FROM v CROSS JOIN tot
+    WHERE vs * n_parts > {_Q11_MULTIPLE} * total
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted: the
+    per-part "inventory value" is the shipped extendedprice*quantity
+    mass from a 3-nation supplier group (no partsupp), and a part is
+    kept when its value exceeds twice the MEAN part value — a cut
+    that, unlike Q11's fixed 1/10000-of-total (which is calibrated to
+    partsupp's cardinality and selects nothing or everything as SF
+    changes), keeps a stable selectivity at every scale factor. The
+    Q11 semantics exercised: group-by-part aggregate HAVING-compared
+    against a scalar aggregate of the SAME derived table. The
+    threshold test multiplies through by the part count (vs*n > 2*
+    total on exact decimals), so both engines agree on every
+    borderline part. The group stats are one broadcast row; the
+    per-part aggregate shuffles once on l_partkey."""
+    from sql_flow_spark.registry import scaled_int
+
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].where(F.col("n_name").isin(*_Q11_NATIONS))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                scaled_int(F.col("l_extendedprice") * F.col("l_quantity"))
+            ).alias("vs")
+        )
+    )
+    tot = v.agg(F.sum("vs").alias("total"), F.count("*").alias("n_parts"))
+    return (
+        v.join(F.broadcast(tot))
+        .where(
+            F.col("vs") * F.col("n_parts") > F.lit(_Q11_MULTIPLE) * F.col("total")
+        )
+        .select(
+            "l_partkey",
+            (F.col("vs").cast("double") / F.lit(10000.0)).alias("value"),
+        )
+    )
+
+
+_Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+
+@query(
+    "q16_parts_suppliers",
+    oracle=f"""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND p_size IN {str(_Q16_SIZES)}
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier
+        WHERE CAST(floor(s_acctbal * 10000.0 + 0.5) AS DECIMAL(30,0))
+              * (SELECT COUNT(*) FROM supplier)
+            < (SELECT SUM(CAST(floor(s_acctbal * 10000.0 + 0.5)
+                               AS DECIMAL(30,0))) FROM supplier)
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship), adapted: lineitem
+    is the part<->supplier bridge (no partsupp), and the excluded
+    suppliers are those with below-average account balance (standing
+    in for the complaints NOT-IN subquery — same anti-join shape).
+    The below-average test multiplies through by COUNT(*) so it is
+    exact integer arithmetic (bal*n < total), never a double-average
+    comparison that borderline suppliers could disagree on across
+    engines. Distinct-supplier counting shuffles once on the
+    (brand, type, size) key space after the broadcast part join and
+    broadcast anti-join."""
+    from sql_flow_spark.registry import scaled_int
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    s = t["supplier"].select(
+        "s_suppkey", scaled_int(F.col("s_acctbal")).alias("bal")
+    )
+    stats = s.agg(
+        F.sum("bal").alias("total"), F.count("*").alias("n")
+    )
+    below_avg = (
+        s.join(F.broadcast(stats))
+        .where(F.col("bal") * F.col("n") < F.col("total"))
+        .select("s_suppkey")
+    )
+    parts = (
+        t["part"]
+        .where(
+            (F.col("p_type") != "PROMO") & F.col("p_size").isin(*_Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(below_avg),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q20_YEAR = 1997
+
+
+@query(
+    "q20_dominant_supplier",
+    oracle=f"""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+        SUM(CAST(floor(l_quantity * 10000.0 + 0.5) AS DECIMAL(30,0))) AS sq
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+        AND EXTRACT(year FROM l_shipdate) = {_Q20_YEAR}
+      GROUP BY l_partkey, l_suppkey
+    ),
+    ptot AS (SELECT l_partkey, SUM(sq) AS pq FROM shipped GROUP BY l_partkey)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM shipped JOIN ptot USING (l_partkey)
+      WHERE sq * 2 > pq
+    )
+    """,
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted: a supplier
+    qualifies when, for some 'widget' part, it shipped more than half
+    of that part's total 1997 quantity — the same
+    nested-aggregate-feeding-a-semi-join chain as Q20's
+    availqty-vs-half-shipped test (no partsupp). The dominance test is
+    2*sq > pq on exact scaled integers. ptot reuses shipped's
+    l_partkey partitioning (no extra exchange); the final IN is a
+    broadcast left-semi against the supplier dim."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    shipped = (
+        t["lineitem"]
+        .where(F.year("l_shipdate") == _Q20_YEAR)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(
+            F.broadcast(
+                t["part"]
+                .where(F.col("p_name").like("%widget%"))
+                .select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") * F.lit(10000.0) + F.lit(0.5)).cast(
+                    "decimal(30,0)"
+                )
+            ).alias("sq")
+        )
+    )
+    ptot = shipped.groupBy("l_partkey").agg(F.sum("sq").alias("pq"))
+    dominant = (
+        shipped.join(ptot, "l_partkey")
+        .where(F.col("sq") * 2 > F.col("pq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return t["supplier"].join(
+        F.broadcast(dominant),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_name")
