@@ -83,6 +83,9 @@ HEADLINE = (
     "q11_important_stock",
     "q16_parts_suppliers",
     "q20_dominant_supplier",
+    # r6 new training-data operators
+    "cross_split_contamination",
+    "unigram_logprob",
 )
 
 

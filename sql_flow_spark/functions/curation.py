@@ -734,3 +734,75 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------- split-leak contamination
+
+LEAK_PREFIX_TOKENS = 8  # leak key: first k tokens, lowercased
+
+
+@query(
+    "cross_split_contamination",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               regexp_split_to_array(trim(lower(text)), '\\s+')
+                 [1:{LEAK_PREFIX_TOKENS}], ' ')) AS f,
+             CASE WHEN doc_id % 100 < 90 THEN 'train'
+                  WHEN doc_id % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT f,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT split) AS n_splits,
+           array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+    FROM fp
+    GROUP BY f
+    HAVING COUNT(DISTINCT split) > 1
+    """,
+)
+def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leak QA: document families whose members straddle the
+    train/val/test boundary of train_val_split's deterministic
+    assignment. Any row here means an eval answer's opening is sitting
+    in the training set — the leak contamination_check can't see
+    because it compares against an EXTERNAL benchmark, not the
+    corpus's own splits. The family key is the first
+    LEAK_PREFIX_TOKENS lowercased tokens (prefix fingerprint): a
+    strict superset of exact-text leakage (identical text implies an
+    identical prefix) that also catches shared-opening near-dups —
+    the prefix/suffix-overlap test decontamination tooling actually
+    runs. Run after splitting: leak key x split assignment -> leaked
+    families with member counts and which splits they touch.
+
+    Scale shape: one narrow scan computes (prefix-fingerprint, split);
+    one shuffle on the fingerprint (the same exchange dedup_exact
+    builds); the output is only the leaked families (rare), so the
+    result stays tiny. 100 TB-safe."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    split = (
+        F.when(F.col("doc_id") % 100 < 90, "train")
+        .when(F.col("doc_id") % 100 < 95, "val")
+        .otherwise("test")
+    )
+    prefix_fp = F.md5(
+        F.array_join(
+            F.slice(ws_tokens(F.lower(F.col("text"))), 1, LEAK_PREFIX_TOKENS),
+            " ",
+        )
+    )
+    return (
+        t["documents"]
+        .select(prefix_fp.alias("f"), split.alias("split"))
+        .groupBy("f")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("split").alias("n_splits"),
+            F.array_join(F.sort_array(F.collect_set("split")), ",").alias(
+                "splits"
+            ),
+        )
+        .where(F.col("n_splits") > 1)
+    )

@@ -405,3 +405,88 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.join(F.broadcast(tot)).select(
         "source", "n_docs", "n_tokens", weight.alias("weight")
     )
+
+
+# ------------------------------------------- unigram LM quality score
+
+@query(
+    "unigram_logprob",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ),
+    vocab AS (SELECT term, COUNT(*) AS c FROM terms GROUP BY term),
+    tot AS (SELECT COUNT(*) AS n FROM terms),
+    scored AS (
+      -- fixed-point ln to 6dp (same masking as tfidf_top_term): the
+      -- per-token log-prob becomes an exact integer, so the per-doc
+      -- SUM is order-insensitive and engine-identical
+      SELECT tf.doc_id,
+             SUM(tf.tf * CAST(floor(
+               ln(CAST(vocab.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               * 1000000.0 + 0.5) AS DECIMAL(30,0))) AS lp_scaled,
+             CAST(SUM(tf.tf) AS BIGINT) AS n_tokens
+      FROM tf JOIN vocab ON tf.term = vocab.term CROSS JOIN tot
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(lp_scaled AS DOUBLE) / 1000000.0
+             / CAST(n_tokens AS DOUBLE) AS avg_logprob
+    FROM scored
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality score without a model: the mean
+    per-token natural-log probability of each document under the
+    corpus's own unigram distribution. Boilerplate and stopword soup
+    score high (typical), gibberish and rare-token noise score low —
+    the cheap stand-in for the LM-perplexity filter every pretraining
+    pipeline runs, expressed entirely in Catalyst.
+
+    Determinism: ln() is not correctly rounded, so the per-token
+    log-prob is floor-scaled to an exact integer before the per-doc
+    sum (the tfidf_top_term pattern); the two divisions at the
+    boundary are IEEE-identical.
+
+    Scale shape: one explode pass feeds both the per-doc tf and the
+    vocab counts (two aggs on the term-keyed exchange); the score join
+    shuffles tf and vocab on term — vocabulary is corpus-derived, so
+    it is NEVER broadcast (the boilerplate_flag rule); the total-token
+    count rides along as one broadcast row. Per-doc reduce lands on
+    doc_id. Three shuffles, all key-partitioned, no quadratic term."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    terms = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    vocab = terms.groupBy("term").agg(F.count("*").alias("c"))
+    tot = terms.agg(F.count("*").alias("n"))
+    lp_int = F.floor(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("decimal(30,0)")
+    scored = (
+        tf.join(vocab, "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * lp_int).alias("lp_scaled"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("lp_scaled").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n_tokens").cast("double")
+        ).alias("avg_logprob"),
+    )
