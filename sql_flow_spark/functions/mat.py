@@ -14,20 +14,50 @@ GC) otherwise.
 Reliable checkpoint files are only auto-deleted when
 ``spark.cleaner.referenceTracking.cleanCheckpoints=true``; warn once
 if that conf is off so the storage cost is an explicit decision.
+
+CONTRACT — build-time execution (r5 advice): unlike the lazy
+``cache()`` it replaced, checkpointing is EAGER. Merely CONSTRUCTING a
+DataFrame whose builder calls ``materialize_once`` (every
+connected-components / curation operator) runs real Spark jobs for
+the checkpointed subtrees — an EXPLAIN, a schema probe, or a registry
+sweep that instantiates queries() executes work. Plan-only consumers
+must opt out with ``lazy_plans()`` (below), which swaps
+materialization for identity inside a ``with`` block — exactly what
+test_plans does to audit plan shapes without executing them.
 """
 
 from __future__ import annotations
 
 import logging
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
 logger = logging.getLogger(__name__)
 
 _warned_ckpt_cleanup = False
+_lazy_mode = False
+
+
+@contextmanager
+def lazy_plans():
+    """Escape hatch for plan-only consumers: inside this context,
+    ``materialize_once`` is an identity pass-through, so building an
+    operator's DataFrame triggers NO Spark jobs (and performs no
+    lineage flattening — do not EXECUTE iterative operators built in
+    this mode; their uncheckpointed lineage can be exponential)."""
+    global _lazy_mode
+    prev = _lazy_mode
+    _lazy_mode = True
+    try:
+        yield
+    finally:
+        _lazy_mode = prev
 
 
 def materialize_once(df: DataFrame) -> DataFrame:
+    if _lazy_mode:
+        return df
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         global _warned_ckpt_cleanup

@@ -83,16 +83,15 @@ def test_minhash_bucket_cap_exchange_shape(spark, sf_dir, monkeypatch):
     WindowGroupLimit, which truncates each bucket to the cap map-side
     BEFORE the shuffle — the cap reduces shuffle volume rather than
     adding a pass over the full band table."""
-    import sql_flow_spark.functions.dedup as dd
+    from sql_flow_spark.functions.mat import lazy_plans
 
-    # Lazy twin (materialization disabled): the window pipeline is
-    # visible — map-side WindowGroupLimit before the band exchange, no
-    # cartesian, and the un-materialized bands subtree would pay its
-    # band shuffle once PER JOIN SIDE (the cost materialize_once
-    # collapses).
-    monkeypatch.setattr(dd, "materialize_once", lambda df: df)
-    lazy = plan(spark, sf_dir, "dedup_minhash_lsh")
-    monkeypatch.undo()
+    # Lazy twin (materialization disabled via the official plan-only
+    # escape hatch): the window pipeline is visible — map-side
+    # WindowGroupLimit before the band exchange, no cartesian, and the
+    # un-materialized bands subtree would pay its band shuffle once
+    # PER JOIN SIDE (the cost materialize_once collapses).
+    with lazy_plans():
+        lazy = plan(spark, sf_dir, "dedup_minhash_lsh")
     assert "WindowGroupLimit" in lazy  # map-side bucket truncation
     assert "CartesianProduct" not in lazy
     assert lazy.count("hashpartitioning(band") == 2
@@ -177,3 +176,23 @@ def test_ivf_trainer_plan_has_no_exchange(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
     assert "Exchange" not in p
     assert "Sort " not in p
+
+
+def test_lazy_plans_escape_hatch(spark):
+    """materialize_once is EAGER by contract (building an operator
+    executes checkpoint jobs); lazy_plans() must make it an identity
+    pass-through for plan-only consumers, and restore eagerness on
+    exit (even via exception)."""
+    import pytest
+
+    from sql_flow_spark.functions.mat import lazy_plans, materialize_once
+
+    df = spark.range(3)
+    with lazy_plans():
+        assert materialize_once(df) is df
+    assert materialize_once(df) is not df  # eager again
+
+    with pytest.raises(RuntimeError):
+        with lazy_plans():
+            raise RuntimeError("boom")
+    assert materialize_once(df) is not df  # restored after exception
