@@ -66,6 +66,7 @@ class SinkConf:
     path: Optional[str] = None
     format: str = "parquet"
     mode: str = "append"
+    partition_by: list[str] = field(default_factory=list)  # hive-style dirs
     # memory
     name: Optional[str] = None
     # kafka

@@ -95,20 +95,32 @@ class NoopSink(Sink):
 class FileSink(Sink):
     """Directory sink: parquet/json/csv; S3 via s3a:// paths on a real
     cluster (reference: local.parquet.sink.yml / s3.parquet.sink.yml).
-    Appends one directory-partition per batch."""
+    Appends one directory-partition per batch.
+
+    ``partition_by`` writes hive-style partition directories
+    (path/col=value/...) — the lake layout that lets downstream scans
+    partition-prune instead of reading the whole output. At 100 TB
+    choose low-cardinality columns (date, lang, source); a
+    high-cardinality partition column creates millions of directories
+    of tiny files. Pair with the ``maxRecordsPerFile`` option to bound
+    file sizes."""
 
     def __init__(self, path: str, format: str = "parquet", mode: str = "append",
-                 options: dict | None = None):
+                 options: dict | None = None,
+                 partition_by: list[str] | None = None):
         assert path, "files sink requires a path"
         self.path = path
         self.format = format
         self.mode = mode
         self.options = options or {}
+        self.partition_by = list(partition_by or [])
         self._last: Optional[DataFrame] = None
 
     def write_table(self, df: DataFrame):
         self._last = df
         w = df.write.format(self.format).mode(self.mode)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
         for k, v in self.options.items():
             w = w.option(k, v)
         w.save(self.path)
@@ -291,6 +303,7 @@ def new_sink_from_conf(sink_conf, spark: SparkSession) -> Sink:
         return FileSink(
             path=sink_conf.path, format=sink_conf.format,
             mode=sink_conf.mode, options=sink_conf.options,
+            partition_by=sink_conf.partition_by,
         )
     if typ == "kafka":
         return KafkaSink(

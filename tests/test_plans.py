@@ -196,3 +196,22 @@ def test_lazy_plans_escape_hatch(spark):
         with lazy_plans():
             raise RuntimeError("boom")
     assert materialize_once(df) is not df  # restored after exception
+
+
+def test_r6_operators_plan_hygiene(spark, sf_dir):
+    """The r6 additions keep the global invariants: no cartesian
+    products, no python fallback, and the q9 star join broadcasts its
+    dims while cross_split_contamination stays a single-shuffle
+    aggregate."""
+    for name in (
+        "q9_product_profit", "q11_important_stock", "q16_parts_suppliers",
+        "q20_dominant_supplier", "cross_split_contamination",
+        "unigram_logprob",
+    ):
+        p = plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name} degraded to cartesian"
+        assert "EvalPython" not in p, f"{name} fell back to python"
+    assert "BroadcastHashJoin" in plan(spark, sf_dir, "q9_product_profit")
+    p = plan(spark, sf_dir, "cross_split_contamination")
+    assert "BroadcastHashJoin" not in p  # narrow scan + one agg exchange
+    assert p.count("HashAggregate") >= 2  # map-side partials

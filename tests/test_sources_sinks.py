@@ -84,6 +84,51 @@ def test_file_sink_roundtrip(spark, tmp_path):
     assert back.count() == 4
 
 
+def test_file_sink_partition_by(spark, tmp_path):
+    """partition_by writes hive-style directories and downstream scans
+    partition-prune on them — the 100 TB lake layout, wired from the
+    YAML sink block through to df.write.partitionBy."""
+    import os
+
+    from sql_flow_spark import config as cfg
+
+    conf = cfg.new_from_dict(
+        {
+            "pipeline": {
+                "source": {"type": "files", "path": "/unused"},
+                "handler": {},
+                "sink": {
+                    "type": "files",
+                    "path": str(tmp_path / "lake"),
+                    "format": "parquet",
+                    "partition_by": ["lang"],
+                },
+            }
+        }
+    )
+    assert cfg.validate_dict(
+        {"pipeline": {"source": {"type": "files", "path": "/u"},
+                      "sink": {"type": "files", "path": "/o",
+                               "partition_by": ["lang"]}}}
+    ) == []
+    sink = new_sink_from_conf(conf.pipeline.sink, spark)
+    df = spark.createDataFrame(
+        [(1, "en", "x"), (2, "de", "y"), (3, "en", "z")],
+        "doc_id long, lang string, text string",
+    )
+    sink.write_table(df)
+    # hive-style layout on disk
+    assert sorted(
+        d for d in os.listdir(tmp_path / "lake") if d.startswith("lang=")
+    ) == ["lang=de", "lang=en"]
+    # read-back prunes: the en-filter plan reads only the en partition
+    back = spark.read.parquet(str(tmp_path / "lake"))
+    en = back.where(back.lang == "en")
+    assert en.count() == 2
+    plan_str = en._jdf.queryExecution().executedPlan().toString()
+    assert "lang=de" not in plan_str
+
+
 def test_sqlcommand_sink_with_uuid_substitution(spark, tmp_path):
     out_dir = tmp_path / "sqlcmd"
     sink = SQLCommandSink(
