@@ -86,6 +86,7 @@ HEADLINE = (
     # r6 new training-data operators
     "cross_split_contamination",
     "unigram_logprob",
+    "events_anomaly",
 )
 
 

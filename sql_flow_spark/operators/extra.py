@@ -580,3 +580,68 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(k).cast("int").alias("max_k"),
         )
     )
+
+
+@query(
+    "events_anomaly",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type, value,
+             CAST(floor(value * 10000.0 + 0.5) AS HUGEINT) AS xs
+      FROM events
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(xs) AS sx, SUM(xs * xs) AS sq
+      FROM s GROUP BY event_type
+    )
+    SELECT event_id, s.event_type, value,
+      floor(CAST(n * xs - sx AS DOUBLE)
+            / sqrt(CAST(n * sq - sx * sx AS DOUBLE))
+            * 1000000.0 + 0.5) / 1000000.0 AS zscore
+    FROM s JOIN st ON s.event_type = st.event_type
+    WHERE (n * xs - sx) * (n * xs - sx) > 4 * (n * sq - sx * sx)
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type outlier detection: events whose value sits more
+    than two standard deviations from their type's mean, with the
+    z-score. The moment arithmetic is EXACT: values are floor-scaled
+    to integers, so n, Σx and Σx² are integers (int128 in DuckDB,
+    DECIMAL(38,0) in Spark) and the 2σ test — (n·x−Σx)² > 4(n·Σx²−
+    (Σx)²), the z>2 inequality multiplied through by n² — is an exact
+    integer comparison that cannot flip a borderline event between
+    engines. The reported z-score divides the same exact integers in
+    DOUBLE (sqrt is correctly rounded per IEEE 754) and is 6dp
+    fixed-point rounded like every cross-engine real-valued score.
+
+    Scale shape: one groupBy(event_type) with map-side partials
+    produces a HANDFUL of stat rows (one per type) that broadcast back
+    onto the event scan — no second pass over sorted data, no window
+    over the whole table. 100 TB-safe."""
+    t = load_tables(spark, sf_dir, ("events",))
+    xs = F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    s = t["events"].select("event_id", "event_type", "value", xs.alias("xs"))
+    st = s.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("xs").alias("sx"),
+        F.sum(F.col("xs") * F.col("xs")).alias("sq"),
+    )
+    dev = F.col("n") * F.col("xs") - F.col("sx")
+    var_n2 = F.col("n") * F.col("sq") - F.col("sx") * F.col("sx")
+    zscore = (
+        F.floor(
+            dev.cast("double")
+            / F.sqrt(var_n2.cast("double"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    return (
+        s.join(F.broadcast(st), "event_type")
+        .where(dev * dev > F.lit(4) * var_n2)
+        .select("event_id", "event_type", "value", zscore.alias("zscore"))
+    )
