@@ -72,6 +72,10 @@ def main(argv: list[str] | None = None) -> int:
     p_val.add_argument("config")
 
     sub.add_parser("example", help="print an example pipeline config")
+    sub.add_parser(
+        "schema",
+        help="print the config JSON schema (for editors/CI validation)",
+    )
 
     p_sql = sub.add_parser(
         "sql",
@@ -86,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "example":
         print(EXAMPLE_CONFIG)
+        return 0
+
+    if args.cmd == "schema":
+        import json
+
+        print(json.dumps(cfg.schema(), indent=2))
         return 0
 
     if args.cmd == "validate":

@@ -618,7 +618,10 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one groupBy(event_type) with map-side partials
     produces a HANDFUL of stat rows (one per type) that broadcast back
     onto the event scan — no second pass over sorted data, no window
-    over the whole table. 100 TB-safe."""
+    over the whole table. Headroom: n·Σx² stays under DECIMAL(38)'s
+    1e38 up to ~1e12 rows/type at this value range; beyond that lower
+    the fixed-point scale (1e2) — ANSI mode fails loudly on overflow
+    rather than corrupting, so the limit is explicit."""
     t = load_tables(spark, sf_dir, ("events",))
     xs = F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast(
         "decimal(38,0)"

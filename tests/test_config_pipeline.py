@@ -541,3 +541,14 @@ def test_s3_parquet_sink_example(spark):
     hc = spark._jsparkSession.sessionState().newHadoopConf()
     assert hc.get("fs.s3a.endpoint") == "http://localhost:9000"
     assert hc.get("fs.s3a.path.style.access") == "true"
+
+
+def test_cli_schema_prints_valid_schema(capsys):
+    import json
+
+    from sql_flow_spark.cli import main
+
+    assert main(["schema"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["required"] == ["pipeline"]
+    assert "source" in out["$defs"]
