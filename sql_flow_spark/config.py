@@ -75,6 +75,10 @@ class SinkConf:
     # sqlcommand: SQL run per flush against view sqlflow_sink_batch
     sql: Optional[str] = None
     substitutions: list[dict] = field(default_factory=list)
+    # upsert: latest-row-wins keyed parquet table
+    key: list[str] = field(default_factory=list)
+    order_by: Optional[str] = None
+    n_buckets: int = 64
     options: dict = field(default_factory=dict)
 
 

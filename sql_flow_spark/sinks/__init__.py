@@ -19,6 +19,7 @@ from sql_flow_spark.sinks.core import (
     Sink,
     SinkException,
     SQLCommandSink,
+    UpsertSink,
     new_sink_from_conf,
 )
 
@@ -35,6 +36,7 @@ __all__ = [
     "KafkaSink",
     "SQLCommandSink",
     "RecordingSink",
+    "UpsertSink",
     "DLQSink",
     "new_sink_from_conf",
 ]

@@ -129,6 +129,132 @@ class FileSink(Sink):
         return self._last
 
 
+class UpsertSink(Sink):
+    """Keyed latest-row-wins table on plain parquet — the Spark-native
+    equivalent of the reference's idempotent ON CONFLICT DO UPDATE
+    sink (reference: dev/config/examples/kafka.motherduck.idempotent.yml,
+    sqlflow/sinks.py SQLCommand) with no lakehouse jar required.
+
+    Layout: hive partitions on ``__bucket = pmod(xxhash64(key...),
+    n_buckets)``. Each batch (1) reduces itself to latest-per-key,
+    (2) finds its touched buckets (≤ n_buckets values — a bounded
+    collect), (3) reads ONLY those bucket partitions back
+    (partition-pruned scan), (4) merges latest-per-key with the batch
+    winning ties, and (5) rewrites only the touched buckets via
+    dynamic partition overwrite. Per-batch cost is proportional to the
+    touched buckets' size, never the whole table — at 100 TB raise
+    n_buckets so a bucket stays executor-memory-sized (the same knob
+    as a shuffle partition count).
+
+    Ordering: rows are versioned by ``order_by`` (e.g. an event
+    timestamp) when given, else by an internal monotonically
+    increasing batch sequence (restart-safe: resumes from the stored
+    max). Ties go to the later batch.
+
+    Honesty note: dynamic partition overwrite is atomic per partition
+    directory, not across the batch — a crash mid-commit can leave
+    some buckets new and some old (re-running the batch converges,
+    since upsert is idempotent). The transactional path is a lakehouse
+    MERGE (Iceberg/Delta) once the catalog jar ships; this sink is
+    the jar-free 90%."""
+
+    SEQ_COL = "__seq"
+    BUCKET_COL = "__bucket"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: list[str],
+        order_by: str | None = None,
+        n_buckets: int = 64,
+    ):
+        assert path, "upsert sink requires a path"
+        assert key, "upsert sink requires key columns"
+        self.spark = spark
+        self.path = path
+        self.key = list(key)
+        self.order_by = order_by
+        self.n_buckets = n_buckets
+        self._seq: Optional[int] = None
+        self._last: Optional[DataFrame] = None
+
+    def _table(self) -> Optional[DataFrame]:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:  # first batch: table does not exist yet
+            return None
+
+    def _next_seq(self, existing: Optional[DataFrame]) -> int:
+        if self._seq is None:
+            if existing is not None and self.SEQ_COL in existing.columns:
+                row = existing.agg(F.max(self.SEQ_COL)).first()
+                self._seq = int(row[0] or 0)
+            else:
+                self._seq = 0
+        self._seq += 1
+        return self._seq
+
+    def _bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.BUCKET_COL,
+            F.pmod(F.xxhash64(*self.key), F.lit(self.n_buckets)).cast("int"),
+        )
+
+    def _latest_per_key(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        order = [F.col(self.SEQ_COL).desc()]
+        if self.order_by:
+            order.insert(0, F.col(self.order_by).desc())
+        w = Window.partitionBy(*self.key).orderBy(*order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def write_table(self, df: DataFrame):
+        self._last = df
+        existing = self._table()
+        seq = self._next_seq(existing)
+        batch = self._bucket(df.withColumn(self.SEQ_COL, F.lit(seq)))
+        batch = self._latest_per_key(batch)
+        if existing is not None:
+            touched = [
+                r[0]
+                for r in batch.select(self.BUCKET_COL).distinct().collect()
+            ]
+            old = existing.where(F.col(self.BUCKET_COL).isin(touched))
+            merged = self._latest_per_key(
+                old.unionByName(batch, allowMissingColumns=True)
+            )
+        else:
+            merged = batch
+        prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged.write.mode("overwrite")
+                .partitionBy(self.BUCKET_COL)
+                .parquet(self.path)
+            )
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def current(self) -> Optional[DataFrame]:
+        """The table as a DataFrame (without internal columns)."""
+        t = self._table()
+        if t is None:
+            return None
+        return t.drop(self.SEQ_COL, self.BUCKET_COL)
+
+    def batch(self) -> Optional[DataFrame]:
+        return self._last
+
+
 class KafkaSink(Sink):
     """Kafka producer via the native connector (jar required on a real
     cluster; reference: sinks.py:125). Rows are JSON-encoded into
@@ -308,6 +434,11 @@ def new_sink_from_conf(sink_conf, spark: SparkSession) -> Sink:
     if typ == "kafka":
         return KafkaSink(
             brokers=sink_conf.brokers, topic=sink_conf.topic, options=sink_conf.options
+        )
+    if typ == "upsert":
+        return UpsertSink(
+            spark, path=sink_conf.path, key=sink_conf.key,
+            order_by=sink_conf.order_by, n_buckets=sink_conf.n_buckets,
         )
     if typ == "sqlcommand":
         return SQLCommandSink(

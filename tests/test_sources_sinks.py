@@ -551,3 +551,124 @@ def test_lakehouse_example_config(spark):
         spark.conf.unset("spark.sql.catalog.lake")
         spark.conf.unset("spark.sql.catalog.lake.type")
         spark.conf.unset("spark.sql.catalog.lake.warehouse")
+
+
+# ----------------------------------------------------------- upsert sink
+
+
+def _upsert_rows(sink):
+    return {
+        r.k: (r.v, r.ts) for r in sink.current().collect()
+    }
+
+
+def test_upsert_sink_latest_wins(spark, tmp_path):
+    """The ON CONFLICT DO UPDATE parity: later batches replace earlier
+    rows with the same key; unrelated keys survive."""
+    from sql_flow_spark.sinks import UpsertSink
+
+    sink = UpsertSink(
+        spark, path=str(tmp_path / "t"), key=["k"], n_buckets=8
+    )
+    sink.write_table(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "k long, v string, ts long"
+    ))
+    sink.write_table(spark.createDataFrame(
+        [(2, "B", 20), (4, "d", 20)], "k long, v string, ts long"
+    ))
+    assert _upsert_rows(sink) == {
+        1: ("a", 10), 2: ("B", 20), 3: ("c", 10), 4: ("d", 20)
+    }
+
+
+def test_upsert_sink_order_by_beats_arrival(spark, tmp_path):
+    """With order_by, a late-arriving OLD version must not clobber a
+    newer row already in the table (event-time, not arrival-time,
+    wins)."""
+    from sql_flow_spark.sinks import UpsertSink
+
+    sink = UpsertSink(
+        spark, path=str(tmp_path / "t"), key=["k"], order_by="ts",
+        n_buckets=8,
+    )
+    sink.write_table(spark.createDataFrame(
+        [(1, "new", 100)], "k long, v string, ts long"
+    ))
+    sink.write_table(spark.createDataFrame(
+        [(1, "stale", 50)], "k long, v string, ts long"
+    ))
+    assert _upsert_rows(sink) == {1: ("new", 100)}
+
+
+def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """The scale contract: a batch touching one key must not rewrite
+    untouched bucket partitions (per-batch cost ~ touched buckets, not
+    table size)."""
+    import os
+
+    from sql_flow_spark.sinks import UpsertSink
+
+    path = tmp_path / "t"
+    sink = UpsertSink(spark, path=str(path), key=["k"], n_buckets=8)
+    sink.write_table(spark.createDataFrame(
+        [(i, "x", 1) for i in range(50)], "k long, v string, ts long"
+    ))
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("__bucket="):
+                out[d] = sorted(os.listdir(path / d))
+        return out
+
+    before = bucket_files()
+    assert len(before) > 1  # keys spread over several buckets
+    sink.write_table(spark.createDataFrame(
+        [(0, "y", 2)], "k long, v string, ts long"
+    ))
+    after = bucket_files()
+    changed = {d for d in before if before[d] != after.get(d)}
+    assert len(changed) == 1  # only key 0's bucket was rewritten
+    assert _upsert_rows(sink)[0] == ("y", 2)
+
+
+def test_upsert_sink_restart_safe(spark, tmp_path):
+    """A new sink instance over an existing table must resume the
+    internal sequence: its batches still beat all previous rows."""
+    from sql_flow_spark.sinks import UpsertSink
+
+    path = str(tmp_path / "t")
+    s1 = UpsertSink(spark, path=path, key=["k"], n_buckets=4)
+    s1.write_table(spark.createDataFrame(
+        [(1, "first", 1)], "k long, v string, ts long"
+    ))
+    s2 = UpsertSink(spark, path=path, key=["k"], n_buckets=4)
+    s2.write_table(spark.createDataFrame(
+        [(1, "second", 1)], "k long, v string, ts long"
+    ))
+    assert _upsert_rows(s2) == {1: ("second", 1)}
+
+
+def test_upsert_sink_from_config(spark, tmp_path):
+    from sql_flow_spark import config as cfg
+    from sql_flow_spark.sinks import UpsertSink
+
+    d = {
+        "pipeline": {
+            "source": {"type": "files", "path": "/unused"},
+            "handler": {},
+            "sink": {
+                "type": "upsert",
+                "path": str(tmp_path / "t"),
+                "key": ["user_id"],
+                "order_by": "ts",
+                "n_buckets": 16,
+            },
+        }
+    }
+    assert cfg.validate_dict(d) == []
+    conf = cfg.new_from_dict(d)
+    sink = new_sink_from_conf(conf.pipeline.sink, spark)
+    assert isinstance(sink, UpsertSink)
+    assert sink.key == ["user_id"] and sink.order_by == "ts"
+    assert sink.n_buckets == 16
