@@ -231,18 +231,16 @@ class UpsertSink(Sink):
             )
         else:
             merged = batch
-        prev = self.spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        # per-write option (not session conf): foreachBatch hands the
+        # sink a DataFrame from a CLONED session, so a conf set on the
+        # outer session is not guaranteed to reach the write — the
+        # writer option overrides the conf wherever the write runs
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(self.path)
         )
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                merged.write.mode("overwrite")
-                .partitionBy(self.BUCKET_COL)
-                .parquet(self.path)
-            )
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     def current(self) -> Optional[DataFrame]:
         """The table as a DataFrame (without internal columns)."""

@@ -311,3 +311,39 @@ def test_running_aggregate_ttl_streaming_and_expiry(spark, tmp_path):
     assert (r["user_id"], r["n_events"], r["total_value"], bool(r["expired"])) == (
         7, 5, 42.0, True,
     )
+
+
+def test_streaming_upsert_sink_end_to_end(spark, tmp_path):
+    """file stream -> handler -> UpsertSink inside foreachBatch: two
+    micro-batches upsert in order, and the keyed table ends in the
+    latest-row-wins state (the reference's idempotent ON CONFLICT
+    pipeline, streaming edition)."""
+    from sql_flow_spark.sinks import UpsertSink
+
+    in_dir = str(tmp_path / "up-in")
+    _write_jsonl(in_dir, "a.jsonl", [
+        {"k": 1, "v": "a", "ts": 10},
+        {"k": 2, "v": "b", "ts": 10},
+    ])
+    _write_jsonl(in_dir, "b.jsonl", [
+        {"k": 2, "v": "B", "ts": 20},   # newer: replaces
+        {"k": 1, "v": "stale", "ts": 5},  # older event-time: ignored
+        {"k": 3, "v": "c", "ts": 20},
+    ])
+
+    sink = UpsertSink(
+        spark, path=str(tmp_path / "table"), key=["k"], order_by="ts",
+        n_buckets=4,
+    )
+    pipe = Pipeline(
+        spark=spark,
+        source=FileSource(in_dir, format="json", max_files_per_trigger=1),
+        handler=InferredBatch("SELECT k, v, ts FROM batch"),
+        sink=sink,
+        batch_size=1,
+    )
+    q = pipe.start(available_now=True, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert pipe.stats.num_batches == 2
+    state = {r.k: (r.v, r.ts) for r in sink.current().collect()}
+    assert state == {1: ("a", 10), 2: ("B", 20), 3: ("c", 20)}
