@@ -87,6 +87,9 @@ HEADLINE = (
     "cross_split_contamination",
     "unigram_logprob",
     "events_anomaly",
+    "q2_min_cost_supplier",
+    "gopher_quality",
+    "chunk_dedup",
 )
 
 

@@ -563,3 +563,90 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     s = t["embeddings"].where(F.col("vec_id") % _EMB_SAMPLE_MOD == 0)
     return embedding_near_dup_pairs(s, block_col="label")
+
+
+# ------------------------------------------------ chunk-level exact dedup
+
+# 16-word window: the public suffix-array dedup line (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better") removes
+# exact substrings >= ~50 tokens; at this corpus's ~60-word docs a
+# 16-word chunk is the equivalent granularity. Chunking (vs true suffix
+# arrays) trades boundary-offset recall for a plan that is two hash
+# shuffles — the standard production compromise (MegatronLM/RedPajama
+# chunk-hash dedup).
+CHUNK_WORDS = 16
+
+
+@query(
+    "chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {O_TOKENS} AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(t, i * {CHUNK_WORDS} + 1,
+                          i * {CHUNK_WORDS} + {CHUNK_WORDS}), ' ')) AS ck
+      FROM (
+        SELECT doc_id, t,
+               unnest(range(CAST(ceil(CAST(len(t) AS DOUBLE)
+                                      / {CHUNK_WORDS}.0) AS BIGINT))) AS i
+        FROM toks
+      )
+    ),
+    counts AS (SELECT ck, COUNT(*) AS c FROM chunks GROUP BY ck)
+    SELECT
+      doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS dup_chunk_ratio
+    FROM chunks JOIN counts USING (ck)
+    GROUP BY doc_id
+    """,
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-chunk dedup: split each document into
+    consecutive CHUNK_WORDS-word chunks, md5 each chunk, and report per
+    document how much of its chunk mass also occurs elsewhere in the
+    corpus (count > 1 globally, self-repeats included — a doc that
+    repeats its own paragraph is just as redundant to a trainer).
+
+    Scale shape: chunking is a narrow explode (~n_words/16 rows per
+    doc); the global chunk count is one hash shuffle on the 128-bit
+    chunk key with map-side partials; the join back reuses that same
+    hashpartitioning(ck) exchange, then the per-doc agg shuffles on
+    doc_id. No similarity math, no candidate pairs — linear end to end,
+    the reason chunk-hash dedup is what actually runs at 100 TB."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks).cast("double") / float(CHUNK_WORDS)).cast("int"),
+        F.lit(1),
+    )
+    chunk_hashes = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(toks, i * CHUNK_WORDS + 1, CHUNK_WORDS), " ")
+        ),
+    )
+    chunks = d.select(
+        "doc_id", F.explode(chunk_hashes).alias("ck")
+    )
+    counts = chunks.groupBy("ck").agg(F.count("*").alias("c"))
+    is_dup = F.when(F.col("c") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        chunks.join(counts, "ck")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(is_dup).cast("long").alias("n_dup_chunks"),
+            (
+                F.sum(is_dup).cast("double")
+                / F.count("*").cast("double")
+            ).alias("dup_chunk_ratio"),
+        )
+    )

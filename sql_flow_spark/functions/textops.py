@@ -209,3 +209,127 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ratio.alias("stopword_ratio"),
         score.alias("quality_score"),
     )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1 — public paper; bounds tuned to the
+# synthetic corpus's ~60-word docs so both outcomes occur).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.80
+GOPHER_MIN_STOPWORDS = 2
+
+
+@query(
+    "gopher_quality",
+    oracle=f"""
+    SELECT
+      doc_id,
+      n_words,
+      CAST(char_mass AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+      CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+      CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+        AS alpha_word_ratio,
+      n_stop,
+      (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS ok_words,
+      (CAST(char_mass AS DOUBLE) / CAST(n_words AS DOUBLE)
+         BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN})
+        AS ok_mean_len,
+      (CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+         <= {GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbols,
+      (CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+         >= {GOPHER_MIN_ALPHA_WORD_RATIO}) AS ok_alpha,
+      (n_stop >= {GOPHER_MIN_STOPWORDS}) AS ok_stop,
+      (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+       AND CAST(char_mass AS DOUBLE) / CAST(n_words AS DOUBLE)
+         BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+       AND CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+         <= {GOPHER_MAX_SYMBOL_RATIO}
+       AND CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+         >= {GOPHER_MIN_ALPHA_WORD_RATIO}
+       AND n_stop >= {GOPHER_MIN_STOPWORDS}) AS keep
+    FROM (
+      SELECT
+        doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+          AS n_words,
+        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+          AS char_mass,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+          AS n_symbols,
+        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+          AS n_alpha_words,
+        CAST({_o_hits('en')} AS BIGINT) AS n_stop
+      FROM documents
+    )
+    """,
+)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021): word
+    count bounds, mean word length bounds, symbol-to-word ratio,
+    fraction of words containing an alphabetic character, and a
+    stopword floor — each rule surfaced as its own boolean plus the
+    conjunction `keep`, so a pipeline can audit WHICH rule dropped a
+    document, not just that it dropped.
+
+    Scale shape: pure Catalyst expressions (split / regexp /
+    higher-order filter) in one projection — whole-stage codegen, one
+    parquet scan, zero shuffles, embarrassingly parallel at 100 TB.
+    Every ratio divides two exact integers in DOUBLE so both engines
+    compare the identical IEEE value against the thresholds."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks).cast("long")
+    char_mass = F.length(F.regexp_replace("text", r"\s", "")).cast("long")
+    n_symbols = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("long")
+    n_alpha_words = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_re("en")), 0)
+    ).cast("long")
+
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        char_mass.alias("char_mass"),
+        n_symbols.alias("n_symbols"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_stop.alias("n_stop"),
+    )
+    mean_len = F.col("char_mass").cast("double") / F.col("n_words").cast("double")
+    sym_ratio = F.col("n_symbols").cast("double") / F.col("n_words").cast("double")
+    alpha_ratio = (
+        F.col("n_alpha_words").cast("double") / F.col("n_words").cast("double")
+    )
+    ok_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_mean_len = mean_len.between(
+        GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+    )
+    ok_symbols = sym_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    ok_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO
+    ok_stop = F.col("n_stop") >= GOPHER_MIN_STOPWORDS
+    return base.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        "n_stop",
+        ok_words.alias("ok_words"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (ok_words & ok_mean_len & ok_symbols & ok_alpha & ok_stop).alias(
+            "keep"
+        ),
+    )

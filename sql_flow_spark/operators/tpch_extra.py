@@ -10,8 +10,9 @@ the synthetic star schema) and Q12/Q21 need commit/receipt dates, so
 their SHAPES are covered by adapted variants on the columns that
 exist: q12_late_shipments, q21_waiting_supplier, and (r6, lineitem as
 the part<->supplier bridge) q9_product_profit, q11_important_stock,
-q16_parts_suppliers, q20_dominant_supplier below; Q2's argmin shape
-is argmin_cheapest_part in extra.py. Everything else from the classic
+q16_parts_suppliers, q20_dominant_supplier, q2_min_cost_supplier
+below (Q2's bare argmin shape is also argmin_cheapest_part in
+extra.py). Everything else from the classic
 set that this schema can express is here or in analytics.py/extra.py.
 
 Determinism contract as everywhere (registry.py): money sums go
@@ -907,3 +908,116 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey") == F.col("l_suppkey"),
         "left_semi",
     ).select("s_suppkey", "s_name")
+
+
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "STANDARD"
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    cand AS (
+      SELECT p_partkey, p_type, p_size,
+             s_suppkey, s_name, s_acctbal, n_name
+      FROM ps
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = '{_Q2_REGION}'
+        AND p_type = '{_Q2_TYPE}'
+        AND p_size BETWEEN 10 AND 20
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, s_suppkey
+    FROM (
+      SELECT *, MIN(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+      FROM cand
+    )
+    WHERE s_acctbal = min_bal
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: no partsupp
+    table, so the part<->supplier bridge is the DISTINCT (l_partkey,
+    l_suppkey) pairs observed in lineitem, and ps_supplycost is proxied
+    by s_acctbal — the Q2 semantics being exercised are the correlated
+    per-part MIN, the four-dim join chain down to region, and the
+    ordered top-100 with a total tiebreak (reference parity:
+    /root/reference/sqlflow/sql.py runs arbitrary DuckDB SQL; this is
+    the canonical correlated-subquery shape from that surface).
+
+    Scale shape: the DISTINCT on (partkey, suppkey) is the one
+    fact-sized shuffle and collapses map-side; part/supplier/nation/
+    region are broadcast dims; the per-part MIN is a window over the
+    already-hash-partitioned partkey (AQE coalesces), and the global
+    top-100 is TakeOrderedAndProject — no full sort at 100 TB."""
+    t = load_tables(
+        spark,
+        sf_dir,
+        ("lineitem", "part", "supplier", "nation", "region"),
+    )
+    parts = (
+        t["part"]
+        .where(
+            (F.col("p_type") == _Q2_TYPE) & F.col("p_size").between(10, 20)
+        )
+        .select("p_partkey", "p_type")
+    )
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == _Q2_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # Semi-filter the fact to the ~1% of pairs that survive the part
+    # and region predicates BEFORE the DISTINCT, so the one fact-sized
+    # shuffle carries two longs of filtered rows, not every observed
+    # pair; the attribute joins then rehydrate from the same broadcast
+    # dims after the collapse.
+    ps = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(parts.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .distinct()
+    )
+    cand = (
+        ps.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "s_suppkey")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "n_name",
+            "s_name",
+            "p_partkey",
+            "s_suppkey",
+        )
+        .limit(100)
+    )
