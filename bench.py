@@ -90,6 +90,7 @@ HEADLINE = (
     "q2_min_cost_supplier",
     "gopher_quality",
     "chunk_dedup",
+    "asof_attribution",
 )
 
 
