@@ -91,6 +91,9 @@ HEADLINE = (
     "gopher_quality",
     "chunk_dedup",
     "asof_attribution",
+    "range_join_attribution",
+    "events_gapfill",
+    "embedding_centroids",
 )
 
 

@@ -356,3 +356,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("qid", "nid", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------- label centroids
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT
+      label,
+      CAST(i - 1 AS INTEGER) AS dim,
+      CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 10000.0 + 0.5)
+                    AS DECIMAL(30,0))) AS DOUBLE)
+        / 10000.0 / CAST(COUNT(*) AS DOUBLE) AS centroid
+    FROM (
+      SELECT label,
+             unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )
+    GROUP BY label, i
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector, one row per (label, dimension) — the
+    cluster-profile / class-prototype computation behind IVF training,
+    drift monitoring, and centroid-distance outlier scoring.
+
+    Scale shape: posexplode is a narrow per-row flatMap (x64 rows, no
+    Python); the single shuffle lands on (label, dim) — a key space of
+    labels x dims, far smaller than the data — with map-side partial
+    sums. The mean divides a fixed-point-exact sum by an exact count,
+    so both engines emit the identical double per cell. Returning the
+    long format (label, dim, value) instead of re-assembling arrays
+    keeps the result joinable/aggregatable without another shuffle;
+    collect to vectors only at the consumer."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    exploded = t["embeddings"].select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return (
+        exploded.groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("v").cast("double") * 10000.0 + F.lit(0.5)
+                    ).cast("decimal(30,0)")
+                ).cast("double")
+                / 10000.0
+                / F.count("*").cast("double")
+            ).alias("centroid")
+        )
+    )

@@ -1,0 +1,195 @@
+"""Temporal analytics Spark lacks as built-ins: bounded range
+(interval) joins without a nested-loop blowup, and hypertable-style
+gap-filled rollups with last-observation-carried-forward.
+
+Reference parity: the reference's DuckDB surface expresses these as a
+plain inequality join and generate_series + IGNORE-NULLS windows
+(/root/reference/sqlflow/sql.py runs arbitrary statements) — the
+oracles below are exactly those formulations, proving the bucketized /
+grid-join Spark plans implement the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sql_flow_spark.registry import o_dsum, query
+from sql_flow_spark.tables import load_tables
+
+# 30-minute attribution window, in microseconds.
+RANGE_WINDOW_US = 30 * 60 * 1_000_000
+
+# Gap-fill bucket width: 1 hour in microseconds.
+GAPFILL_BUCKET_US = 3_600_000_000
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_us: str,
+    right_us: str,
+    window_us: int,
+) -> DataFrame:
+    """All (left, right) pairs with equal ``keys`` and
+    ``left_us <= right_us <= left_us + window_us``.
+
+    A naive inequality join degenerates to a per-key nested loop
+    (Spark plans it as BroadcastNestedLoopJoin or a sort-merge with
+    full-range rescans). Instead both sides are binned to
+    ``window_us``-wide buckets: a qualifying pair's right bucket is
+    the left bucket or the one after, so the right side is exploded
+    onto {b-1, b} and the join becomes a plain hash equi-join on
+    (keys..., bucket) — each exploded row lands in exactly one
+    candidate bucket, so no dedup pass is needed — followed by the
+    exact range filter. Candidate fan-out is bounded by per-bucket
+    occupancy, the bin-join technique behind range-join hints in
+    Spark-based warehouses."""
+    b_left = F.expr(f"`{left_us}` div {window_us}")
+    b_right = F.expr(f"`{right_us}` div {window_us}")
+    lt = left.withColumn("__b", b_left)
+    rt = right.withColumn(
+        "__b", F.explode(F.array(b_right - 1, b_right))
+    )
+    cond = (F.col(right_us) >= F.col(left_us)) & (
+        F.col(right_us) <= F.col(left_us) + F.lit(window_us)
+    )
+    return lt.join(rt, [*keys, "__b"]).where(cond).drop("__b")
+
+
+@query(
+    "range_join_attribution",
+    oracle=f"""
+    SELECT
+      c.user_id,
+      c.event_id AS click_id,
+      p.event_id AS purchase_id,
+      epoch_us(p.ts) - epoch_us(c.ts) AS us_between
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND epoch_us(p.ts) <= epoch_us(c.ts) + {RANGE_WINDOW_US}
+    """,
+)
+def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (click, purchase) pair by the same user with the purchase
+    inside the 30-minute window after the click — multi-touch
+    attribution, the pair-enumerating dual of asof_attribution's
+    last-touch. The oracle is the plain DuckDB inequality join; the
+    Spark plan is the bucketized equi-join (see range_join), which is
+    the difference between a hash shuffle and a per-user nested loop
+    at 100 TB."""
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    pairs = range_join(
+        clicks, purchases, ["user_id"], "c_us", "p_us", RANGE_WINDOW_US
+    )
+    return pairs.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.col("p_us") - F.col("c_us")).alias("us_between"),
+    )
+
+
+@query(
+    "events_gapfill",
+    oracle=f"""
+    WITH agg AS (
+      SELECT event_type,
+             epoch_us(ts) // {GAPFILL_BUCKET_US} AS h,
+             COUNT(*) AS n_events,
+             {o_dsum('value')} AS value_sum
+      FROM events
+      GROUP BY event_type, epoch_us(ts) // {GAPFILL_BUCKET_US}
+    ),
+    grid AS (
+      SELECT t.event_type, gs.h
+      FROM (SELECT DISTINCT event_type FROM agg) t,
+           (SELECT unnest(generate_series((SELECT MIN(h) FROM agg),
+                                          (SELECT MAX(h) FROM agg))) AS h) gs
+    )
+    SELECT
+      g.event_type,
+      g.h * {GAPFILL_BUCKET_US} AS bucket_us,
+      CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+      a.value_sum,
+      last_value(a.value_sum IGNORE NULLS)
+        OVER (PARTITION BY g.event_type ORDER BY g.h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS locf_value_sum
+    FROM grid g LEFT JOIN agg a
+      ON a.event_type = g.event_type AND a.h = g.h
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly per-type buckets
+    over the full observed range with EXPLICIT empty buckets
+    (n_events=0, value_sum NULL) and a last-observation-carried-forward
+    column — the time_bucket_gapfill + locf() shape, so downstream
+    charts/joins never see holes in the time axis.
+
+    Scale shape: one fact-sized groupBy on (type, hour); the dense
+    grid is types x hours (tiny — bounded by the time range, not the
+    data) built from a broadcast one-row min/max and an exploded
+    sequence; the left join and LOCF window run on grid cardinality.
+    Bucket ids use integer division of epoch micros — exact in both
+    engines."""
+    t = load_tables(spark, sf_dir, ("events",))
+    hour = F.expr(f"unix_micros(ts) div {GAPFILL_BUCKET_US}")
+    agg = (
+        t["events"]
+        .groupBy(F.col("event_type"), hour.alias("h"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast(
+                        "decimal(30,0)"
+                    )
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("value_sum"),
+        )
+    )
+    rng = agg.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    grid = (
+        agg.select("event_type")
+        .distinct()
+        .join(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("hmin"), F.col("hmax"))).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") * GAPFILL_BUCKET_US).alias("bucket_us"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+                "n_events"
+            ),
+            "value_sum",
+            F.last("value_sum", ignorenulls=True).over(w).alias(
+                "locf_value_sum"
+            ),
+        )
+    )
