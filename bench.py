@@ -94,6 +94,7 @@ HEADLINE = (
     "range_join_attribution",
     "events_gapfill",
     "embedding_centroids",
+    "value_quartiles",
 )
 
 
