@@ -53,3 +53,39 @@ def stream_stream_join(
         & (rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {max_lag}"))
     )
     return lw.join(rw, cond, how)
+
+
+def stream_scd_lookup(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str,
+    event_time: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Point-in-time-correct enrichment against a slowly-changing
+    (SCD type-2) dimension: each stream row joins the dim version
+    whose validity interval contains its EVENT time — never the
+    current version, so late/replayed events are enriched with the
+    facts as of when they happened (no temporal leakage). An open
+    current version is expressed with ``valid_to`` NULL.
+
+    The versioned dim is broadcast (dims are small relative to the
+    stream — same posture as stream_static_join), so the stream side
+    never shuffles and the interval predicate is evaluated against the
+    hash-relation rows per batch. The batch-side twin of this
+    semantics is operators/analytics.orders_enrich_scd; the as-of
+    variant (latest version at-or-before, intervals implicit) is
+    operators/asof.asof_join."""
+    right = F.broadcast(dim) if broadcast_dim else dim
+    cond = (
+        (stream[key] == right[dim_key])
+        & (stream[event_time] >= right[valid_from])
+        & (
+            right[valid_to].isNull()
+            | (stream[event_time] < right[valid_to])
+        )
+    )
+    return stream.join(right, cond, "left")

@@ -97,3 +97,60 @@ def test_compact_directory(spark, tmp_path):
     assert n == 1
     assert len(glob.glob(f"{out}/*.parquet")) == 1
     assert spark.read.parquet(out).count() == 10000
+
+
+def test_stream_scd_lookup_point_in_time(spark, tmp_path):
+    """Each event joins the dim VERSION valid at its event time: an
+    event replayed from before a dim change must see the old version,
+    a post-change event the new one, and the open (valid_to NULL)
+    version catches current events."""
+    from sql_flow_spark.streaming.joins import stream_scd_lookup
+
+    in_dir = tmp_path / "scd-in"
+    _write_jsonl(
+        in_dir,
+        "events.jsonl",
+        [
+            {"uid": 1, "ts": "2024-01-05 00:00:00", "what": "old-era"},
+            {"uid": 1, "ts": "2024-02-05 00:00:00", "what": "new-era"},
+            {"uid": 2, "ts": "2024-01-01 00:00:00", "what": "no-dim"},
+        ],
+    )
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+            (1, "gold", "2024-02-01 00:00:00", None),
+        ],
+        "cust int, tier string, valid_from string, valid_to string",
+    ).select(
+        "cust",
+        "tier",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    stream = (
+        FileSource(str(in_dir), format="json")
+        .read_stream(spark)
+        .select("uid", "what", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    got = _drain(
+        stream_scd_lookup(stream, dim, "uid", "cust", "ts"),
+        tmp_path,
+        "scd",
+    )
+    tiers = {r.what: r.tier for r in got}
+    assert tiers == {"old-era": "bronze", "new-era": "gold", "no-dim": None}
+
+
+def test_stream_scd_lookup_plan_broadcasts(spark, tmp_path):
+    from sql_flow_spark.streaming.joins import stream_scd_lookup
+
+    dim = spark.createDataFrame(
+        [(1, "x", None, None)],
+        "cust int, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    stream = spark.createDataFrame(
+        [(1, "e")], "uid int, what string"
+    ).withColumn("ts", F.current_timestamp())
+    plan = plan_string(stream_scd_lookup(stream, dim, "uid", "cust", "ts"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
