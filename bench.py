@@ -95,6 +95,7 @@ HEADLINE = (
     "events_gapfill",
     "embedding_centroids",
     "value_quartiles",
+    "embedding_top_pc",
 )
 
 

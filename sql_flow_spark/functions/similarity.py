@@ -409,3 +409,143 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+# ------------------------------------------- power iteration (top PC)
+
+# Iteration count: enough for the dominant eigenvector of this
+# corpus's Gram matrix (quality pinned vs numpy in
+# tests/test_approx_quality.py); both engines run the IDENTICAL
+# unrolled arithmetic so the oracle matches bit-for-bit regardless.
+_PI_ITERS = 6
+_PI_SCALE = 100000000.0  # 1e8 fixed-point for every sum
+_PI_DIMS = 64  # embeddings schema contract (TESTDATA.md)
+
+
+def _pi_fsum(term):
+    return (
+        F.sum(
+            F.floor(term * F.lit(_PI_SCALE) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).cast("double")
+        / F.lit(_PI_SCALE)
+    )
+
+
+def _o_pi_fsum(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(floor(({expr}) * {_PI_SCALE} + 0.5) "
+        f"AS DECIMAL(38,0))) AS DOUBLE) / {_PI_SCALE}"
+    )
+
+
+def _pi_oracle() -> str:
+    # MATERIALIZED: e is referenced 2x per iteration and each s/w/v
+    # feeds the next — without the hint DuckDB inlines the whole
+    # 6-deep chain into every reference (measured 54s -> sub-second).
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,"
+        " CAST(v AS DOUBLE) AS val FROM (SELECT vec_id,"
+        " unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i"
+        " FROM embeddings))",
+        f"v0 AS (SELECT CAST(i AS INTEGER) AS dim, 0.125 AS v FROM"
+        f" (SELECT unnest(generate_series(0, {_PI_DIMS - 1})) AS i))",
+    ]
+    for k in range(1, _PI_ITERS + 1):
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT vec_id, {_o_pi_fsum('val * v')} AS s"
+            f" FROM e JOIN v{k - 1} USING (dim) GROUP BY vec_id)"
+        )
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT dim, {_o_pi_fsum('val * s')} AS w"
+            f" FROM e JOIN s{k} USING (vec_id) GROUP BY dim)"
+        )
+        ctes.append(
+            f"n{k} AS (SELECT sqrt({_o_pi_fsum('w * w')}) AS nrm FROM w{k})"
+        )
+        ctes.append(
+            f"v{k} AS MATERIALIZED (SELECT dim, w / nrm AS v FROM w{k}, n{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT dim, v AS loading FROM v{_PI_ITERS}"
+    )
+
+
+@query("embedding_top_pc", oracle=_pi_oracle())
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six steps of distributed power iteration toward the dominant
+    principal direction of the embedding matrix (top eigenvector of
+    the un-centered Gram matrix X'X) — the iterative-algorithm shape
+    (PageRank, ALS, k-means all share it) expressed in pure DataFrame
+    ops, and STILL oracle-backed: the DuckDB oracle is the same six
+    iterations unrolled into materialized CTEs with identical
+    fixed-point arithmetic, so both engines walk the same trajectory
+    bit-for-bit (pinned step-for-step against numpy in
+    tests/test_approx_quality.py). Convergence to the eigenvector
+    itself is spectral-gap dependent — this synthetic corpus is
+    near-isotropic (λ1/λ2 ≈ 1.07), so what the gate certifies is the
+    exact trajectory; on real embedding corpora with a dominant
+    direction the same six steps land the converged vector.
+
+    Scale shape: the exploded (vec_id, dim, val) table is checkpointed
+    ONCE, pre-partitioned on vec_id, and reused by all iterations;
+    per iteration the score groupBy and the join-back REUSE that
+    partitioning (no fact exchange), leaving one small exchange onto
+    the 64-dim key space; v is a 64-row broadcast. Driver never holds
+    data — no collect anywhere, iterations compose lazily into one
+    linear DAG."""
+    from sql_flow_spark.functions.mat import materialize_once
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = materialize_once(
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.posexplode("embedding").alias("dim", "val"),
+        )
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .repartition("vec_id")
+    )
+    v = spark.range(_PI_DIMS).select(
+        F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("v")
+    )
+    # The norm is a window over the 64-row w (single in-memory
+    # partition — cheaper than a broadcast-join job per iteration),
+    # and each iteration's 64-row v is localCheckpoint-ed so the plan
+    # stays one iteration deep instead of compounding 6 levels of
+    # nested broadcast subtrees (planning time, not data, dominated
+    # the naive chain).
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    for _ in range(_PI_ITERS):
+        score = (
+            e.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(_pi_fsum(F.col("val") * F.col("v")).alias("s"))
+        )
+        w = (
+            e.join(score, "vec_id")
+            .groupBy("dim")
+            .agg(_pi_fsum(F.col("val") * F.col("s")).alias("w"))
+        )
+        nrm = F.sqrt(
+            F.sum(
+                F.floor(
+                    F.col("w") * F.col("w") * F.lit(_PI_SCALE) + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            )
+            .over(wall)
+            .cast("double")
+            / F.lit(_PI_SCALE)
+        )
+        v = w.select(
+            "dim", (F.col("w") / nrm).alias("v")
+        ).localCheckpoint(eager=True)
+    return v.select("dim", F.col("v").alias("loading"))

@@ -140,3 +140,34 @@ def test_stratified_sample_exact_fractions(spark, sf_dir):
     assert sorted((r.doc_id, r.lang) for r in got) == sorted(
         (r.doc_id, r.lang) for r in again
     )
+
+
+def test_power_iteration_tracks_numpy_trajectory(spark, sf_dir):
+    """embedding_top_pc's six fixed-point steps must land within
+    float rounding of numpy's float64 power iteration from the same
+    start — i.e. the distributed loop computes the real algorithm,
+    not an approximation of it."""
+    import numpy as np
+
+    from sql_flow_spark.functions.similarity import _PI_ITERS
+
+    rows = (
+        QUERIES["embedding_top_pc"](spark, sf_dir)
+        .orderBy("dim")
+        .collect()
+    )
+    got = np.array([r["loading"] for r in rows])
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array([list(r["embedding"]) for r in emb], dtype=np.float64)
+    v = np.full(X.shape[1], 0.125)
+    for _ in range(_PI_ITERS):
+        w = X.T @ (X @ v)
+        v = w / np.linalg.norm(w)
+    cos = abs(float(got @ v) / (np.linalg.norm(got) * np.linalg.norm(v)))
+    assert cos > 0.9999, cos
+    assert abs(float(np.linalg.norm(got)) - 1.0) < 1e-9
