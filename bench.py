@@ -96,6 +96,7 @@ HEADLINE = (
     "embedding_centroids",
     "value_quartiles",
     "embedding_top_pc",
+    "bpe_learn_merges",
 )
 
 

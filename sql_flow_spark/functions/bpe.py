@@ -1,0 +1,140 @@
+"""Distributed BPE merge learning — the tokenizer-training side of a
+training-data pipeline (the engine already *counts* BPE-ish tokens;
+this learns the merge table itself, the iterative pair-count →
+argmax → merge loop of Sennrich et al. 2016).
+
+Spark-first shape: the corpus collapses once to the word-frequency
+vocabulary (the classic formulation — pair statistics are weighted by
+word counts, so all later iterations run on vocab cardinality, not
+corpus cardinality). Each iteration is pure JVM: adjacent-pair explode
+with map-side partial sums, a deterministic 1-row argmax broadcast
+back, and the merge applied with a higher-order aggregate fold (greedy
+leftmost non-overlapping, the standard scan). No Python in the row
+path, no driver-side data — the only driver loop is the bounded merge
+count, same posture as every iterative trainer here.
+
+Registered rows-only (an unrolled SQL oracle would need a list-fold
+DuckDB lacks); instead tests/test_functions.py pins the ENTIRE merge
+sequence exactly against a pure-Python reference BPE on the real
+corpus — a stronger check than a hash match on one engine pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_flow_spark.registry import query
+from sql_flow_spark.tables import load_tables
+
+N_MERGES = 8
+
+
+def _merge_pair(syms: Column, a: Column, b: Column) -> Column:
+    """Greedy leftmost non-overlapping replacement of adjacent (a, b)
+    with a||b, as a left fold: a just-merged token is never the left
+    half of another merge in the same pass."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda out, x: F.when(
+            (F.size(out) > 0)
+            & (F.element_at(out, -1) == a)
+            & (x == b)
+            & ~F.element_at(out, -1).isNull(),
+            F.concat(
+                F.slice(out, 1, F.size(out) - 1),
+                F.array(F.concat(a, b)),
+            ),
+        ).otherwise(F.concat(out, F.array(x))),
+    )
+
+
+def learn_merges(
+    docs: DataFrame, n_merges: int = N_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from ``docs``; returns (rank,
+    left, right, merged, pair_count) in merge order.
+
+    Ties on pair count break lexicographically on (left, right) — a
+    total order, so the merge table is deterministic on any cluster."""
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.regexp_extract_all("word", F.lit("."), 0).alias("syms"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    # guard: a fully-merged single-symbol word has no
+                    # adjacent pairs (sequence(1, 0) would descend)
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at("syms", i).alias("left"),
+                                F.element_at("syms", i + 1).alias("right"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<left:string,right:string>>"
+                        )
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(
+                F.col("pair_count").desc(), F.col("left"), F.col("right")
+            )
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        best_rows = best.collect()
+        if not best_rows:
+            break
+        merges.append(
+            (
+                rank,
+                best_rows[0]["left"],
+                best_rows[0]["right"],
+                best_rows[0]["left"] + best_rows[0]["right"],
+                best_rows[0]["pair_count"],
+            )
+        )
+        vocab = vocab.join(F.broadcast(best)).select(
+            _merge_pair(
+                F.col("syms"), F.col("left"), F.col("right")
+            ).alias("syms"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count long",
+    )
+
+
+@query("bpe_learn_merges")  # iterative list-fold -> no SQL oracle
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 BPE merges learned from the documents corpus (see
+    learn_merges). The 1-row-per-iteration collect is the bounded
+    trainer loop, not a data collect; everything corpus-sized stays
+    distributed."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return learn_merges(t["documents"], N_MERGES)

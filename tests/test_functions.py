@@ -351,3 +351,64 @@ def test_dedup_family_leaves_no_cached_relations(spark, sf_dir):
                  "dedup_clusters", "q15_top_supplier"):
         QUERIES[name](spark, sf_dir).count()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# ------------------------------------------------------- BPE learning
+
+def _reference_bpe(word_counts, n_merges):
+    """Pure-python Sennrich-style BPE: pair counts weighted by word
+    frequency, lexicographic tiebreak, greedy leftmost non-overlapping
+    merge scan."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((rank, a, b, a + b, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merge_sequence_matches_reference(spark, sf_dir):
+    from collections import Counter
+
+    from sql_flow_spark.functions.bpe import N_MERGES, learn_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = Counter()
+    for r in docs.select("text").collect():
+        words.update(w for w in r["text"].split() if w)
+
+    expected = _reference_bpe(words, N_MERGES)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in learn_merges(docs, N_MERGES).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_deterministic_tiebreak(spark):
+    from sql_flow_spark.functions.bpe import learn_merges
+
+    docs = spark.createDataFrame(
+        [("ab",), ("cd",)], "text string"
+    )  # both pairs count 1 -> lexicographic winner (a, b)
+    rows = learn_merges(docs, 1).collect()
+    assert (rows[0]["left"], rows[0]["right"]) == ("a", "b")
