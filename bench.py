@@ -97,6 +97,8 @@ HEADLINE = (
     "value_quartiles",
     "embedding_top_pc",
     "bpe_learn_merges",
+    "knn_classify",
+    "time_weighted_avg",
 )
 
 

@@ -549,3 +549,107 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim", (F.col("w") / nrm).alias("v")
         ).localCheckpoint(eager=True)
     return v.select("dim", F.col("v").alias("loading"))
+
+
+# --------------------------------------------------- kNN classification
+
+KNN_K = 10
+
+
+@query(
+    "knn_classify",
+    oracle=f"""
+    WITH norms AS ({O_NORMS_CTE}),
+    pairs AS (
+      SELECT q.vec_id AS qid, q.label AS qlabel,
+             c.vec_id AS nid, c.label AS nlabel,
+             q.embedding AS ea, c.embedding AS eb
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+      SELECT qid, qlabel, nid, nlabel,
+             {o_dot_dec('ea', 'eb')} / (qn.nrm * cn.nrm) AS cosine
+      FROM pairs
+      JOIN norms qn ON qn.vec_id = qid
+      JOIN norms cn ON cn.vec_id = nid
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+        FROM scored
+      ) WHERE rnk <= {KNN_K}
+    ),
+    votes AS (
+      SELECT qid, qlabel, nlabel, COUNT(*) AS n_votes
+      FROM topk GROUP BY qid, qlabel, nlabel
+    )
+    SELECT qid,
+           CAST(qlabel AS INTEGER) AS true_label,
+           CAST(nlabel AS INTEGER) AS predicted_label,
+           n_votes,
+           qlabel = nlabel AS correct
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY n_votes DESC, nlabel) AS vr
+      FROM votes
+    )
+    WHERE vr = 1
+    """,
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by majority vote of the 10 nearest corpus
+    neighbors (exact cosine), with total tiebreaks at both stages
+    (cosine desc, nid; then votes desc, label asc) so the prediction
+    is deterministic on any partitioning.
+
+    Scale shape: identical to ann_cosine_topk — queries broadcast, one
+    corpus scan, per-query top-k — plus a vote groupBy on (qid, label),
+    cardinality |Q|×labels. The label column rides the same scan, so
+    classification costs nothing beyond the search."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = _with_norm(t["embeddings"])
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "qlabel",
+        "nid",
+        "nlabel",
+        (
+            dot_dec(F.col("ea"), F.col("eb"))
+            / (F.col("qnrm") * F.col("cnrm"))
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    topk = scored.withColumn("rnk", F.row_number().over(wk)).where(
+        F.col("rnk") <= KNN_K
+    )
+    votes = topk.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("nlabel")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "qid",
+            F.col("qlabel").cast("int").alias("true_label"),
+            F.col("nlabel").cast("int").alias("predicted_label"),
+            "n_votes",
+            (F.col("qlabel") == F.col("nlabel")).alias("correct"),
+        )
+    )

@@ -193,3 +193,69 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT event_type,
+             epoch_us(ts) AS us,
+             (value + lag(value) OVER w) / 2.0
+               * CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS DOUBLE)
+               AS seg
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(us) - MIN(us) AS duration_us,
+           CASE WHEN MAX(us) > MIN(us) THEN
+             (CAST(SUM(CAST(floor(seg * 10000.0 + 0.5) AS DECIMAL(38,0)))
+                   AS DOUBLE) / 10000.0)
+             / CAST(MAX(us) - MIN(us) AS DOUBLE)
+           END AS twa_value
+    FROM seg
+    GROUP BY event_type
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per event type — trapezoidal
+    integration over irregular samples divided by the observed span
+    (the Timescale time_weight('Linear') shape). Equal timestamps are
+    totally ordered by event_id in BOTH engines, so neighbor pairing —
+    and therefore every trapezoid — is identical; segment areas are
+    IEEE-double products fixed-point-summed, the one division happens
+    at the boundary, and a single-sample group yields NULL rather than
+    a 0/0.
+
+    Scale shape: one window (shuffle on event_type, in-partition sort
+    by time) + one groupBy reusing the same key — two exchanges total,
+    state O(1) per row. Skew: a hot event_type serializes its
+    partition's sort; at 100 TB pre-bucket by (type, day) and combine
+    spans, same trick as events_sessionize."""
+    t = load_tables(spark, sf_dir, ("events",))
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("event_type").orderBy(us, F.col("event_id"))
+    seg = (F.col("value") + F.lag("value").over(w)) / F.lit(2.0) * (
+        us - F.lag(us).over(w)
+    ).cast("double")
+    segs = t["events"].select(
+        "event_type",
+        us.alias("us"),
+        seg.alias("seg"),
+    )
+    dur = F.max("us") - F.min("us")
+    fsum = (
+        F.sum(
+            F.floor(F.col("seg") * F.lit(10000.0) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).cast("double")
+        / F.lit(10000.0)
+    )
+    return segs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        dur.alias("duration_us"),
+        F.when(dur > 0, fsum / dur.cast("double")).alias("twa_value"),
+    )
