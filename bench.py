@@ -99,6 +99,7 @@ HEADLINE = (
     "bpe_learn_merges",
     "knn_classify",
     "time_weighted_avg",
+    "embedding_outliers",
 )
 
 

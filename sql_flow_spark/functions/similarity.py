@@ -653,3 +653,138 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qlabel") == F.col("nlabel")).alias("correct"),
         )
     )
+
+
+# ------------------------------------------- centroid-distance outliers
+
+@query(
+    "embedding_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS dim,
+             CAST(v AS DOUBLE) AS v
+      FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(floor(v * 10000.0 + 0.5) AS DECIMAL(30,0)))
+                  AS DOUBLE) / 10000.0 / CAST(COUNT(*) AS DOUBLE) AS c
+      FROM e GROUP BY label, dim
+    ),
+    d AS (
+      SELECT vec_id, e.label,
+             sqrt(CAST(SUM(CAST(floor((v - c) * (v - c) * 100000000.0 + 0.5)
+                                AS DECIMAL(38,0))) AS DOUBLE)
+                  / 100000000.0) AS dist
+      FROM e JOIN cent ON cent.label = e.label AND cent.dim = e.dim
+      GROUP BY vec_id, e.label
+    ),
+    s AS (
+      SELECT vec_id, label, dist,
+             CAST(floor(dist * 1000000.0 + 0.5) AS HUGEINT) AS ds
+      FROM d
+    ),
+    st AS (
+      SELECT label, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(ds) AS sx, SUM(ds * ds) AS sq
+      FROM s GROUP BY label
+    )
+    SELECT vec_id, s.label,
+           floor(dist * 1000000.0 + 0.5) / 1000000.0 AS dist,
+           CASE WHEN n * sq - sx * sx > 0 THEN
+             floor(CAST(n * ds - sx AS DOUBLE)
+                   / sqrt(CAST(n * sq - sx * sx AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS zscore,
+           (n * sq - sx * sx > 0 AND n * ds - sx > 0
+            AND (n * ds - sx) * (n * ds - sx) > 4 * (n * sq - sx * sx))
+             AS is_outlier
+    FROM s JOIN st ON st.label = s.label
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier scoring: each vector's euclidean
+    distance to its label centroid (the embedding_centroids
+    computation composed downstream), z-scored within the label with
+    the SAME exact-integer-moment discipline as events_anomaly — the
+    2σ flag is an integer inequality on int128/DECIMAL(38) moments, so
+    a borderline vector cannot flip between engines; dist and zscore
+    are 6dp fixed-point like every cross-engine real-valued score.
+    Drift/mislabel triage: is_outlier marks vectors far from their own
+    class prototype (one-sided — far only, near is fine).
+
+    Scale shape: explode ×dims (narrow) → centroid groupBy on
+    (label, dim) → join-back on the same key → per-vector distance agg
+    → one tiny per-label stats row broadcast onto the distances. Every
+    shuffle key space is labels×dims, vectors, or labels — never
+    pairs."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id", "label", F.col("dim").cast("int").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = e.groupBy("label", "dim").agg(
+        (
+            F.sum(
+                F.floor(F.col("v") * 10000.0 + F.lit(0.5)).cast(
+                    "decimal(30,0)"
+                )
+            ).cast("double")
+            / 10000.0
+            / F.count("*").cast("double")
+        ).alias("c")
+    )
+    diff = F.col("v") - F.col("c")
+    d = (
+        e.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.floor(
+                        diff * diff * F.lit(100000000.0) + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(100000000.0)
+            ).alias("dist")
+        )
+    )
+    s = d.select(
+        "vec_id",
+        "label",
+        "dist",
+        F.floor(F.col("dist") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("ds"),
+    )
+    st = s.groupBy("label").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("ds").alias("sx"),
+        F.sum(F.col("ds") * F.col("ds")).alias("sq"),
+    )
+    dev = F.col("n") * F.col("ds") - F.col("sx")
+    var_n2 = F.col("n") * F.col("sq") - F.col("sx") * F.col("sx")
+    zscore = F.when(
+        var_n2 > 0,
+        F.floor(
+            dev.cast("double") / F.sqrt(var_n2.cast("double"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0),
+    )
+    is_outlier = (var_n2 > 0) & (dev > 0) & (dev * dev > 4 * var_n2)
+    return s.join(F.broadcast(st), "label").select(
+        "vec_id",
+        "label",
+        (
+            F.floor(F.col("dist") * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("dist"),
+        zscore.alias("zscore"),
+        is_outlier.alias("is_outlier"),
+    )
