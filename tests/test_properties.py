@@ -112,3 +112,79 @@ def test_connected_components_matches_union_find(spark):
             for r in connected_components(df, max_iters=25).collect()
         }
         assert got == expected, f"mismatch on graph {edges[:5]}..."
+
+
+# ---------------------------------------- temporal join randomized sweeps
+#
+# 200 seeded-random scenarios PACKED INTO ONE DataFrame each (scenario
+# id rides the join key), so the whole sweep is two Spark jobs, not
+# 400. References are brute-force python over the same tuples.
+
+
+def _temporal_cases(seed, n_scen):
+    rng = np.random.RandomState(seed)
+    cases = []
+    for sid in range(n_scen):
+        nl, nr = rng.randint(0, 6), rng.randint(0, 6)
+        # small ts range forces boundary collisions (equal ts, exact
+        # window edges) far more often than uniform reals would
+        left = [(sid, int(t)) for t in rng.randint(0, 40, nl)]
+        right = [(sid, int(t), float(v)) for t, v in zip(rng.randint(0, 40, nr), rng.randint(0, 100, nr))]
+        cases.append((left, right))
+    return cases
+
+
+def test_asof_join_matches_bruteforce_sweep(spark):
+    from sql_flow_spark.operators.asof import asof_join
+
+    cases = _temporal_cases(7, 200)
+    lrows = [(sid, ts, i) for c in cases for i, (sid, ts) in enumerate(c[0])]
+    # collapse right to unique (key, ts) keeping max v — the operator's
+    # documented uniqueness contract
+    rmap = {}
+    for c in cases:
+        for sid, ts, v in c[1]:
+            rmap[(sid, ts)] = max(rmap.get((sid, ts), -1.0), v)
+    rrows = [(sid, ts, v) for (sid, ts), v in rmap.items()]
+    left = spark.createDataFrame(lrows, "k int, ts int, lid int")
+    right = spark.createDataFrame(rrows, "k int, ts int, payload double")
+    got = {
+        (r["k"], r["ts"], r["lid"]): (r["payload"], r["asof_ts"])
+        for r in asof_join(left, right, ["k"], "ts", ["payload"]).collect()
+    }
+    assert len(got) == len(lrows)
+    for sid, ts, lid in lrows:
+        prior = [(t, v) for (s, t), v in rmap.items() if s == sid and t <= ts]
+        want = max(prior) if prior else None
+        if want is None:
+            assert got[(sid, ts, lid)] == (None, None)
+        else:
+            assert got[(sid, ts, lid)] == (want[1], want[0])
+
+
+def test_range_join_matches_bruteforce_sweep(spark):
+    from sql_flow_spark.operators.temporal import range_join
+
+    W = 10
+    cases = _temporal_cases(11, 200)
+    lrows = [
+        (sid, ts, i) for c in cases for i, (sid, ts) in enumerate(c[0])
+    ]
+    rrows = [
+        (sid, ts, j)
+        for c in cases
+        for j, (sid, ts, _v) in enumerate(c[1])
+    ]
+    left = spark.createDataFrame(lrows, "k int, lus long, lid int")
+    right = spark.createDataFrame(rrows, "k int, rus long, rid int")
+    got = sorted(
+        (r["k"], r["lid"], r["rid"])
+        for r in range_join(left, right, ["k"], "lus", "rus", W).collect()
+    )
+    want = sorted(
+        (sid, lid, rid)
+        for (sid, lts, lid) in lrows
+        for (rid_sid, rts, rid) in rrows
+        if rid_sid == sid and lts <= rts <= lts + W
+    )
+    assert got == want
