@@ -100,6 +100,7 @@ HEADLINE = (
     "knn_classify",
     "time_weighted_avg",
     "embedding_outliers",
+    "media_frame_sample",
 )
 
 

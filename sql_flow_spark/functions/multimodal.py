@@ -105,3 +105,85 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return extract_features(payloads)
+
+
+# ------------------------------------------------------ frame sampling
+
+SAMPLE_EVERY = 4  # keep every 4th frame
+
+SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_off", LongType()),
+        StructField("frame_len", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every: int = SAMPLE_EVERY,
+) -> DataFrame:
+    """Frame sampling over a binary column: one output row per kept
+    frame (every ``every``-th FRAME_BYTES-wide slice, trailing partial
+    frame included). The mapInPandas stage SLICES THE REAL BYTES and
+    reports the slice's true length — the decode of the slice is the
+    stubbed step, the addressing/explode plumbing is not.
+
+    At 100 TB this is the fan-out stage ahead of a (real) per-frame
+    decoder: payload bytes never shuffle (rows explode in place), and
+    the output is narrow typed rows sized ~n_frames/every per doc."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                bl = len(payload)
+                n_total = (bl + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_total, every):
+                    frame = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    ids.append(int(did))
+                    idxs.append(i)
+                    offs.append(i * FRAME_BYTES)
+                    lens.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_off": pd.Series(offs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_sample, SAMPLE_SCHEMA)
+
+
+@query(
+    "media_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * {FRAME_BYTES} AS BIGINT) AS frame_off,
+           CAST(LEAST({FRAME_BYTES}, bl - i * {FRAME_BYTES}) AS BIGINT)
+             AS frame_len
+    FROM (
+      SELECT doc_id, bl,
+             unnest(range(0, CAST((bl + {FRAME_BYTES} - 1) // {FRAME_BYTES}
+                                  AS BIGINT), {SAMPLE_EVERY})) AS i
+      FROM (SELECT doc_id, octet_length(encode(text)) AS bl FROM documents)
+    )
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling over the encoded documents payloads
+    (standing in for video bytes): the oracle recomputes the frame
+    addressing arithmetic in SQL, proving the mapInPandas explode
+    addresses exactly the bytes it claims to."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    payloads = t["documents"].select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return sample_frames(payloads)
