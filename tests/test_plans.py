@@ -215,3 +215,46 @@ def test_r6_operators_plan_hygiene(spark, sf_dir):
     p = plan(spark, sf_dir, "cross_split_contamination")
     assert "BroadcastHashJoin" not in p  # narrow scan + one agg exchange
     assert p.count("HashAggregate") >= 2  # map-side partials
+
+
+def test_r6b_operators_plan_hygiene(spark, sf_dir):
+    """Plan pins for the second r6 batch: zero-shuffle rule filters,
+    bounded exchange counts on the dedup/temporal shapes, top-k via
+    TakeOrderedAndProject, and the global no-cartesian/no-python
+    invariants."""
+    # pure-codegen projection: NO exchange of any kind
+    p = plan(spark, sf_dir, "gopher_quality")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+    # chunk dedup: exactly the two hash shuffles the design claims
+    # (global chunk count + per-doc agg); join-back may be broadcast at
+    # toy scale, but never cartesian
+    p = plan(spark, sf_dir, "chunk_dedup")
+    assert p.count("Arguments: hashpartitioning(") <= 3
+    assert "CartesianProduct" not in p
+
+    # q2: ordered top-100 must be TakeOrderedAndProject, dims broadcast
+    p = plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    # temporal + ML shapes: no cartesian, no row-python anywhere
+    for name in (
+        "asof_attribution",
+        "range_join_attribution",
+        "events_gapfill",
+        "embedding_centroids",
+        "value_quartiles",
+        "knn_classify",
+        "time_weighted_avg",
+        "embedding_outliers",
+    ):
+        p = plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name} degraded to cartesian"
+        assert "EvalPython" not in p, f"{name} fell back to row python"
+
+    # centroids: single shuffle onto (label, dim)
+    p = plan(spark, sf_dir, "embedding_centroids")
+    assert p.count("Arguments: hashpartitioning(") == 1
