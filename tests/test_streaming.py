@@ -347,3 +347,63 @@ def test_streaming_upsert_sink_end_to_end(spark, tmp_path):
     assert pipe.stats.num_batches == 2
     state = {r.k: (r.v, r.ts) for r in sink.current().collect()}
     assert state == {1: ("a", 10), 2: ("B", 20), 3: ("c", 20)}
+
+
+def test_streaming_exact_dedup_with_batch_fingerprint(spark, tmp_path):
+    """The batch curation fingerprint (functions.textops.fingerprint,
+    a pure Catalyst expression) composed into the streaming dedup path:
+    near-identical documents arriving in DIFFERENT micro-batches are
+    collapsed by dropDuplicatesWithinWatermark on the fingerprint —
+    the streaming twin of dedup_exact."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sql_flow_spark.functions.textops import fingerprint
+    from sql_flow_spark.sources import FileSource
+    from sql_flow_spark.streaming.dedupe import dedupe_stream
+
+    in_dir = tmp_path / "sdedup-in"
+    in_dir.mkdir()
+    # batch 1: two docs; batch 2 (separate file => separate micro-batch
+    # under availableNow+maxFilesPerTrigger): a case/punct variant of
+    # doc 1 plus a genuinely new doc
+    (in_dir / "a.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 1, "ts": "2024-01-01 00:00:00", "text": "spark is fast"},
+                {"doc_id": 2, "ts": "2024-01-01 00:00:10", "text": "duck db"},
+            ]
+        )
+        + "\n"
+    )
+    (in_dir / "b.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 3, "ts": "2024-01-01 00:00:20", "text": "Spark IS fast!"},
+                {"doc_id": 4, "ts": "2024-01-01 00:00:30", "text": "flink"},
+            ]
+        )
+        + "\n"
+    )
+    stream = (
+        FileSource(str(in_dir), format="json")
+        .read_stream(spark)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("f", fingerprint(F.col("text")))
+    )
+    deduped = dedupe_stream(stream, ["f"], time_column="ts")
+    got = []
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "sdedup-ckpt"))
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in got)
+    assert kept == [1, 2, 4]  # doc 3 is doc 1's variant -> dropped
