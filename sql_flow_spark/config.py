@@ -165,6 +165,21 @@ class PipelineLegConf:
 
 
 @dataclass
+class DedupeConf:
+    """``pipeline.dedupe:`` — source-side exactly-once per key. The
+    reference achieves idempotency by dedup-on-insert in the sink DB
+    (dev/config/examples/kafka.motherduck.idempotent.yml); Spark-native
+    the dedup runs BEFORE the handler via
+    dropDuplicatesWithinWatermark, state bounded by event time (an
+    unbounded key domain with no time_column grows state forever —
+    only use keys+no-time for small domains)."""
+
+    keys: list[str]
+    time_column: Optional[str] = None
+    watermark_delay: str = "10 minutes"
+
+
+@dataclass
 class PipelineConf:
     source: SourceConf
     handler: HandlerConf
@@ -172,6 +187,7 @@ class PipelineConf:
     batch_size: int = 1000
     flush_interval_seconds: int = 30
     on_error: ErrorPolicyConf = field(default_factory=ErrorPolicyConf)
+    dedupe: Optional[DedupeConf] = None
 
 
 @dataclass
@@ -299,6 +315,9 @@ def new_from_dict(conf: dict) -> Conf:
             on_error=ErrorPolicyConf(
                 policy=(on_error_d.get("policy") or Policy.RAISE).upper(),
                 dlq=dlq,
+            ),
+            dedupe=(
+                DedupeConf(**p["dedupe"]) if p.get("dedupe") else None
             ),
         ),
     )

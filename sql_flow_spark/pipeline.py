@@ -56,6 +56,7 @@ class Pipeline:
         dlq_sink: Optional[Sink] = None,
         batch_size: int = 1000,
         legs: Optional[list[tuple[str, Handler, Sink]]] = None,
+        dedupe: Optional[cfg.DedupeConf] = None,
     ):
         self.spark = spark
         self.source = source
@@ -67,7 +68,27 @@ class Pipeline:
         # fan-out legs: extra (name, handler, sink) run on the SAME
         # batch/micro-batch — one source read serves every leg
         self.legs = legs or []
+        self.dedupe = dedupe
         self.stats = Stats()
+
+    def _apply_dedupe(self, df: DataFrame, streaming: bool) -> DataFrame:
+        """Source-side exactly-once per key (config ``pipeline.dedupe``,
+        reference idempotent-sink parity). Streaming uses watermarked
+        state (dedupe_stream); batch is a plain dropDuplicates on the
+        keys (the winning row among duplicates is arbitrary, as in any
+        engine's keyed insert-or-ignore)."""
+        if self.dedupe is None:
+            return df
+        if streaming:
+            from sql_flow_spark.streaming.dedupe import dedupe_stream
+
+            return dedupe_stream(
+                df,
+                self.dedupe.keys,
+                time_column=self.dedupe.time_column,
+                watermark_delay=self.dedupe.watermark_delay,
+            )
+        return df.dropDuplicates(self.dedupe.keys)
 
     # ------------------------------------------------------ batch mode
 
@@ -76,6 +97,7 @@ class Pipeline:
         invoke), then through every fan-out leg. Returns the main
         handler result."""
         df = batch_df if batch_df is not None else self.source.read(self.spark)
+        df = self._apply_dedupe(df, streaming=False)
         try:
             result = self.handler.invoke(self.spark, df)
         except Exception as e:
@@ -112,21 +134,38 @@ class Pipeline:
     # -------------------------------------------------- streaming mode
 
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int):
+        # A stateful operator upstream (pipeline.dedupe) requires the
+        # foreachBatch body to process EVERY partition of the
+        # micro-batch, or Spark's state-store commit validation fails
+        # the query (handler SQL may prune partitions; the DLQ path
+        # returns early). persist+count commits the state exactly once
+        # and the handler reuses the cached batch; unpersisted in
+        # finally, so the CacheManager-empty invariant holds.
+        stateful = self.dedupe is not None
+        if stateful:
+            batch_df = batch_df.persist()
+            batch_df.count()
         try:
-            result = self.handler.invoke(self.spark, batch_df)
-        except Exception as e:
-            self.stats.num_errors += 1
-            logger.error("handler error on batch %s: %s", batch_id, e)
-            if self.error_policy == cfg.Policy.RAISE:
-                raise
-            if self.error_policy == cfg.Policy.DLQ:
-                self.dlq.write_error(str(e), f"batch {batch_id}", "handler.invoke")
-            return
-        if result is not None:
-            self.sink.write_table(result)
-            self.sink.flush()
-            self.stats.num_batches += 1
-        self._run_legs(batch_df, f"micro-batch {batch_id}")
+            try:
+                result = self.handler.invoke(self.spark, batch_df)
+            except Exception as e:
+                self.stats.num_errors += 1
+                logger.error("handler error on batch %s: %s", batch_id, e)
+                if self.error_policy == cfg.Policy.RAISE:
+                    raise
+                if self.error_policy == cfg.Policy.DLQ:
+                    self.dlq.write_error(
+                        str(e), f"batch {batch_id}", "handler.invoke"
+                    )
+                return
+            if result is not None:
+                self.sink.write_table(result)
+                self.sink.flush()
+                self.stats.num_batches += 1
+            self._run_legs(batch_df, f"micro-batch {batch_id}")
+        finally:
+            if stateful:
+                batch_df.unpersist()
 
     def start(
         self,
@@ -149,7 +188,9 @@ class Pipeline:
         for tconf in managed_tables or []:
             queries.append(self._start_managed(tconf, base, available_now, processing_time))
 
-        stream = self.source.read_stream(self.spark)
+        stream = self._apply_dedupe(
+            self.source.read_stream(self.spark), streaming=True
+        )
         writer = stream.writeStream.foreachBatch(self._foreach_batch)
         writer = writer.option("checkpointLocation", f"{base}/main")
         writer = self._trigger(writer, available_now, processing_time)
@@ -236,6 +277,7 @@ def new_pipeline_from_conf(
         dlq_sink=dlq_sink,
         batch_size=p.batch_size,
         legs=legs,
+        dedupe=p.dedupe,
     )
 
 

@@ -552,3 +552,57 @@ def test_cli_schema_prints_valid_schema(capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["required"] == ["pipeline"]
     assert "source" in out["$defs"]
+
+
+def test_dedupe_config_batch_and_stream(spark, tmp_path):
+    """pipeline.dedupe (reference idempotent-sink parity): duplicate
+    keys are dropped BEFORE the handler — batch mode via
+    dropDuplicates, streaming mode via dropDuplicatesWithinWatermark
+    across micro-batches."""
+    import json as _json
+
+    from sql_flow_spark.pipeline import new_pipeline_from_conf
+    from sql_flow_spark.sources import FileSource
+
+    conf = cfg.new_from_path(os.path.join(EXAMPLES, "idempotent.dedup.yml"))
+    assert conf.pipeline.dedupe.keys == ["doc_id"]
+    assert conf.pipeline.dedupe.time_column == "ts"
+
+    # batch: 3 records, one duplicated key -> 2 reach the handler
+    sink = MemorySink()
+    pipe = new_pipeline_from_conf(conf, spark, sink_override=sink)
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01 00:00:00", "text": "a"},
+        {"doc_id": 1, "ts": "2024-01-01 00:00:01", "text": "a-dup"},
+        {"doc_id": 2, "ts": "2024-01-01 00:00:02", "text": "b"},
+    ]
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["ts"], r["text"]) for r in rows],
+        "doc_id long, ts string, text string",
+    )
+    pipe.invoke(batch)
+    assert sorted(r.doc_id for r in sink.rows()) == [1, 2]
+
+    # streaming: the same duplicate key in a LATER micro-batch is
+    # dropped by the watermarked state
+    in_dir = tmp_path / "dedupe-stream-in"
+    in_dir.mkdir()
+    (in_dir / "a.jsonl").write_text(_json.dumps(rows[0]) + "\n")
+    (in_dir / "b.jsonl").write_text(
+        _json.dumps(rows[1]) + "\n" + _json.dumps(rows[2]) + "\n"
+    )
+    sink2 = MemorySink()
+    pipe2 = new_pipeline_from_conf(conf, spark, sink_override=sink2)
+    pipe2.source = FileSource(str(in_dir), format="json", max_files_per_trigger=1)
+    # cast ts for the watermark (json infers string)
+    from pyspark.sql import functions as F
+
+    orig = pipe2.source.read_stream
+
+    def _read_stream(s):
+        return orig(s).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    pipe2.source.read_stream = _read_stream
+    q = pipe2.start(available_now=True, checkpoint_dir=str(tmp_path / "dd-ckpt"))
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in sink2.rows()) == [1, 2]
