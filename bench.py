@@ -101,6 +101,7 @@ HEADLINE = (
     "time_weighted_avg",
     "embedding_outliers",
     "media_frame_sample",
+    "bpe_apply",
 )
 
 

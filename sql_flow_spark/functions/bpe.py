@@ -138,3 +138,48 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed."""
     t = load_tables(spark, sf_dir, ("documents",))
     return learn_merges(t["documents"], N_MERGES)
+
+
+def apply_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a learned merge table: chars -> fold each merge in
+    rank order (the standard apply path — every merge is one Catalyst
+    higher-order fold, so an M-merge vocabulary compiles to M chained
+    JVM expressions, zero Python in the row path). Returns the input
+    plus ``syms`` (the symbol array) and ``n_bpe_tokens``."""
+    per_word = F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda w: F.regexp_extract_all(w, F.lit("."), 0),
+    )
+    # fold the merge table over every word's symbol array
+    def _apply_all(syms: Column) -> Column:
+        out = syms
+        for a, b in merges:
+            out = _merge_pair(out, F.lit(a), F.lit(b))
+        return out
+
+    tokens = F.flatten(F.transform(per_word, _apply_all))
+    return docs.withColumn("syms", tokens).withColumn(
+        "n_bpe_tokens", F.size("syms").cast("long")
+    )
+
+
+@query("bpe_apply")  # same iterative-fold territory as bpe_learn_merges
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the corpus's own learned BPE
+    vocabulary: learn_merges provides the (bounded, 8-row) merge
+    table, apply_merges folds it over every word JVM-side. The learn
+    step's collects are trainer-bounded; the apply pass is a pure
+    narrow map over the corpus — embarrassingly parallel at 100 TB.
+    Token counts are pinned exactly against the pure-Python reference
+    tokenizer in tests/test_functions.py."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    learned = learn_merges(docs, N_MERGES).orderBy("rank").collect()
+    merges = [(r["left"], r["right"]) for r in learned]
+    return apply_merges(docs, merges).select(
+        "doc_id", "n_bpe_tokens"
+    )

@@ -412,3 +412,40 @@ def test_bpe_deterministic_tiebreak(spark):
     )  # both pairs count 1 -> lexicographic winner (a, b)
     rows = learn_merges(docs, 1).collect()
     assert (rows[0]["left"], rows[0]["right"]) == ("a", "b")
+
+
+def test_bpe_apply_matches_reference_tokenizer(spark, sf_dir):
+    from collections import Counter
+
+    from sql_flow_spark.functions.bpe import N_MERGES, apply_merges, learn_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = Counter()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for t in texts.values():
+        words.update(w for w in t.split() if w)
+    ref_merges = [(a, b) for _r, a, b, _m, _c in _reference_bpe(words, N_MERGES)]
+
+    def ref_tokenize(text):
+        n = 0
+        for w in text.split():
+            syms = list(w)
+            for a, b in ref_merges:
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                syms = out
+            n += len(syms)
+        return n
+
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in apply_merges(
+            docs, [(a, b) for a, b in ref_merges]
+        ).select("doc_id", "n_bpe_tokens").collect()
+    }
+    for did, text in texts.items():
+        assert got[did] == ref_tokenize(text), did
