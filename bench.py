@@ -102,6 +102,7 @@ HEADLINE = (
     "embedding_outliers",
     "media_frame_sample",
     "bpe_apply",
+    "events_gapfill_interp",
 )
 
 

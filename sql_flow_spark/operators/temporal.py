@@ -259,3 +259,126 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         dur.alias("duration_us"),
         F.when(dur > 0, fsum / dur.cast("double")).alias("twa_value"),
     )
+
+
+@query(
+    "events_gapfill_interp",
+    oracle=f"""
+    WITH agg AS (
+      SELECT event_type,
+             epoch_us(ts) // {GAPFILL_BUCKET_US} AS h,
+             {o_dsum('value')} AS value_sum
+      FROM events
+      GROUP BY event_type, epoch_us(ts) // {GAPFILL_BUCKET_US}
+    ),
+    grid AS (
+      SELECT t.event_type, gs.h
+      FROM (SELECT DISTINCT event_type FROM agg) t,
+           (SELECT unnest(generate_series((SELECT MIN(h) FROM agg),
+                                          (SELECT MAX(h) FROM agg))) AS h) gs
+    ),
+    j AS (
+      SELECT g.event_type, g.h, a.value_sum,
+        last_value(a.value_sum IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN a.value_sum IS NOT NULL THEN g.h END
+                   IGNORE NULLS) OVER wp AS ph,
+        first_value(a.value_sum IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN a.value_sum IS NOT NULL THEN g.h END
+                    IGNORE NULLS) OVER wn AS nh
+      FROM grid g LEFT JOIN agg a
+        ON a.event_type = g.event_type AND a.h = g.h
+      WINDOW
+        wp AS (PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           h * {GAPFILL_BUCKET_US} AS bucket_us,
+           value_sum,
+           CASE
+             WHEN value_sum IS NOT NULL THEN value_sum
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (CAST(h - ph AS DOUBLE)
+                                 / CAST(nh - ph AS DOUBLE))
+           END AS interp_value_sum
+    FROM j
+    """,
+)
+def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup with LINEAR interpolation across the
+    holes (the Timescale interpolate() companion to events_gapfill's
+    locf): a gap bucket takes pv + (nv-pv)·(h-hp)/(hn-hp) between its
+    nearest observed neighbors; leading/trailing gaps (no neighbor on
+    one side) stay NULL. The fraction divides two exact integer bucket
+    distances in DOUBLE and the observed sums are fixed-point exact,
+    so both engines interpolate identically.
+
+    Scale shape: same as events_gapfill — one fact groupBy, a
+    calendar-bounded grid, and two grid-cardinality windows (one
+    forward, one backward) per type."""
+    t = load_tables(spark, sf_dir, ("events",))
+    hour = F.expr(f"unix_micros(ts) div {GAPFILL_BUCKET_US}")
+    agg = (
+        t["events"]
+        .groupBy(F.col("event_type"), hour.alias("h"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast(
+                        "decimal(30,0)"
+                    )
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("value_sum"),
+        )
+    )
+    rng = agg.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    grid = (
+        agg.select("event_type")
+        .distinct()
+        .join(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("hmin"), F.col("hmax"))).alias("h"),
+        )
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    vh = F.when(F.col("value_sum").isNotNull(), F.col("h"))
+    j = (
+        grid.join(agg, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            "value_sum",
+            F.last("value_sum", ignorenulls=True).over(wp).alias("pv"),
+            F.last(vh, ignorenulls=True).over(wp).alias("ph"),
+            F.first("value_sum", ignorenulls=True).over(wn).alias("nv"),
+            F.first(vh, ignorenulls=True).over(wn).alias("nh"),
+        )
+    )
+    frac = (F.col("h") - F.col("ph")).cast("double") / (
+        F.col("nh") - F.col("ph")
+    ).cast("double")
+    interp = (
+        F.when(F.col("value_sum").isNotNull(), F.col("value_sum"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+    )
+    return j.select(
+        "event_type",
+        (F.col("h") * GAPFILL_BUCKET_US).alias("bucket_us"),
+        "value_sum",
+        interp.alias("interp_value_sum"),
+    )
