@@ -188,3 +188,40 @@ def test_range_join_matches_bruteforce_sweep(spark):
         if rid_sid == sid and lts <= rts <= lts + W
     )
     assert got == want
+
+
+def test_merge_pair_fold_matches_python_sweep(spark):
+    """The BPE merge fold (Catalyst aggregate HOF) vs the plain-python
+    greedy scan on 300 random symbol arrays from a 2-letter alphabet
+    (maximizing adjacent/overlapping merge collisions like 'aaaa')."""
+    from pyspark.sql import functions as F
+
+    from sql_flow_spark.functions.bpe import _merge_pair
+
+    rng = np.random.RandomState(5)
+    arrays = [
+        [str(c) for c in rng.choice(["a", "b"], rng.randint(0, 9))]
+        for _ in range(300)
+    ]
+
+    def py_merge(syms, a, b):
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, arr) for i, arr in enumerate(arrays)], "i int, syms array<string>"
+    )
+    for a, b in (("a", "a"), ("a", "b"), ("b", "a")):
+        got = {
+            r["i"]: list(r["m"])
+            for r in df.select(
+                "i", _merge_pair(F.col("syms"), F.lit(a), F.lit(b)).alias("m")
+            ).collect()
+        }
+        for i, arr in enumerate(arrays):
+            assert got[i] == py_merge(arr, a, b), (a, b, arr)
