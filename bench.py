@@ -103,6 +103,7 @@ HEADLINE = (
     "media_frame_sample",
     "bpe_apply",
     "events_gapfill_interp",
+    "dedup_keep_best",
 )
 
 

@@ -806,3 +806,82 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_splits") > 1)
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, md5({O_NORMALIZE.format(expr='text')}) AS f
+      FROM documents
+    ),
+    quality AS ({_O_QUALITY})
+    SELECT f AS fingerprint,
+           CAST(doc_id AS BIGINT) AS keep_doc_id,
+           q AS keep_quality,
+           n_copies
+    FROM (
+      SELECT fp.f, fp.doc_id, q.q,
+             CAST(COUNT(*) OVER (PARTITION BY fp.f) AS BIGINT) AS n_copies,
+             ROW_NUMBER() OVER (
+               PARTITION BY fp.f ORDER BY q.q DESC, fp.doc_id) AS rn
+      FROM fp JOIN quality q ON q.doc_id = fp.doc_id
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the HIGHEST-QUALITY copy per family instead
+    of the lowest id — what production curation actually ships (a
+    near-duplicate crawl often contains one clean copy and several
+    truncated/mangled ones; min-id keeps an arbitrary one). Quality is
+    the engine's standard heuristic score; the argmax has a total
+    tiebreak (quality desc, doc_id asc) and the score's IEEE
+    derivation is identical in both engines, so the winner can never
+    differ.
+
+    Scale shape: one scan computes fingerprint + quality (narrow), one
+    shuffle on the fingerprint; the per-family argmax and copy count
+    share the same window partitioning. Same cost as dedup_exact plus
+    the scoring map."""
+    from sql_flow_spark.functions.textops import (
+        _stop_re,
+        ws_token_count,
+    )
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    n_chars = F.length("text")
+    n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0))
+    n_punct = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    )
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_re("en")), 0)
+    )
+    quality = (
+        F.lit(0.5) * (n_alpha.cast("double") / n_chars.cast("double"))
+        + F.lit(0.3)
+        * (n_stop.cast("double") / ws_token_count("text").cast("double"))
+        + F.lit(0.2)
+        * (F.lit(1.0) - n_punct.cast("double") / n_chars.cast("double"))
+    )
+    scored = d.select(
+        "doc_id",
+        fingerprint("text").alias("f"),
+        quality.alias("q"),
+    )
+    wf = Window.partitionBy("f")
+    wr = Window.partitionBy("f").orderBy(F.col("q").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("n_copies", F.count("*").over(wf).cast("long"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("f").alias("fingerprint"),
+            F.col("doc_id").cast("long").alias("keep_doc_id"),
+            F.col("q").alias("keep_quality"),
+            "n_copies",
+        )
+    )
