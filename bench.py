@@ -104,6 +104,8 @@ HEADLINE = (
     "bpe_apply",
     "events_gapfill_interp",
     "dedup_keep_best",
+    "events_moving_avg",
+    "customer_rfm",
 )
 
 

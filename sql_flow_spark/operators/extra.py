@@ -689,3 +689,76 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dev * dev > F.lit(4) * var_n2)
         .select("event_id", "event_type", "value", zscore.alias("zscore"))
     )
+
+
+@query(
+    "customer_rfm",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+               AS last_order_day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             {o_dsum('o_totalprice')} AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           last_order_day, n_orders, monetary,
+           CAST(r AS INTEGER) AS r,
+           CAST(f AS INTEGER) AS f,
+           CAST(m AS INTEGER) AS m,
+           CAST(r * 100 + f * 10 + m AS INTEGER) AS rfm
+    FROM (
+      SELECT *,
+        ntile(4) OVER (ORDER BY last_order_day DESC, o_custkey) AS r,
+        ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+        ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM per
+    )
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (last order day),
+    frequency (order count) and monetary (exact revenue sum), each
+    quartiled with ntile over a TOTAL order (metric desc, custkey) so
+    bucket assignment is identical in both engines; quartile 1 is the
+    best on every axis and rfm = r·100 + f·10 + m is the usual segment
+    code.
+
+    Scale shape: one fact groupBy onto customer cardinality; the three
+    ntiles are global sorts over the aggregated (small) customer set —
+    at 100 TB swap for percentile-threshold bucketing (two passes, no
+    global sort), same outputs at quartile granularity."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    per = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.expr("unix_micros(o_orderdate) div 86400000000"))
+            .cast("long")
+            .alias("last_order_day"),
+            F.count("*").cast("long").alias("n_orders"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    r = F.ntile(4).over(
+        W.orderBy(F.col("last_order_day").desc(), F.col("o_custkey"))
+    )
+    f = F.ntile(4).over(
+        W.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+    )
+    m = F.ntile(4).over(
+        W.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    )
+    return per.select(
+        "o_custkey",
+        "last_order_day",
+        "n_orders",
+        "monetary",
+        r.cast("int").alias("r"),
+        f.cast("int").alias("f"),
+        m.cast("int").alias("m"),
+        (r * 100 + f * 10 + m).cast("int").alias("rfm"),
+    )

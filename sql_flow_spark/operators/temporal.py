@@ -382,3 +382,53 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_sum",
         interp.alias("interp_value_sum"),
     )
+
+
+MOVING_AVG_ROWS = 4  # current row + 3 preceding
+
+
+@query(
+    "events_moving_avg",
+    oracle=f"""
+    SELECT event_id, event_type, value,
+      CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS DECIMAL(38,0)))
+             OVER w AS DOUBLE) / 10000.0
+        / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg
+    FROM events
+    WINDOW w AS (
+      PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+      ROWS BETWEEN {MOVING_AVG_ROWS - 1} PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 4-row mean of `value` per event type — the smoothing
+    window every monitoring dashboard runs. The frame is ROWS-based
+    over a total order (event time then event_id), so both engines see
+    identical frames; the windowed sum is fixed-point exact and the
+    mean divides it by the exact frame row count.
+
+    Scale shape: one window = one shuffle on event_type + in-partition
+    time sort, O(frame) running state. Hot types: pre-bucket by
+    (type, day) as with time_weighted_avg."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"), F.col("event_id"))
+        .rowsBetween(-(MOVING_AVG_ROWS - 1), Window.currentRow)
+    )
+    fsum = (
+        F.sum(
+            F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .over(w)
+        .cast("double")
+        / F.lit(10000.0)
+    )
+    return t["events"].select(
+        "event_id",
+        "event_type",
+        "value",
+        (fsum / F.count("*").over(w).cast("double")).alias("moving_avg"),
+    )
