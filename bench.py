@@ -106,6 +106,8 @@ HEADLINE = (
     "dedup_keep_best",
     "events_moving_avg",
     "customer_rfm",
+    "revenue_yoy",
+    "revenue_share_by_priority",
 )
 
 

@@ -762,3 +762,98 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.cast("int").alias("m"),
         (r * 100 + f * 10 + m).cast("int").alias("rfm"),
     )
+
+
+@query(
+    "revenue_yoy",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             {o_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY EXTRACT(year FROM o_orderdate)
+    )
+    SELECT o_year, revenue,
+           lag(revenue) OVER (ORDER BY o_year) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY o_year) > 0 THEN
+             (revenue - lag(revenue) OVER (ORDER BY o_year))
+               / lag(revenue) OVER (ORDER BY o_year)
+           END AS yoy_growth
+    FROM yearly
+    """,
+)
+def revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: lag over the aggregated yearly
+    series. The yearly sums are fixed-point exact, so the growth ratio
+    divides two engine-identical doubles; the first year's growth is
+    NULL (no prior), as is any year after a zero-revenue year.
+
+    Scale shape: one fact groupBy onto a handful of year rows; the lag
+    window runs on that tiny series (single partition by design — the
+    series is the small output, not the data)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    yearly = (
+        t["orders"]
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "o_year",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev > 0, (F.col("revenue") - prev) / prev).alias(
+            "yoy_growth"
+        ),
+    )
+
+
+@query(
+    "revenue_share_by_priority",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_orderpriority,
+             {o_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, revenue,
+           revenue /
+             (CAST(SUM(CAST(floor(revenue * 10000.0 + 0.5)
+                            AS DECIMAL(38,0))) OVER ()
+                   AS DOUBLE) / 10000.0) AS revenue_share
+    FROM per
+    """,
+)
+def revenue_share_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each priority's share of total revenue via an
+    unpartitioned window over the aggregated rows. A bare
+    SUM(revenue) OVER () would re-sum DOUBLEs in engine-dependent
+    order (measured: last-ulp share differences); instead the window
+    total re-scales each exact 4dp revenue back to its integer and
+    sums decimals — order-insensitive, so the share division is
+    engine-identical.
+
+    Scale shape: one fact groupBy onto the 5-key priority space; the
+    share window runs on 5 rows."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    per = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy()
+    total = (
+        F.sum(
+            F.floor(F.col("revenue") * F.lit(10000.0) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .over(w)
+        .cast("double")
+        / F.lit(10000.0)
+    )
+    return per.select(
+        "o_orderpriority",
+        "revenue",
+        (F.col("revenue") / total).alias("revenue_share"),
+    )
