@@ -108,6 +108,7 @@ HEADLINE = (
     "customer_rfm",
     "revenue_yoy",
     "revenue_share_by_priority",
+    "event_transition_matrix",
 )
 
 

@@ -11,7 +11,7 @@ reductions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sql_flow_spark.registry import query
@@ -163,4 +163,61 @@ def events_enrich_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return salted_join(ev, dim, "user_id").select(
         "event_id", "user_id", "n_events", "first_seen_s"
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS nxt
+      FROM events
+    ),
+    counts AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY cur)
+                                    AS DOUBLE) AS p
+    FROM counts
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the sequence-modeling prep table (what did users do
+    NEXT). lead() over the total (time, event_id) order pairs each
+    event with its successor; transition probability divides exact
+    integer counts (the per-row window total sums BIGINTs — exact in
+    any order, unlike doubles).
+
+    Scale shape: one window (shuffle on user_id + in-partition time
+    sort) then a groupBy onto the types x types key space (tiny); the
+    probability window runs on that matrix."""
+    t = load_tables(spark, sf_dir, ("events",))
+    wseq = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    seq = t["events"].select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wseq).alias("nxt"),
+    )
+    counts = (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wrow = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wrow).cast("double")
+        ).alias("p"),
     )
