@@ -109,6 +109,7 @@ HEADLINE = (
     "revenue_yoy",
     "revenue_share_by_priority",
     "event_transition_matrix",
+    "orders_monthly_seasonality",
 )
 
 

@@ -857,3 +857,46 @@ def revenue_share_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         (F.col("revenue") / total).alias("revenue_share"),
     )
+
+
+@query(
+    "orders_monthly_seasonality",
+    oracle=f"""
+    WITH per AS (
+      SELECT CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             {o_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY EXTRACT(month FROM o_orderdate)
+    )
+    SELECT o_month, n_orders, revenue,
+           CAST(n_orders AS DOUBLE)
+             / CAST(SUM(n_orders) OVER () AS DOUBLE) AS order_share
+    FROM per
+    """,
+)
+def orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality profile: order counts, exact revenue,
+    and each month's share of total orders (integer counts divided —
+    order-safe window sum, no double re-summing hazard).
+
+    Scale shape: one fact groupBy onto 12 keys; the share window runs
+    on 12 rows."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    per = (
+        t["orders"]
+        .groupBy(F.month("o_orderdate").cast("int").alias("o_month"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "o_month",
+        "n_orders",
+        "revenue",
+        (
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(w).cast("double")
+        ).alias("order_share"),
+    )
