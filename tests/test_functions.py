@@ -449,3 +449,29 @@ def test_bpe_apply_matches_reference_tokenizer(spark, sf_dir):
     }
     for did, text in texts.items():
         assert got[did] == ref_tokenize(text), did
+
+
+def test_bpe_apply_engines_agree(spark, sf_dir):
+    """The Arrow tokenizer (production) and the Catalyst fold chain
+    (JVM-exact twin) must produce identical symbol arrays on the real
+    corpus."""
+    from sql_flow_spark.functions.bpe import N_MERGES, apply_merges, learn_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_merges(docs, N_MERGES).orderBy("rank").collect()
+    ]
+    fast = {
+        r["doc_id"]: list(r["syms"])
+        for r in apply_merges(docs, merges, engine="arrow")
+        .select("doc_id", "syms")
+        .collect()
+    }
+    exact = {
+        r["doc_id"]: list(r["syms"])
+        for r in apply_merges(docs, merges, engine="expr")
+        .select("doc_id", "syms")
+        .collect()
+    }
+    assert fast == exact
