@@ -53,7 +53,21 @@ pipeline:
 """
 
 
+def _init_logging() -> None:
+    """SQLFLOW_LOG_LEVEL-driven logging (reference: sqlflow/logging.py
+    init + settings.LOG_LEVEL). Spark's own log4j level is configured
+    in session.py; this covers the python-side pipeline loggers."""
+    import logging
+    import os
+
+    logging.basicConfig(
+        level=os.environ.get("SQLFLOW_LOG_LEVEL", "INFO"),
+        format="%(asctime)s [%(levelname)s] %(message)s",
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
+    _init_logging()
     parser = argparse.ArgumentParser(prog="sql-flow-spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
