@@ -110,6 +110,7 @@ HEADLINE = (
     "revenue_share_by_priority",
     "event_transition_matrix",
     "orders_monthly_seasonality",
+    "events_equidepth_histogram",
 )
 
 

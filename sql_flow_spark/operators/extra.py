@@ -900,3 +900,63 @@ def orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_orders").over(w).cast("double")
         ).alias("order_share"),
     )
+
+
+@query(
+    "events_equidepth_histogram",
+    oracle="""
+    WITH th AS (
+      SELECT quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.5) AS q2,
+             quantile_cont(value, 0.75) AS q3
+      FROM events
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM (
+      SELECT value,
+        CASE WHEN value <= q1 THEN 0
+             WHEN value <= q2 THEN 1
+             WHEN value <= q3 THEN 2
+             ELSE 3 END AS bucket
+      FROM events, th
+    )
+    GROUP BY bucket
+    """,
+)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile-boundary) histogram: exact quartile
+    thresholds — proven bit-identical across engines (value_quartiles)
+    — broadcast back onto the scan, each value binned by the same
+    IEEE comparisons, per-bucket counts and exact min/max. The
+    equi-depth recipe behind optimizer statistics and feature binning.
+
+    Scale shape: the threshold row is a one-row aggregate broadcast;
+    binning is a narrow map; the final agg lands on 4 keys with
+    map-side partials. Exact global percentile does buffer the value
+    multiset once — swap approx_percentile in for unbounded domains."""
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    th = e.agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.5).alias("q2"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("value") <= F.col("q1"), 0)
+        .when(F.col("value") <= F.col("q2"), 1)
+        .when(F.col("value") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        e.join(F.broadcast(th))
+        .select("value", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
