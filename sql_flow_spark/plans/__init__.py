@@ -10,6 +10,8 @@ from sql_flow_spark.plans.layout import (
     compact_directory,
     with_date_partition,
     write_partitioned,
+    write_zordered,
+    zorder_key,
 )
 
 __all__ = [
@@ -23,4 +25,6 @@ __all__ = [
     "write_partitioned",
     "with_date_partition",
     "compact_directory",
+    "write_zordered",
+    "zorder_key",
 ]

@@ -73,3 +73,65 @@ def compact_directory(
     shutil.move(tmp, path)
     shutil.rmtree(bak)
     return n_files
+
+
+# ------------------------------------------------------- z-order layout
+
+Z_BITS = 16
+
+
+def zorder_key(
+    a: Column | str, b: Column | str, bits: int = Z_BITS
+) -> Column:
+    """Morton (Z-order) interleave of two non-negative int columns,
+    quantized to ``bits`` bits each — the multi-dimensional clustering
+    key behind Delta/Iceberg OPTIMIZE ZORDER. Sorting by one column
+    gives perfect pruning on it and none on the other; sorting by the
+    interleaved key gives BOTH columns locality, so parquet row-group
+    min/max stats prune on either predicate.
+
+    Pure Catalyst bit math (shiftleft/or over a fixed ``bits`` unroll)
+    — compiles to one codegen expression, no Python, no UDF. Values
+    must be pre-scaled to [0, 2^bits); use ntile/percent_rank or
+    (x - min) * (2^bits - 1) / (max - min) to quantize arbitrary
+    ranges first."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    ca = ca.cast("long")
+    cb = cb.cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(ca, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(cb, i).bitwiseAND(F.lit(1))
+        key = (
+            key.bitwiseOR(F.shiftleft(bit_a, 2 * i))
+            .bitwiseOR(F.shiftleft(bit_b, 2 * i + 1))
+        )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = Z_BITS,
+    format: str = "parquet",
+    mode: str = "overwrite",
+):
+    """Write ``df`` clustered by the Z-order of (col_a, col_b):
+    range-partition on the interleaved key (co-locates nearby cells in
+    the same file) and sort within partitions (tight row-group
+    min/max). Point/range predicates on EITHER column then skip most
+    files via footer stats — the scan-pruning win OPTIMIZE ZORDER buys
+    on lakehouse tables, with no table format required."""
+    keyed = df.withColumn("__z", zorder_key(col_a, col_b, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.format(format)
+        .mode(mode)
+        .save(path)
+    )

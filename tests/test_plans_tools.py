@@ -80,3 +80,70 @@ def test_scan_summary_and_no_cartesian(spark, sf_dir):
     assert len(scans) == 1
     assert "l_shipdate" in scans[0]["pushed_filters"]
     assert "l_comment" not in scans[0]["read_schema"]
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from sql_flow_spark.plans import zorder_key
+
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], "a int, b int")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zorder_key("a", "b").alias("z")).collect()
+    }
+    # morton(a,b) with a in even bit positions, b in odd
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    # a=3 -> bits 0,1 set -> 0b0101; b=5 -> bits 0,2 -> 0b100010 -> 34; total 0b100111 = 39
+    assert got[(3, 5)] == 0b100111
+
+
+def test_zorder_layout_prunes_both_columns(spark, tmp_path):
+    """The point of Z-order: after write_zordered, per-file min/max
+    spans are narrow on BOTH columns, while a plain sort on column a
+    leaves column b's span at full range in every file (no pruning
+    possible on b). Measured from real parquet footer stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from sql_flow_spark.plans import write_zordered
+
+    n = 1 << 14
+    side = 1 << 7  # a, b uniform in [0, 128): a = i % 128, b = byte-mix
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % side).cast("int").alias("a"),
+            # the full (a, b) grid: b walks [0, side) independently
+            # of a, so single-column clustering cannot help b
+            ((F.col("id") / side).cast("long") % side).cast("int").alias("b"),
+        )
+    )
+    z_dir, s_dir = str(tmp_path / "zord"), str(tmp_path / "plain")
+    write_zordered(df, z_dir, "a", "b", n_files=16, bits=7)
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.parquet(s_dir)
+    )
+
+    def mean_span(d, col):
+        spans = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.read_metadata(f)
+            idx = {c: i for i, c in enumerate(md.schema.names)}[col]
+            stats = [
+                md.row_group(i).column(idx).statistics
+                for i in range(md.num_row_groups)
+            ]
+            spans.append(max(s.max for s in stats) - min(s.min for s in stats))
+        return sum(spans) / len(spans)
+
+    # plain sort: perfect on a, useless on b (span ~ full range)
+    assert mean_span(s_dir, "b") > side * 0.9
+    # z-order: BOTH columns' spans well under the full range
+    assert mean_span(z_dir, "a") < side * 0.6
+    assert mean_span(z_dir, "b") < side * 0.6
