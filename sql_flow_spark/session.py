@@ -37,6 +37,12 @@ DEFAULT_CONFS: dict[str, str] = {
     # tables.load_tables (micros = nanos div 1000, matching DuckDB's
     # truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime bloom-filter pruning for selective shuffle joins: a
+    # no-op at test scale (the creation side never crosses the size
+    # threshold locally), but on the 100 TB target it row-prunes the
+    # big side of fact-fact joins before the exchange. Harmless when
+    # it doesn't fire; large win when it does.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 
