@@ -46,6 +46,13 @@ def asof_join(
     Plan shape: one Exchange on ``keys`` + one in-partition sort over
     the unioned sides; the window carries O(1) running state per key.
     """
+    # SQL join semantics: NULL keys never match. The union-window
+    # would otherwise group null-key rows of both sides into one
+    # partition and "match" them; dropping null-key right rows makes a
+    # null-key left row see an empty partition -> NULL payload, which
+    # is exactly what ASOF LEFT JOIN produces.
+    for k in keys:
+        right = right.where(F.col(k).isNotNull())
     lcols = left.columns
     tagged_left = left.select(
         *lcols,

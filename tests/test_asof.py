@@ -70,3 +70,15 @@ def test_asof_single_shuffle_plan(spark):
     # range-join blowup, no cartesian
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL join semantics: a NULL key matches nothing — a null-key
+    left row gets NULL payload even when null-key right rows exist."""
+    left = _mk(spark, [(None, 10, "x"), (1, 10, "y")], "k int, ts int, tag string")
+    right = _mk(spark, [(None, 5, 1.0), (1, 5, 2.0)], "k int, ts int, payload double")
+    out = {
+        r["tag"]: r["payload"]
+        for r in asof_join(left, right, ["k"], "ts", ["payload"]).collect()
+    }
+    assert out == {"x": None, "y": 2.0}
