@@ -111,6 +111,7 @@ HEADLINE = (
     "event_transition_matrix",
     "orders_monthly_seasonality",
     "events_equidepth_histogram",
+    "scd2_user_status",
 )
 
 
