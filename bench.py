@@ -112,6 +112,7 @@ HEADLINE = (
     "orders_monthly_seasonality",
     "events_equidepth_histogram",
     "scd2_user_status",
+    "user_gap_stats",
 )
 
 

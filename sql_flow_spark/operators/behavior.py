@@ -221,3 +221,90 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(wrow).cast("double")
         ).alias("p"),
     )
+
+
+def _quantile_duckdb(sorted_vals, q):
+    """quantile_cont's exact arithmetic: pos = q*(n-1), then
+    (1-d)*lo + d*hi — NOT numpy.percentile, whose different expression
+    arrangement differs in the last ulp (measured), and not
+    lo + d*(hi-lo) either (also measured differing)."""
+    import math
+
+    n = len(sorted_vals)
+    pos = q * (n - 1)
+    k = int(math.floor(pos))
+    d = pos - k
+    if k + 1 >= n:
+        return float(sorted_vals[-1])
+    lo, hi = float(sorted_vals[k]), float(sorted_vals[k + 1])
+    return (1 - d) * lo + d * hi
+
+
+@query(
+    "user_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS gap
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_gap_us,
+           quantile_cont(gap, 0.5) AS median_gap_us,
+           quantile_cont(gap, 0.9) AS p90_gap_us
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via applyInPandas — the
+    grouped-map custom-operator shape: each user's events arrive as
+    one Arrow-backed pandas frame, the gap distribution is computed
+    with per-group imperative code (sort, diff, quantiles), and only
+    small typed rows come back. Oracle-exact even through Python: the
+    integer gap sums stay < 2^53 (lossless in doubles) and the
+    quantile interpolation reimplements quantile_cont's exact
+    arithmetic (see _quantile_duckdb).
+
+    Scale shape: one shuffle on user_id; per-group memory is that
+    user's event count (bound hot users upstream or pre-aggregate by
+    (user, day) if a key can exceed executor memory). This is the
+    pattern for any per-entity sequence feature at 100 TB."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+
+    def stats(pdf: "pd.DataFrame"):
+        pdf = pdf.sort_values(["us", "event_id"])
+        gaps = pdf["us"].diff().dropna().to_numpy(dtype=np.int64)
+        if len(gaps) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "user_id", "n_gaps", "mean_gap_us",
+                    "median_gap_us", "p90_gap_us",
+                ]
+            )
+        s = np.sort(gaps)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [len(gaps)],
+                "mean_gap_us": [float(int(gaps.sum())) / len(gaps)],
+                "median_gap_us": [_quantile_duckdb(s, 0.5)],
+                "p90_gap_us": [_quantile_duckdb(s, 0.9)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        stats,
+        "user_id long, n_gaps long, mean_gap_us double, "
+        "median_gap_us double, p90_gap_us double",
+    )
