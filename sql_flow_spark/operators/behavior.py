@@ -282,7 +282,9 @@ def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.unix_micros("ts").alias("us"), "event_id"
     )
 
-    def stats(pdf: "pd.DataFrame"):
+    # no type hint: pandas is imported locally, so the string
+    # annotation is unresolvable by pyspark's hint inference (warns)
+    def stats(pdf):
         pdf = pdf.sort_values(["us", "event_id"])
         gaps = pdf["us"].diff().dropna().to_numpy(dtype=np.int64)
         if len(gaps) == 0:
