@@ -113,6 +113,7 @@ HEADLINE = (
     "events_equidepth_histogram",
     "scd2_user_status",
     "user_gap_stats",
+    "orders_open_backlog",
 )
 
 

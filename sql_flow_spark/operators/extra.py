@@ -960,3 +960,75 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+@query(
+    "orders_open_backlog",
+    oracle="""
+    WITH spans AS (
+      SELECT o_orderkey,
+             epoch_us(o_orderdate) // 86400000000 AS open_day,
+             MAX(epoch_us(l_shipdate) // 86400000000) AS close_day
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, epoch_us(o_orderdate) // 86400000000
+    ),
+    deltas AS (
+      SELECT open_day AS day, 1 AS delta FROM spans
+      UNION ALL
+      SELECT close_day + 1 AS day, -1 FROM spans
+    ),
+    daily AS (
+      SELECT day, CAST(SUM(delta) AS BIGINT) AS net
+      FROM deltas GROUP BY day
+    )
+    SELECT day,
+           net,
+           CAST(SUM(net) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting: how many orders are OPEN (ordered
+    but not fully shipped) on each day — the sweep-line +1/-1 trick
+    that turns interval overlap into a running integer sum, the shape
+    behind concurrency/backlog/occupancy analytics. Exact integers end
+    to end.
+
+    Scale shape: one orders<->lineitem shuffle on orderkey to find
+    each order's last shipment; the deltas collapse to day granularity
+    with map-side partials (days ≪ orders); the running sum is a
+    window over the small daily series. Never materializes an
+    order × day matrix — that is the trap this shape exists to
+    avoid."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    day = lambda c: F.expr(f"unix_micros({c}) div 86400000000")  # noqa: E731
+    spans = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", day("o_orderdate").alias("open_day"))
+        .agg(F.max(day("l_shipdate")).alias("close_day"))
+    )
+    deltas = spans.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            (F.col("close_day") + 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("net")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "net",
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
