@@ -114,6 +114,7 @@ HEADLINE = (
     "scd2_user_status",
     "user_gap_stats",
     "orders_open_backlog",
+    "user_activity_streaks",
 )
 
 

@@ -310,3 +310,62 @@ def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_gaps long, mean_gap_us double, "
         "median_gap_us double, p90_gap_us double",
     )
+
+
+@query(
+    "user_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id,
+             day - ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_len
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+           CAST(SUM(streak_len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def user_activity_streaks(spark, sf_dir: str):
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user (day − row_number is constant within a run), rolled up to
+    streak count, longest streak, and total active days — the
+    retention-mechanics companion to cohort_retention. Exact integers
+    throughout.
+
+    Scale shape: DISTINCT (user, day) collapses the fact with map-side
+    partials; the island window and both rollups all share the user_id
+    partitioning (one exchange chain); group sizes are bounded by the
+    calendar."""
+    t = load_tables(spark, sf_dir, ("events",))
+    days = (
+        t["events"]
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.col("day") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("streak_len").cast("long").alias("longest_streak"),
+        F.sum("streak_len").cast("long").alias("active_days"),
+    )
