@@ -115,6 +115,8 @@ HEADLINE = (
     "user_gap_stats",
     "orders_open_backlog",
     "user_activity_streaks",
+    "part_copurchase_topk",
+    "lexical_diversity",
 )
 
 

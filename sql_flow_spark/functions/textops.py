@@ -333,3 +333,75 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+@query(
+    "lexical_diversity",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_hapax AS BIGINT) AS n_hapax,
+           CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS type_token_ratio,
+           CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS hapax_ratio
+    FROM (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_types,
+             len(list_filter(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)) = 1)) AS n_hapax
+      FROM (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+      )
+    )
+    """,
+)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity signals: type-token ratio and hapax-legomena
+    fraction per document — the vocabulary-richness quality axis
+    (templated/spun text scores low TTR; OCR noise scores high hapax).
+    Pure integer counts divided in DOUBLE; whole computation is
+    higher-order array expressions over one split — zero shuffles.
+
+    The hapax filter is O(types · tokens) per doc — fine for
+    documents, switch to an explode + groupBy count for book-length
+    texts."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = t["documents"].select("doc_id", toks.alias("toks"))
+    types = F.array_distinct("toks")
+    n_tokens = F.size("toks").cast("long")
+    n_types = F.size(types).cast("long")
+    n_hapax = F.size(
+        F.filter(
+            types,
+            lambda ty: F.size(
+                F.filter(F.col("toks"), lambda x: x == ty)
+            )
+            == 1,
+        )
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        n_hapax.alias("n_hapax"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (
+            F.col("n_types").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("type_token_ratio"),
+        (
+            F.col("n_hapax").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("hapax_ratio"),
+    )

@@ -1032,3 +1032,52 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net",
         F.sum("net").over(w).cast("long").alias("open_orders"),
     )
+
+
+@query(
+    "part_copurchase_topk",
+    oracle="""
+    SELECT a.l_partkey AS part_a,
+           b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often
+    bought in the same order — the classic association-mining prep.
+    The pair explosion happens WITHIN an order (self-join on orderkey,
+    a < b), so output is bounded by sum(lines_per_order choose 2) —
+    linear in orders for bounded basket sizes, never all-parts².
+    Deterministic top-k via the (count desc, a, b) total order.
+
+    Scale shape: both sides shuffle once on orderkey (same exchange
+    reused), pair counts partial-agg on the (a, b) key space, top-20
+    is TakeOrderedAndProject. A pathologic giant basket is the skew
+    risk — cap basket size upstream as LSH caps band buckets."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    pk = (
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    )
+    a = pk.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = pk.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
