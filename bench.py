@@ -117,6 +117,7 @@ HEADLINE = (
     "user_activity_streaks",
     "part_copurchase_topk",
     "lexical_diversity",
+    "copurchase_lift",
 )
 
 

@@ -1081,3 +1081,91 @@ def part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "copurchase_lift",
+    oracle="""
+    WITH pk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM pk),
+    item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+             FROM pk GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM pk a JOIN pk b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, n_ab,
+           CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+           CAST(n_ab AS DOUBLE) / CAST(ia.n AS DOUBLE) AS confidence,
+           CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN tot
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association metrics over the co-purchase pairs: support,
+    confidence P(b|a), and lift — the top-20 part pairs bought
+    together more than chance predicts. All three divide exact
+    integer counts in DOUBLE with identical expression trees, so
+    ordering by lift is engine-identical (plus the total tiebreak).
+
+    Scale shape: pair generation as in part_copurchase_topk (linear,
+    basket-bounded); the item-count dim is part-cardinality and joins
+    back by broadcast; the total is a one-row cross join."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    pk = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    tot = pk.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    item = pk.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = pk.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = pk.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("ka"), F.col("n").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("kb"), F.col("n").alias("n_b")
+    )
+    d = F.col("n_ab").cast("double")
+    return (
+        pairs.join(F.broadcast(ia), F.col("part_a") == F.col("ka"))
+        .join(F.broadcast(ib), F.col("part_b") == F.col("kb"))
+        .join(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (d / F.col("n_orders").cast("double")).alias("support"),
+            (d / F.col("n_a").cast("double")).alias("confidence"),
+            (
+                d * F.col("n_orders").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )
