@@ -118,6 +118,7 @@ HEADLINE = (
     "part_copurchase_topk",
     "lexical_diversity",
     "copurchase_lift",
+    "dedup_family_sizes",
 )
 
 

@@ -650,3 +650,44 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_chunk_ratio"),
         )
     )
+
+
+@query(
+    "dedup_family_sizes",
+    oracle=f"""
+    WITH fams AS (
+      SELECT md5({O_NORMALIZE.format(expr='text')}) AS f,
+             CAST(COUNT(*) AS BIGINT) AS family_size
+      FROM documents GROUP BY f
+    )
+    SELECT family_size,
+           CAST(COUNT(*) AS BIGINT) AS n_families,
+           CAST(family_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((family_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM fams GROUP BY family_size
+    """,
+)
+def dedup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size distribution: for each family size, how
+    many families, how many documents they hold, and how many are
+    removable (size − 1 per family) — the one-page answer to "how much
+    will exact dedup shrink this corpus", reported BEFORE committing
+    to the rewrite. Exact integers throughout.
+
+    Scale shape: the fingerprint groupBy is dedup_exact's shuffle; the
+    second agg lands on the tiny family-size key space with map-side
+    partials."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    fams = (
+        t["documents"]
+        .select(fingerprint("text").alias("f"))
+        .groupBy("f")
+        .agg(F.count("*").cast("long").alias("family_size"))
+    )
+    return fams.groupBy("family_size").agg(
+        F.count("*").cast("long").alias("n_families"),
+        (F.col("family_size") * F.count("*")).cast("long").alias("n_docs"),
+        ((F.col("family_size") - 1) * F.count("*"))
+        .cast("long")
+        .alias("n_removable"),
+    )
