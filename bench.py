@@ -119,6 +119,7 @@ HEADLINE = (
     "lexical_diversity",
     "copurchase_lift",
     "dedup_family_sizes",
+    "events_weekday_hour",
 )
 
 

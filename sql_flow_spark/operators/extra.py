@@ -1169,3 +1169,41 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "events_weekday_hour",
+    oracle=f"""
+    SELECT
+      CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INTEGER) AS dow,
+      CAST((epoch_us(ts) % 86400000000) // 3600000000 AS INTEGER)
+        AS hour,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      {o_dsum('value')} AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_weekday_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap (0 = Monday via the
+    epoch-day + 4 mod 7 trick — pure integer arithmetic on epoch
+    micros, so both engines bucket identically with no calendar/locale
+    functions involved).
+
+    Scale shape: one scan, map-side partials onto a 168-cell key
+    space."""
+    t = load_tables(spark, sf_dir, ("events",))
+    # integer div, not double division + cast: a double quotient can
+    # misround at bucket boundaries for large epoch values
+    dow = (F.expr("unix_micros(ts) div 86400000000") + 4) % 7
+    hour = F.expr("(unix_micros(ts) % 86400000000) div 3600000000")
+    return (
+        t["events"]
+        .groupBy(
+            dow.cast("int").alias("dow"), hour.cast("int").alias("hour")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            dsum("value").alias("value_sum"),
+        )
+    )
