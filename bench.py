@@ -1,8 +1,21 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
+(default /root/testdata/sf0.1).
 
-  {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec}, "sf": ...}
+Output contract (r7 — the r6 payload outgrew the driver's 2000-char
+stdout-tail capture and arrived unparseable):
+
+  1. the FULL per-key payload is written to ``bench_out.json`` at the
+     repo root (committed — truncation can never eat it), and printed
+     as an early stdout line for humans;
+  2. the LAST stdout line is a COMPACT summary guaranteed to fit the
+     driver's tail window: metric/value/unit/sf/streaming plus only
+     the slowest keys, with a pointer to the full file.
+
+Headline = every key in the operator registry except EXCLUDED (each
+exclusion has a named reason).  The deliberately-quadratic
+``dedup_clusters`` blocked oracle twin is benched at sf0.01 next to
+its linear production path ``dedup_clusters_lsh`` so the A/B stays
+visible without an O(block^2) entry in the sf0.1 headline total.
 
 Each query is executed to completion via the noop sink (full plan
 runs, no collect/driver cost — the number measures the engine, not
@@ -21,106 +34,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sql_flow_spark.operators import QUERIES  # noqa: E402
 from sql_flow_spark.session import get_spark  # noqa: E402
 
-HEADLINE = (
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "basic_agg",
-    "tumbling_window",
-    "sliding_window",
-    "latest_by_key",
-    "events_sessionize",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "dedup_embedding",
-    "text_quality",
-    "lang_id",
-    "token_count",
-    "doc_fingerprint",
-    "multimodal_features",
-    "enrich",
-    # r3 additions (BENCH_r03 ⊇ BENCH_r02 keys, r2 advice item 7)
-    "tfidf_top_term",
-    "train_val_split",
-    "best_docs_per_lang",
-    # r3 new-operator coverage: curation family + TPC-H depth + IVF
-    "pii_scrub",
-    "repetition_ratio",
-    "contamination_check",
-    "dedup_clusters",
-    "doc_packing",
-    "ann_ivf_topk",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q19_flexible_predicates",
-    "q22_idle_customers",
-    # r5 additions (BENCH_r05 ⊇ r04 keys, r4 verdict item 2): the
-    # heaviest previously-unbenched shapes
-    "user_funnel",
-    "cohort_retention",
-    "curation_pipeline",
-    "events_enrich_salted",
-    # r5 new operators
-    "q12_late_shipments",
-    "q21_waiting_supplier",
-    "boilerplate_flag",
-    "stratified_sample",
-    "mix_weights",
-    "corpus_report",
-    # r6: the production (linear LSH) cluster path benched next to its
-    # quadratic oracle twin — this is the number that matters at scale
-    "dedup_clusters_lsh",
-    # r6 new operators: the remaining TPC-H shapes, adapted
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_parts_suppliers",
-    "q20_dominant_supplier",
-    # r6 new training-data operators
-    "cross_split_contamination",
-    "unigram_logprob",
-    "events_anomaly",
-    "q2_min_cost_supplier",
-    "gopher_quality",
-    "chunk_dedup",
-    "asof_attribution",
-    "range_join_attribution",
-    "events_gapfill",
-    "embedding_centroids",
-    "value_quartiles",
-    "embedding_top_pc",
-    "bpe_learn_merges",
-    "knn_classify",
-    "time_weighted_avg",
-    "embedding_outliers",
-    "media_frame_sample",
-    "bpe_apply",
-    "events_gapfill_interp",
-    "dedup_keep_best",
-    "events_moving_avg",
-    "customer_rfm",
-    "revenue_yoy",
-    "revenue_share_by_priority",
-    "event_transition_matrix",
-    "orders_monthly_seasonality",
-    "events_equidepth_histogram",
-    "scd2_user_status",
-    "user_gap_stats",
-    "orders_open_backlog",
-    "user_activity_streaks",
-    "part_copurchase_topk",
-    "lexical_diversity",
-    "copurchase_lift",
-    "dedup_family_sizes",
-    "events_weekday_hour",
-)
+# Registry keys deliberately NOT in the sf0.1 headline, with reasons.
+# tests/test_entry_contract.py asserts HEADLINE ∪ EXCLUDED == registry.
+EXCLUDED: dict[str, str] = {
+    "dedup_clusters": (
+        "O(block^2) blocked oracle twin of dedup_clusters_lsh; benched "
+        "at sf0.01 in the small_sf_ab section so the A/B stays visible"
+    ),
+}
+
+# Every registry key gets a bench number (r6 verdict item 3); sorted
+# for a stable, diffable payload ordering.
+HEADLINE = tuple(sorted(k for k in QUERIES if k not in EXCLUDED))
+
+# sf0.01 A/B: the quadratic oracle twin vs the linear production path.
+SMALL_SF_AB = ("dedup_clusters", "dedup_clusters_lsh")
+SMALL_SF_DIR = "/root/testdata/sf0.01"
+
+# The driver records the last ~2000 chars of stdout; keep the final
+# summary line comfortably inside that.
+SUMMARY_BUDGET = 1600
 
 
 def run_one(spark, name: str, sf_dir: str) -> float:
@@ -189,19 +122,53 @@ def main():
     stream_sec, stream_rows = run_stream_pipeline(spark, sf_dir)
     timings["streaming_pipeline_agg"] = round(stream_sec, 3)
 
+    small_ab: dict[str, float] = {}
+    if os.path.isdir(SMALL_SF_DIR):
+        for name in SMALL_SF_AB:
+            small_ab[name] = round(run_one(spark, name, SMALL_SF_DIR), 3)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "streaming_rows_per_sec": int(stream_rows / stream_sec),
-            }
-        )
-    )
+    streaming_rps = int(stream_rows / stream_sec)
+
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "streaming_rows_per_sec": streaming_rps,
+        "n_queries": len(timings),
+        "excluded": EXCLUDED,
+        "small_sf_ab": {"sf": 0.01, "queries": small_ab},
+    }
+    full_line = json.dumps(payload, separators=(",", ":"))
+
+    # Full payload: committed file + early stdout line (humans / logs).
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_out.json")
+    with open(out_path, "w") as f:
+        f.write(full_line + "\n")
+    print(full_line)
+
+    # Compact summary LAST: must fit the driver's stdout-tail window.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "streaming_rows_per_sec": streaming_rps,
+        "n_queries": len(timings),
+        "full_payload": "bench_out.json",
+        "queries": {},
+    }
+    for name, sec in slowest:
+        summary["queries"][name] = sec
+        if len(json.dumps(summary, separators=(",", ":"))) > SUMMARY_BUDGET:
+            del summary["queries"][name]
+            break
+    summary["queries_shown"] = len(summary["queries"])
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -44,12 +44,30 @@ def test_bench_headline_is_superset_of_last_round():
     import bench
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    current = set(bench.HEADLINE) | {"streaming_pipeline_agg"}
+    # Keys demoted to the sf0.01 A/B section still count as benched.
+    current = (
+        set(bench.HEADLINE) | set(bench.SMALL_SF_AB) | {"streaming_pipeline_agg"}
+    )
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         with open(path) as f:
             recorded = set(json.load(f).get("queries", {}))
         missing = recorded - current
         assert not missing, f"{os.path.basename(path)} keys dropped: {missing}"
+
+
+def test_bench_covers_whole_registry():
+    """r6 verdict item 3: every registry key has a bench number or a
+    named exclusion reason; exclusions must still exist in the registry
+    (the key + oracle stay registered, only the bench slot moves)."""
+    import bench
+
+    from sql_flow_spark.operators import QUERIES
+
+    assert set(bench.HEADLINE) | set(bench.EXCLUDED) == set(QUERIES)
+    assert not set(bench.HEADLINE) & set(bench.EXCLUDED)
+    for key, reason in bench.EXCLUDED.items():
+        assert key in QUERIES, f"excluded key {key!r} not in registry"
+        assert reason.strip(), f"excluded key {key!r} needs a reason"
 
 
 def test_never_checked_keys_rotate_to_window_front():
