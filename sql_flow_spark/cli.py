@@ -60,10 +60,20 @@ def _init_logging() -> None:
     import logging
     import os
 
+    raw = os.environ.get("SQLFLOW_LOG_LEVEL", "INFO").upper()
+    if raw not in logging.getLevelNamesMapping():
+        logging.getLogger(__name__).warning(
+            "invalid SQLFLOW_LOG_LEVEL %r, falling back to INFO", raw
+        )
+        raw = "INFO"
+    # basicConfig no-ops when the root logger is already configured
+    # (embedding apps); force the level so the env var still applies
+    # without clobbering existing handlers' formatting.
     logging.basicConfig(
-        level=os.environ.get("SQLFLOW_LOG_LEVEL", "INFO"),
+        level=raw,
         format="%(asctime)s [%(levelname)s] %(message)s",
     )
+    logging.getLogger().setLevel(raw)
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -53,6 +53,12 @@ def asof_join(
     # is exactly what ASOF LEFT JOIN produces.
     for k in keys:
         right = right.where(F.col(k).isNotNull())
+    # Likewise a NULL-ts right row can never satisfy right.ts <= left.ts
+    # (DuckDB ASOF agrees). Without this filter it sorts first in the
+    # ascending window (nulls first), so last(payload, ignorenulls=True)
+    # could attach its payload while last(__rts) skips its NULL ts —
+    # a payload/asof_ts mismatch no ASOF semantics would produce.
+    right = right.where(F.col(ts_col).isNotNull())
     lcols = left.columns
     tagged_left = left.select(
         *lcols,

@@ -217,14 +217,33 @@ class Pipeline:
 
         tw = tconf.tumbling_window
         sink = new_sink_from_conf(tconf.sink, self.spark)
+        # pipeline.dedupe covers every leg reading the source: without
+        # this the managed-table aggregates would count duplicate
+        # records the main handler never sees.
         stream = self.source.read_stream(self.spark)
         ts_type = dict(stream.dtypes).get(tw.time_column)
         if ts_type != "timestamp":
             stream = stream.withColumn(tw.time_column, F.to_timestamp(tw.time_column))
+        window_delay: str | None = tw.watermark_delay
+        if self.dedupe is not None and self.dedupe.time_column:
+            # Chained stateful operators share ONE watermark (Spark
+            # disallows redefining it below the dedupe state): the
+            # dedupe stage owns it, the window inherits it — so the
+            # dedupe's time column must be the window's time column.
+            if self.dedupe.time_column != tw.time_column:
+                raise ValueError(
+                    "pipeline.dedupe.time_column "
+                    f"({self.dedupe.time_column!r}) must match managed "
+                    f"table {tconf.name!r} time_column "
+                    f"({tw.time_column!r}): chained stateful operators "
+                    "share a single event-time watermark"
+                )
+            window_delay = None
+        stream = self._apply_dedupe(stream, streaming=True)
         aggs = [F.expr(a) for a in tw.aggregates] or None
         result = tumbling_aggregate(
             stream, tw.time_column, tw.duration,
-            aggs=aggs, group_by=tw.group_by, watermark_delay=tw.watermark_delay,
+            aggs=aggs, group_by=tw.group_by, watermark_delay=window_delay,
         )
 
         def emit(batch_df: DataFrame, batch_id: int):

@@ -80,6 +80,21 @@ def compact_directory(
 Z_BITS = 16
 
 
+def _range_checked(c: Column, bits: int) -> Column:
+    """Fail loudly when a value falls outside [0, 2^bits): assert_true
+    returns NULL when the predicate holds, so the when() yields the
+    value; a violation raises at execution instead of silently
+    degrading pruning."""
+    # NULL passes through (yields a NULL key, sorted together by the
+    # range partitioner); only concrete out-of-range values raise.
+    ok = c.isNull() | ((c >= 0) & (c < F.lit(1 << bits).cast("long")))
+    msg = F.concat(
+        F.lit(f"zorder_key input out of range [0, {1 << bits}): "),
+        c.cast("string"),
+    )
+    return F.when(F.assert_true(ok, msg).isNull(), c)
+
+
 def zorder_key(
     a: Column | str, b: Column | str, bits: int = Z_BITS
 ) -> Column:
@@ -94,11 +109,14 @@ def zorder_key(
     — compiles to one codegen expression, no Python, no UDF. Values
     must be pre-scaled to [0, 2^bits); use ntile/percent_rank or
     (x - min) * (2^bits - 1) / (max - min) to quantize arbitrary
-    ranges first."""
+    ranges first. Out-of-range inputs fail the job loudly
+    (assert_true) — silently dropping high bits or mangling negatives
+    would alias values into unrelated Morton cells and quietly corrupt
+    clustering/pruning."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    ca = ca.cast("long")
-    cb = cb.cast("long")
+    ca = _range_checked(ca.cast("long"), bits)
+    cb = _range_checked(cb.cast("long"), bits)
     key = F.lit(0).cast("long")
     for i in range(bits):
         bit_a = F.shiftright(ca, i).bitwiseAND(F.lit(1))

@@ -30,17 +30,21 @@ def tumbling_aggregate(
     duration: str,
     aggs: list[Column] | None = None,
     group_by: list[str] | None = None,
-    watermark_delay: str = "0 seconds",
+    watermark_delay: str | None = "0 seconds",
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation. Emits
     (window_start, window_end, *group_by, *aggs). Append-mode ready:
-    rows appear only when the watermark passes window end."""
+    rows appear only when the watermark passes window end.
+
+    ``watermark_delay=None`` means the watermark is already defined
+    upstream (e.g. by a dedupe stage — Spark disallows redefining it
+    below another stateful operator); the window inherits it."""
     aggs = aggs or [F.count("*").alias("n")]
-    out = (
-        stream.withWatermark(time_column, watermark_delay)
-        .groupBy(F.window(time_column, duration).alias("w"), *(group_by or []))
-        .agg(*aggs)
-    )
+    if watermark_delay is not None:
+        stream = stream.withWatermark(time_column, watermark_delay)
+    out = stream.groupBy(
+        F.window(time_column, duration).alias("w"), *(group_by or [])
+    ).agg(*aggs)
     return out.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),

@@ -72,6 +72,25 @@ def test_asof_single_shuffle_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_asof_null_ts_right_rows_never_match(spark):
+    """A NULL-ts right row can never satisfy right.ts <= left.ts (DuckDB
+    ASOF agrees). Unfiltered it would sort nulls-first in the window and
+    last(payload, ignorenulls=True) could attach its payload with a
+    mismatched asof_ts."""
+    left = _mk(spark, [(1, 10, "x")], "k int, ts int, tag string")
+    right = _mk(
+        spark,
+        [(1, None, 666.0), (1, 4, 2.0)],
+        "k int, ts int, payload double",
+    )
+    row = asof_join(left, right, ["k"], "ts", ["payload"]).collect()[0]
+    assert row["payload"] == 2.0 and row["asof_ts"] == 4
+    # and when the NULL-ts row is the ONLY right row: no match at all
+    right_only_null = _mk(spark, [(1, None, 666.0)], "k int, ts int, payload double")
+    row = asof_join(left, right_only_null, ["k"], "ts", ["payload"]).collect()[0]
+    assert row["payload"] is None and row["asof_ts"] is None
+
+
 def test_asof_null_keys_never_match(spark):
     """SQL join semantics: a NULL key matches nothing — a null-key
     left row gets NULL payload even when null-key right rows exist."""

@@ -68,3 +68,32 @@ def test_cli_example_subprocess():
     proc = _run_cli("example", timeout=60)
     assert proc.returncode == 0
     assert "pipeline:" in proc.stdout
+
+
+def test_init_logging_invalid_level_falls_back():
+    """An invalid SQLFLOW_LOG_LEVEL must not crash the CLI at startup
+    (basicConfig would raise ValueError); it falls back to INFO. And
+    when the root logger is already configured (embedding apps),
+    basicConfig no-ops — the level must still apply."""
+    import logging
+    import os
+
+    from sql_flow_spark.cli import _init_logging
+
+    old = os.environ.get("SQLFLOW_LOG_LEVEL")
+    root = logging.getLogger()
+    old_level = root.level
+    try:
+        os.environ["SQLFLOW_LOG_LEVEL"] = "BOGUS"
+        _init_logging()  # must not raise
+        assert root.level == logging.INFO
+        # pre-configured root (pytest configures handlers): level still applies
+        os.environ["SQLFLOW_LOG_LEVEL"] = "debug"
+        _init_logging()
+        assert root.level == logging.DEBUG
+    finally:
+        if old is None:
+            os.environ.pop("SQLFLOW_LOG_LEVEL", None)
+        else:
+            os.environ["SQLFLOW_LOG_LEVEL"] = old
+        root.setLevel(old_level)

@@ -98,6 +98,24 @@ def test_zorder_key_interleaves_bits(spark):
     assert got[(3, 5)] == 0b100111
 
 
+def test_zorder_key_out_of_range_fails_loudly(spark):
+    """Out-of-range inputs (negative or >= 2^bits) must raise, not
+    silently alias into unrelated Morton cells; NULL passes through as
+    a NULL key."""
+    import pytest
+
+    from sql_flow_spark.plans import zorder_key
+
+    bad_neg = spark.createDataFrame([(-1, 0)], "a int, b int")
+    with pytest.raises(Exception, match="zorder_key input out of range"):
+        bad_neg.select(zorder_key("a", "b", bits=4).alias("z")).collect()
+    bad_big = spark.createDataFrame([(0, 16)], "a int, b int")
+    with pytest.raises(Exception, match="zorder_key input out of range"):
+        bad_big.select(zorder_key("a", "b", bits=4).alias("z")).collect()
+    nulls = spark.createDataFrame([(None, 3)], "a int, b int")
+    assert nulls.select(zorder_key("a", "b", bits=4).alias("z")).collect()[0].z is None
+
+
 def test_zorder_layout_prunes_both_columns(spark, tmp_path):
     """The point of Z-order: after write_zordered, per-file min/max
     spans are narrow on BOTH columns, while a plain sort on column a

@@ -154,6 +154,58 @@ def test_managed_tumbling_table_from_config(spark, tmp_path):
     }
 
 
+def test_managed_table_respects_pipeline_dedupe(spark, tmp_path):
+    """pipeline.dedupe must cover the managed-table leg too: a
+    duplicated record counts ONCE in the managed window aggregate (it
+    previously bypassed _apply_dedupe and double-counted)."""
+    from sql_flow_spark import config as cfg
+    from sql_flow_spark.pipeline import Pipeline
+    from sql_flow_spark.handlers import InferredBatch
+    from sql_flow_spark.sinks import NoopSink
+
+    in_dir = str(tmp_path / "mtd-in")
+    _write_jsonl(in_dir, "a.jsonl", [
+        {"timestamp": "2024-01-01 00:05:00", "k": "e1", "city": "nyc"},
+        {"timestamp": "2024-01-01 00:05:00", "k": "e1", "city": "nyc"},  # dup
+        {"timestamp": "2024-01-01 00:06:00", "k": "e2", "city": "nyc"},
+        {"timestamp": "2024-01-01 02:00:00", "k": "e3", "city": "nyc"},
+    ])
+    source = FileSource(in_dir, format="json")
+    orig = source.read_stream
+    source.read_stream = lambda s: orig(s).withColumn(
+        "timestamp", F.to_timestamp("timestamp")
+    )
+    pipe = Pipeline(
+        spark=spark,
+        source=source,
+        handler=InferredBatch("SELECT * FROM batch"),
+        sink=NoopSink(),
+        dedupe=cfg.DedupeConf(keys=["k"], time_column="timestamp",
+                              watermark_delay="10 minutes"),
+    )
+    tconf = cfg.ManagedTableConf(
+        name="dedup_counts",
+        tumbling_window=cfg.TumblingWindowConf(
+            time_column="timestamp", duration="1 hour",
+            watermark_delay="60 seconds", group_by=["city"],
+            aggregates=["count(*) AS count"],
+        ),
+        sink=cfg.SinkConf(type="memory", name="output_mtd"),
+    )
+    q = pipe.start(
+        available_now=True,
+        checkpoint_dir=str(tmp_path / "mtd-ckpt"),
+        managed_tables=[tconf],
+    )
+    q.awaitTermination(120)
+    for mq in q.managed_queries:
+        mq.awaitTermination(120)
+    rows = spark.table("global_temp.output_mtd").collect()
+    got = {(str(r.window_start), r.city): r["count"] for r in rows}
+    # hour 00 closed by the 02:00 record; the dup contributes nothing
+    assert got == {("2024-01-01 00:00:00", "nyc"): 2}
+
+
 def test_session_window_stream(spark, tmp_path):
     from sql_flow_spark.streaming import session_aggregate
 
