@@ -411,19 +411,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hs"),
     )
     sigs = hashed.select("doc_id", _simhash_from_hashes("hs").alias("sig"))
+    return hamming_band_pairs(sigs)
+
+
+def hamming_band_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    n_bands: int = 4,
+    band_bits: int = SIMHASH_BAND_BITS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Candidate-join machinery for any 64-bit-signature near-dup
+    scheme (SimHash text sigs, perceptual image hashes, ...): band the
+    signature into ``n_bands`` ``band_bits``-wide keys — a pair within
+    hamming <= n_bands-1 shares at least one band by pigeonhole — then
+    equi-join on (band, key) and verify exact hamming via
+    bit_count(xor). Emits (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    Scale shape: candidate generation is a bucketed equi-join (linear
+    in data + bucket skew, capped by cap_bucket_size), never an O(n^2)
+    crossJoin; the hamming verify runs only on candidates."""
     bands = sigs.select(
-        "doc_id",
-        "sig",
+        F.col(id_col).alias("doc_id"),
+        F.col(sig_col).alias("sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.shiftrightunsigned(
-                            F.col("sig"), b * SIMHASH_BAND_BITS
-                        ).bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1)).alias("bkey"),
+                            F.col(sig_col), b * band_bits
+                        ).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("bkey"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bs"),
@@ -448,7 +469,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    return pairs.where(F.col("hamming") <= max_hamming)
 
 
 # ------------------------------------------------- embedding near-dups

@@ -187,3 +187,110 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return sample_frames(payloads)
+
+
+# --------------------------------------------- perceptual-hash near-dup
+
+# dHash geometry: an (GRID x GRID+1) brightness grid differenced along
+# rows gives GRID*GRID bits — 8x8 -> 64-bit signature, the standard
+# perceptual-hash size.
+PHASH_GRID = 8
+
+
+def phash64(payload: bytes) -> int:
+    """Pure-Python reference difference-hash for one payload (the test
+    pin; the distributed path below is the vectorized twin).
+
+    Real dHash resizes the decoded image to a (GRID+1) x GRID grayscale
+    grid and sets bit (r, c) when cell (r, c+1) is brighter than
+    (r, c). The decode-to-grayscale step is the STUB here (no image
+    libs in this container): the payload bytes are blocked into
+    GRID*(GRID+1) equal slices whose mean byte value stands in for
+    cell brightness. The blocking, differencing, banding and join
+    machinery — everything a real deployment keeps when it swaps in a
+    library decode — operates on the REAL bytes."""
+    n_cells = PHASH_GRID * (PHASH_GRID + 1)
+    n = len(payload)
+    means = []
+    for i in range(n_cells):
+        block = payload[i * n // n_cells : (i + 1) * n // n_cells]
+        means.append(sum(block) / len(block) if block else 0.0)
+    sig = 0
+    for r in range(PHASH_GRID):
+        for c in range(PHASH_GRID):
+            if means[r * (PHASH_GRID + 1) + c + 1] > means[r * (PHASH_GRID + 1) + c]:
+                sig |= 1 << (r * PHASH_GRID + c)
+    # int64 wraparound: bit 63 makes the signature negative, which the
+    # band extraction handles via shiftrightunsigned
+    return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+
+def _phash_batch(payloads) -> "pd.Series":
+    """Vectorized difference-hash over one Arrow batch: per payload,
+    np.add.reduceat computes the block means in one pass (O(bytes)),
+    then the 64 difference bits assemble without a Python per-bit
+    loop over rows."""
+    import numpy as np
+
+    n_cells = PHASH_GRID * (PHASH_GRID + 1)
+    out = np.zeros(len(payloads), dtype=np.uint64)
+    for row, payload in enumerate(payloads):
+        n = len(payload) if payload is not None else 0
+        if n == 0:
+            continue
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+        starts = (np.arange(n_cells, dtype=np.int64) * n) // n_cells
+        widths = np.diff(np.append(starts, n)).astype(np.float64)
+        sums = np.add.reduceat(arr, np.minimum(starts, n - 1))
+        means = np.where(widths > 0, sums / np.maximum(widths, 1), 0.0)
+        grid = means.reshape(PHASH_GRID, PHASH_GRID + 1)
+        bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)
+        out[row] = np.packbits(bits[::-1]).view(">u8")[0]
+    return pd.Series(out.view(np.int64))
+
+
+_phash_udf = None
+
+
+def _get_phash_udf():
+    global _phash_udf
+    if _phash_udf is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(LongType())
+        def _udf(payload: pd.Series) -> pd.Series:
+            return _phash_batch(payload)
+
+        _phash_udf = _udf
+    return _phash_udf
+
+
+@query("dedup_phash")  # hash-function specific -> rows-only check
+def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual hash: blockwise difference-hash
+    over the binary payloads (Arrow-batched pandas UDF) -> 16-bit band
+    join (pigeonhole guarantees recall at hamming<=3) -> exact hamming
+    verify via bit_count(xor). Reuses the SimHash banding machinery
+    (hamming_band_pairs) — the signature source is the only new part.
+
+    Scale shape: one narrow map computes 8 bytes per image, payload
+    bytes never shuffle; candidate generation is a capped bucket join,
+    never all-pairs. At 100 TB of images only the 64-bit signatures
+    flow into the join.
+
+    On the text-as-bytes stand-in corpus this typically finds only
+    byte-identical payloads: dHash is positionally sensitive (the
+    right behavior for images, where near-dups are re-encodes of the
+    same pixel grid), while the synthetic documents' near-dups are
+    text EDITS that shift every subsequent byte (measured hamming
+    19-37 across minhash-confirmed near-dup pairs — correctly above
+    threshold). Recall/soundness semantics are pinned in
+    test_approx_quality.py on synthetic near-identical payloads."""
+    from sql_flow_spark.functions.dedup import hamming_band_pairs
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    sigs = t["documents"].select(
+        "doc_id",
+        _get_phash_udf()(F.encode("text", "utf-8")).alias("sig"),
+    )
+    return hamming_band_pairs(sigs)

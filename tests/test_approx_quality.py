@@ -142,6 +142,56 @@ def test_stratified_sample_exact_fractions(spark, sf_dir):
     )
 
 
+def test_phash_udf_matches_python_reference(spark):
+    """The vectorized Arrow phash must equal the pure-Python dHash
+    reference bit-for-bit, including empty, short (< one byte per
+    cell) and >64-bit-pattern payloads."""
+    from sql_flow_spark.functions.multimodal import _phash_batch, phash64
+
+    payloads = [
+        b"",
+        b"a",
+        b"short payload",
+        bytes(range(256)) * 3,
+        ("the quick brown fox " * 40).encode(),
+        bytes([255] * 100 + [0] * 100),
+    ]
+    got = list(_phash_batch(payloads))
+    want = [phash64(p) for p in payloads]
+    assert got == want
+
+
+def test_phash_pairs_recall_and_soundness(spark, sf_dir):
+    """An exact copy must be found (hamming 0 via pigeonhole), a
+    lightly-corrupted copy should band-match, and every emitted pair
+    must verify at hamming <= max (soundness) with recomputed sigs."""
+    from sql_flow_spark.functions.dedup import SIMHASH_MAX_HAMMING, hamming_band_pairs
+    from sql_flow_spark.functions.multimodal import _get_phash_udf, phash64
+
+    base = ("a perfectly ordinary training document " * 30).encode()
+    near = bytearray(base)
+    near[100:104] = b"XYZW"  # localized corruption: most blocks keep their mean
+    df = spark.createDataFrame(
+        [(1, bytes(base)), (2, bytes(base)), (3, bytes(near)),
+         (4, bytes(range(256)) * 5)],
+        "doc_id long, payload binary",
+    )
+    sigs = df.select("doc_id", _get_phash_udf()("payload").alias("sig"))
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in hamming_band_pairs(sigs).collect()}
+    assert pairs[(1, 2)] == 0  # exact copy always recalled
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated
+    h13 = bin((phash64(bytes(base)) ^ phash64(bytes(near))) & (1 << 64) - 1).count("1")
+    if h13 <= SIMHASH_MAX_HAMMING:
+        assert (1, 3) in pairs
+    assert all(h <= SIMHASH_MAX_HAMMING for h in pairs.values())
+
+
+def test_dedup_phash_runs_on_documents(spark, sf_dir):
+    rows = QUERIES["dedup_phash"](spark, sf_dir).collect()
+    assert all(r.doc_a < r.doc_b for r in rows)
+    assert all(r.hamming <= 3 for r in rows)
+
+
 def test_power_iteration_tracks_numpy_trajectory(spark, sf_dir):
     """embedding_top_pc's six fixed-point steps must land within
     float rounding of numpy's float64 power iteration from the same
