@@ -313,6 +313,74 @@ def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_gap_stats_jvm",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS gap
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_gap_us,
+           quantile_cont(gap, 0.5) AS median_gap_us,
+           quantile_cont(gap, 0.9) AS p90_gap_us
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_gap_stats_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM twin of user_gap_stats: identical result (same oracle, both
+    hash-gated), zero Python in the plan — lag-diff window, then one
+    agg with sort_array(collect_list) and the quantile interpolation
+    written as Catalyst expressions using quantile_cont's exact
+    (1-d)*lo + d*hi arithmetic (see _quantile_duckdb).
+
+    This is the production choice: the whole plan stays in codegen and
+    the A/B against the grouped-map twin measures the Arrow+Python tax
+    directly (numbers pinned in SCALING.md). Keep the applyInPandas
+    twin when per-group logic outgrows SQL expressions (model scoring,
+    stateful passes); use this shape when it doesn't. Scale bound is
+    identical: per-key memory is that user's gap list."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("us") - F.lag("us").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+
+    def _qcont(s, n, q: float):
+        # pos/d in doubles, exactly as _quantile_duckdb computes them
+        pos = F.lit(q) * (n - 1).cast("double")
+        k = F.floor(pos).cast("int")
+        d = pos - F.floor(pos)
+        lo = F.element_at(s, k + 1).cast("double")
+        hi = F.element_at(s, k + 2).cast("double")
+        return F.when(k + 1 >= n, F.element_at(s, -1).cast("double")).otherwise(
+            (F.lit(1.0) - d) * lo + d * hi
+        )
+
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap").alias("gap_sum"),
+        F.sort_array(F.collect_list("gap")).alias("s"),
+    )
+    n = F.col("n_gaps")
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        (F.col("gap_sum").cast("double") / n.cast("double")).alias("mean_gap_us"),
+        _qcont(F.col("s"), n, 0.5).alias("median_gap_us"),
+        _qcont(F.col("s"), n, 0.9).alias("p90_gap_us"),
+    )
+
+
+@query(
     "user_activity_streaks",
     oracle="""
     WITH days AS (
