@@ -9,7 +9,12 @@ from sql_flow_spark.streaming.window import (
     tumbling_aggregate,
 )
 from sql_flow_spark.streaming.dedupe import dedupe_stream
-from sql_flow_spark.streaming.state import running_aggregate, running_aggregate_ttl
+from sql_flow_spark.streaming.state import (
+    running_aggregate,
+    running_aggregate_ttl,
+    running_aggregate_ttl_tws,
+    tws_available,
+)
 
 __all__ = [
     "TumblingWindow",

@@ -365,6 +365,136 @@ def test_running_aggregate_ttl_streaming_and_expiry(spark, tmp_path):
     )
 
 
+def test_running_aggregate_ttl_tws_processor_parity():
+    """transformWithStateInPandas twin, unit-driven (the e2e path is
+    protobuf-gated in this container — see the test below): the
+    StatefulProcessor must emit exactly the rows make_ttl_update emits
+    for the same inputs — accumulate + re-arm on input, final
+    expired=true row + state clear on timer fire."""
+    import pandas as pd
+
+    from sql_flow_spark.streaming.state import make_ttl_processor
+
+    class StubValueState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, v):
+            self.v = v
+        def clear(self):
+            self.v = None
+
+    class StubHandle:
+        def __init__(self):
+            self.timers = []
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return StubValueState()
+        def registerTimer(self, at):
+            self.timers.append(at)
+        def deleteTimer(self, at):
+            self.timers.remove(at)
+
+    class StubTimerValues:
+        def getCurrentProcessingTimeInMs(self):
+            return 1_000_000
+
+    proc = make_ttl_processor("user_id", "value", ttl_ms=1500)
+    handle = StubHandle()
+    proc.init(handle)
+
+    # two input batches accumulate; each re-arms a single timer
+    rows1 = list(proc.handleInputRows(
+        (1,), iter([pd.DataFrame({"value": [10.0, 5.0]})]), StubTimerValues()))
+    rows2 = list(proc.handleInputRows(
+        (1,), iter([pd.DataFrame({"value": [2.0]})]), StubTimerValues()))
+    assert rows1[0].iloc[0].tolist() == [1, 2, 15.0, False]
+    assert rows2[0].iloc[0].tolist() == [1, 3, 17.0, False]
+    assert handle.timers == [1_001_500]  # old timer deleted, one live
+
+    # timer fire: final state emitted with expired=true, state cleared
+    expired = list(proc.handleExpiredTimer((1,), StubTimerValues(), None))
+    assert expired[0].iloc[0].tolist() == [1, 3, 17.0, True]
+    assert not proc._agg.exists() and not proc._timer.exists()
+    # a second fire for the same (now-clean) key emits nothing
+    assert list(proc.handleExpiredTimer((1,), StubTimerValues(), None)) == []
+
+
+def test_running_aggregate_ttl_tws_parity_and_expiry(spark, tmp_path):
+    """transformWithStateInPandas twin (the Spark 4.x successor API):
+    live-key output matches the applyInPandasWithState path row for
+    row, and an idle key's REAL processing-time timer fires on the
+    next run, emitting the final expired=true row and clearing state
+    (the legacy test can only unit-drive its timeout branch; timers
+    here are explicit enough to test end-to-end).
+
+    Environment gate: requires the protobuf package (pyspark's
+    transformWithState state-server protocol) — skipped with the
+    probe's actionable reason when absent."""
+    import pytest
+
+    from sql_flow_spark.streaming.state import (
+        ROCKSDB_PROVIDER,
+        running_aggregate_ttl_tws,
+        tws_available,
+    )
+
+    ok, reason = tws_available()
+    if not ok:
+        assert "protobuf" in reason  # the probe names the missing dep
+        pytest.skip(reason)
+
+    in_dir = str(tmp_path / "tws-in")
+    ckpt = str(tmp_path / "tws-ckpt")
+    _write_jsonl(in_dir, "a.jsonl", [
+        {"user_id": 1, "value": 10.0},
+        {"user_id": 2, "value": 1.0},
+    ])
+    per_batch = []
+
+    def run_once():
+        stream = FileSource(in_dir, format="json").read_stream(spark)
+        out = running_aggregate_ttl_tws(stream, "user_id", "value", ttl_ms=1500)
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: per_batch.append(
+                [(r.user_id, r.n_events, r.total_value, r.expired)
+                 for r in df.collect()]))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    try:
+        spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+        run_once()
+        # live keys: identical rows to the applyInPandasWithState twin
+        assert sorted(r for b in per_batch for r in b) == [
+            (1, 1, 10.0, False),
+            (2, 1, 1.0, False),
+        ]
+        per_batch.clear()
+        time.sleep(4)  # > ttl_ms: both timers are now due
+        # user 1 gets fresh input (re-arms before the timer scan);
+        # user 2 stays idle -> its timer fires for real
+        _write_jsonl(in_dir, "b.jsonl", [{"user_id": 1, "value": 7.0}])
+        run_once()
+        got = sorted(r for b in per_batch for r in b)
+        assert (2, 1, 1.0, True) in got  # expired row carries final state
+        assert (1, 2, 17.0, False) in got  # state survived the restart
+        assert (1, 2, 17.0, True) not in got  # re-armed key must not expire
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+
 def test_streaming_upsert_sink_end_to_end(spark, tmp_path):
     """file stream -> handler -> UpsertSink inside foreachBatch: two
     micro-batches upsert in order, and the keyed table ends in the
