@@ -13,6 +13,7 @@ from sql_flow_spark.sources.files import FileSource
 from sql_flow_spark.sources.kafka import KafkaSource
 from sql_flow_spark.sources.memory import MemorySource
 from sql_flow_spark.sources.rate import RateSource
+from sql_flow_spark.sources.socket_source import SocketSource
 from sql_flow_spark.sources.push import WebhookSource, WebsocketSource
 
 
@@ -40,6 +41,11 @@ def new_source_from_conf(conf) -> Source:
         return MemorySource()
     if typ == "rate":
         return RateSource(rows_per_second=conf.rows_per_second)
+    if typ == "socket":
+        return SocketSource(
+            host=conf.options.get("host", "127.0.0.1"),
+            port=int(conf.options.get("port", 9999)),
+        )
     if typ == "websocket":
         return WebsocketSource(
             conf.uri or conf.options.get("uri"),
@@ -63,6 +69,7 @@ __all__ = [
     "KafkaSource",
     "MemorySource",
     "RateSource",
+    "SocketSource",
     "WebsocketSource",
     "WebhookSource",
     "new_source_from_conf",

@@ -672,3 +672,77 @@ def test_upsert_sink_from_config(spark, tmp_path):
     assert isinstance(sink, UpsertSink)
     assert sink.key == ["user_id"] and sink.order_by == "ts"
     assert sink.n_buckets == 16
+
+
+def test_socket_source_live_pipeline_e2e(spark):
+    """Live-network streaming e2e (the engine path a Kafka reader
+    shares, minus the jar this container lacks): a loopback TCP server
+    emits JSON lines; SocketSource -> handler SQL (from_json-style
+    parse) -> MemorySink through the full Pipeline machinery with a
+    real continuous trigger. Proves readStream over a network source
+    feeds micro-batches through handler+sink, not just file spools."""
+    import json
+    import socket as socketlib
+    import tempfile
+    import threading
+    import time
+
+    from sql_flow_spark.handlers import InferredBatch
+    from sql_flow_spark.pipeline import Pipeline
+    from sql_flow_spark.sinks import MemorySink
+    from sql_flow_spark.sources import SocketSource, new_source_from_conf
+    from sql_flow_spark import config as cfg
+
+    records = [{"k": "a", "v": 1.5}, {"k": "b", "v": 2.5}, {"k": "a", "v": 3.0}]
+    server = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_STREAM)
+    server.setsockopt(socketlib.SOL_SOCKET, socketlib.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            conn.sendall(
+                ("\n".join(json.dumps(r) for r in records) + "\n").encode()
+            )
+            stop.wait(60)  # keep the connection open until the test ends
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    # config round-trip: the socket type is schema-valid and builds
+    d = {"pipeline": {
+        "source": {"type": "socket",
+                   "options": {"host": "127.0.0.1", "port": port}},
+        "handler": {}, "sink": {"type": "noop"},
+    }}
+    assert cfg.validate_dict(d) == []
+    built = new_source_from_conf(cfg.new_from_dict(d).pipeline.source)
+    assert isinstance(built, SocketSource) and built.port == port
+
+    sink = MemorySink()
+    pipe = Pipeline(
+        spark=spark,
+        source=SocketSource("127.0.0.1", port),
+        handler=InferredBatch(
+            "SELECT get_json_object(value, '$.k') AS k, "
+            "CAST(get_json_object(value, '$.v') AS DOUBLE) AS v FROM batch"
+        ),
+        sink=sink,
+    )
+    q = pipe.start(
+        available_now=False,
+        checkpoint_dir=tempfile.mkdtemp(prefix="sfs-sock-ckpt-"),
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(sink.rows()) < len(records):
+            time.sleep(0.5)
+        got = sorted((r.k, r.v) for r in sink.rows()[: len(records)])
+        assert got == [("a", 1.5), ("a", 3.0), ("b", 2.5)]
+    finally:
+        q.stop()
+        stop.set()
+        server.close()
