@@ -788,3 +788,127 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         zscore.alias("zscore"),
         is_outlier.alias("is_outlier"),
     )
+
+
+# ------------------------------------------------ distributed k-means
+
+# Lloyd's algorithm over the embedding corpus — with embedding_top_pc
+# this completes the iterative-ML-shape pair (assignment/update instead
+# of matvec/normalize). Reference scope note: the reference engine has
+# no ML operators at all (its core is DuckDB plumbing, sqlflow/
+# handlers.py); this is part of the LLM-training-data toolkit the
+# brief adds on top (cluster-balanced corpus mixing, semantic
+# bucketing before near-dup review).
+_KM_K = 4
+_KM_ITERS = 4
+
+
+def _km_oracle() -> str:
+    """The same 4 Lloyd iterations unrolled into materialized DuckDB
+    CTEs with identical fixed-point arithmetic — both engines walk the
+    identical trajectory (same seeds, same exact distance sums, same
+    (dist, cluster) argmin tiebreak), so the gate checks every
+    assignment and centroid bit-for-bit."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,"
+        " CAST(v AS DOUBLE) AS val FROM (SELECT vec_id,"
+        " unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i"
+        " FROM embeddings))",
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, dim,"
+        f" val AS c FROM e WHERE vec_id < {_KM_K})",
+    ]
+    for k in range(1, _KM_ITERS + 1):
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT vec_id, cluster,"
+            f" {_o_pi_fsum('(val - c) * (val - c)')} AS dist"
+            f" FROM e JOIN c{k - 1} USING (dim)"
+            f" GROUP BY vec_id, cluster)"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT vec_id, cluster FROM"
+            f" (SELECT vec_id, cluster, ROW_NUMBER() OVER"
+            f" (PARTITION BY vec_id ORDER BY dist, cluster) AS rn"
+            f" FROM d{k}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT cluster, dim,"
+            f" {_o_pi_fsum('val')} / CAST(COUNT(*) AS DOUBLE) AS c"
+            f" FROM e JOIN a{k} USING (vec_id)"
+            f" GROUP BY cluster, dim)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT c.cluster, c.dim, c.c AS centroid, s.n_members
+        FROM c{_KM_ITERS} c
+        JOIN (SELECT cluster, COUNT(*) AS n_members
+              FROM a{_KM_ITERS} GROUP BY cluster) s USING (cluster)
+        """
+    )
+
+
+@query("kmeans_embeddings", oracle=_km_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (4 Lloyd iterations, k=4) over the
+    embedding corpus, oracle-gated on the EXACT trajectory: seeds are
+    the first k vectors (deterministic at every scale factor — vec_id
+    is contiguous from 0, TESTDATA.md), per-(vector, cluster) squared
+    distances are fixed-point-exact sums (order-insensitive under any
+    partitioning), the argmin is totally ordered by (dist, cluster),
+    and centroid means divide an exact sum by an exact count — so the
+    DuckDB oracle (the same iterations unrolled into CTEs) matches
+    every assignment and every centroid coordinate bit-for-bit.
+
+    Scale shape: the exploded (vec_id, dim, val) fact is checkpointed
+    ONCE, pre-partitioned on vec_id, and reused by all iterations.
+    Per iteration: centroids (k x dims rows) BROADCAST onto the fact
+    — the distance groupBy lands on (vec_id, cluster), the assignment
+    window and the join-back both reuse the vec_id partitioning, and
+    the centroid update shuffles only onto the tiny (cluster, dim)
+    key space with map-side partials. Each iteration's k x dims
+    centroid table is localCheckpoint-ed, keeping the plan one
+    iteration deep. No collect anywhere; driver traffic is zero."""
+    from sql_flow_spark.functions.mat import materialize_once
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = materialize_once(
+        t["embeddings"]
+        .select("vec_id", F.posexplode("embedding").alias("dim", "val"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .repartition("vec_id")
+    )
+    cent = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), "dim",
+        F.col("val").alias("c"),
+    )
+    assign = None
+    wv = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    for _ in range(_KM_ITERS):
+        diff = F.col("val") - F.col("c")
+        dist = (
+            e.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(_pi_fsum(diff * diff).alias("dist"))
+        )
+        assign = (
+            dist.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+        cent = (
+            e.join(assign, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                (_pi_fsum(F.col("val")) / F.count("*").cast("double"))
+                .alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return cent.join(F.broadcast(sizes), "cluster").select(
+        "cluster", "dim", F.col("c").alias("centroid"), "n_members"
+    )

@@ -221,3 +221,36 @@ def test_power_iteration_tracks_numpy_trajectory(spark, sf_dir):
     cos = abs(float(got @ v) / (np.linalg.norm(got) * np.linalg.norm(v)))
     assert cos > 0.9999, cos
     assert abs(float(np.linalg.norm(got)) - 1.0) < 1e-9
+
+
+def test_kmeans_tracks_numpy_lloyd(spark, sf_dir):
+    """kmeans_embeddings' four fixed-point Lloyd iterations must land
+    within float rounding of numpy's float64 Lloyd from the same
+    seeds with the same (dist, cluster) argmin tiebreak — i.e. the
+    distributed loop computes the real algorithm."""
+    import numpy as np
+
+    from sql_flow_spark.functions.similarity import _KM_ITERS, _KM_K
+
+    rows = QUERIES["kmeans_embeddings"](spark, sf_dir).collect()
+    got = np.zeros((_KM_K, max(r.dim for r in rows) + 1))
+    sizes = {}
+    for r in rows:
+        got[r.cluster, r.dim] = r.centroid
+        sizes[r.cluster] = r.n_members
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array([list(r["embedding"]) for r in emb], dtype=np.float64)
+    C = X[:_KM_K].copy()
+    for _ in range(_KM_ITERS):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)  # ties -> lowest cluster, same as operator
+        C = np.array([X[a == k].mean(axis=0) for k in range(_KM_K)])
+    np.testing.assert_allclose(got, C, rtol=1e-6, atol=1e-7)
+    assert sum(sizes.values()) == X.shape[0]
+    np_sizes = {k: int((a == k).sum()) for k in range(_KM_K)}
+    assert sizes == np_sizes
