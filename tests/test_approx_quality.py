@@ -254,3 +254,50 @@ def test_kmeans_tracks_numpy_lloyd(spark, sf_dir):
     assert sum(sizes.values()) == X.shape[0]
     np_sizes = {k: int((a == k).sum()) for k in range(_KM_K)}
     assert sizes == np_sizes
+
+
+def test_pagerank_tracks_numpy(spark, sf_dir):
+    """pagerank_copurchase's four fixed-point iterations must land
+    within float rounding of a numpy float64 weighted PageRank built
+    from the same co-purchase edges."""
+    import collections
+
+    import numpy as np
+
+    from sql_flow_spark.operators.graph import _PR_D, _PR_ITERS
+
+    rows = QUERIES["pagerank_copurchase"](spark, sf_dir).collect()
+    got = {r.partkey: r.pagerank for r in rows}
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = collections.defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    w = collections.Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                w[(x, y)] += 1
+                w[(y, x)] += 1
+    nodes = sorted({s for s, _ in w})
+    idx = {p: i for i, p in enumerate(nodes)}
+    n = len(nodes)
+    outw = collections.Counter()
+    for (s, _), c in w.items():
+        outw[s] += c
+    pr = np.full(n, 1.0 / n)
+    for _ in range(_PR_ITERS):
+        inflow = np.zeros(n)
+        for (s, d), c in w.items():
+            inflow[idx[d]] += pr[idx[s]] * c / outw[s]
+        pr = (1.0 - _PR_D) / n + _PR_D * inflow
+    assert set(got) == set(nodes)
+    np.testing.assert_allclose(
+        np.array([got[p] for p in nodes]), pr, rtol=1e-6, atol=1e-9
+    )
