@@ -712,3 +712,94 @@ def dedup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_removable"),
     )
+
+
+# ------------------------------------------- edit-distance near-dup
+
+ED_TAU = 12  # max edit distance
+ED_PREFIX = 80  # chars compared (prefix edit distance)
+ED_BAND = 16  # length-band width; > ED_TAU makes blocking lossless
+
+
+@query(
+    "dedup_editdistance",
+    oracle=f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, {ED_PREFIX}),
+                            substr(b.text, 1, {ED_PREFIX})) AS INTEGER)
+             AS dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= {ED_TAU}
+    WHERE levenshtein(substr(a.text, 1, {ED_PREFIX}),
+                      substr(b.text, 1, {ED_PREFIX})) <= {ED_TAU}
+    """,
+)
+def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: same-language documents whose
+    {ED_PREFIX}-char prefixes are within levenshtein {ED_TAU} — the
+    character-level notion of near-duplicate (typo'd re-posts, small
+    template edits) that token-level Jaccard/MinHash miss.
+
+    The blocking is LOSSLESS, so the quadratic-looking oracle and the
+    banded Spark plan compute the identical pair set: levenshtein(a,b)
+    >= |len(a)-len(b)|, so dist <= {ED_TAU} forces a length gap <=
+    {ED_TAU}; with band width {ED_BAND} > {ED_TAU}, every qualifying
+    pair lands in the same or adjacent (lang, floor(n_chars/{ED_BAND}))
+    band. The right leg explodes onto (band, band+1) and a pair is
+    kept once: same-band by doc_id order, cross-band when the left doc
+    holds the higher band. Candidates then pass the cheap length
+    prefilter BEFORE the O(len^2) levenshtein.
+
+    Note the oracle holds because this corpus is ASCII: DuckDB's
+    levenshtein counts bytes where Spark counts characters, so on
+    multi-byte text the two diverge by design (Spark's
+    character-based count is the one this operator specifies).
+
+    Scale shape: one exchange per leg onto (lang, band) buckets;
+    bucket population is corpus_size / (langs x bands), so scored
+    pairs grow linearly with corpus size for a stable length
+    distribution — never all-pairs. The levenshtein runs JVM-side
+    (codegen, zero Python). Skewed bands (one dominant doc length)
+    are the salting case, same as any hot-key join."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring("text", 1, ED_PREFIX).alias("prefix"),
+        F.floor(F.col("n_chars") / ED_BAND).alias("band"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("len_a"),
+        F.col("prefix").alias("p_a"),
+        F.col("band").alias("band_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("len_b"),
+        F.col("prefix").alias("p_b"),
+        F.col("band").alias("band_b"),
+    ).withColumn(
+        "bin", F.explode(F.array(F.col("band_b"), F.col("band_b") + 1))
+    )
+    keep_once = (
+        (F.col("band_b") == F.col("band_a")) & (F.col("id_a") < F.col("id_b"))
+    ) | (F.col("band_b") == F.col("band_a") - 1)
+    pairs = a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("band_a") == F.col("bin"))
+        & keep_once
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= ED_TAU),
+    )
+    dist = F.levenshtein("p_a", "p_b")
+    return pairs.select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+        dist.cast("int").alias("dist"),
+    ).where(F.col("dist") <= ED_TAU)

@@ -490,3 +490,157 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
         ).alias("avg_logprob"),
     )
+
+
+@query(
+    "bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, arr[i] AS a, arr[i + 1] AS b
+      FROM (SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr) - 1)) AS i
+            FROM toks)
+    ),
+    bc AS (SELECT a, b, COUNT(*) AS c2 FROM bg GROUP BY a, b),
+    bs AS (SELECT a, COUNT(*) AS c1 FROM bg GROUP BY a),
+    scored AS (
+      SELECT bg.doc_id,
+             SUM(CAST(floor(
+               ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+               * 1000000.0 + 0.5) AS DECIMAL(30,0))) AS lp,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      FROM bg JOIN bc USING (a, b) JOIN bs USING (a)
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(lp AS DOUBLE) / 1000000.0
+             / CAST(n_bigrams AS DOUBLE) AS avg_logprob
+    FROM scored
+    """,
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score — the second-order upgrade of
+    unigram_logprob: mean per-position ln P(w_i | w_{i-1}) under the
+    corpus's own MLE bigram model (count(a,b) / bigram-start
+    count(a)). Shuffled or machine-garbled text keeps its unigram
+    mass but loses its bigram mass, so this separates fluent from
+    scrambled documents where the unigram score cannot — the standard
+    cheap step between unigram stats and a real LM perplexity filter.
+
+    Determinism: the conditional probability is a ratio of exact
+    integer counts (IEEE-identical double), ln is floor-masked to 6dp
+    before the per-doc sum (the unigram_logprob pattern). Documents
+    with fewer than two tokens have no bigrams and drop out.
+
+    Scale shape: bigram pairs are built per-row with array
+    expressions (transform over an index sequence — narrow, no
+    shuffle, no Python); corpus counts and the score join shuffle on
+    the (a, b) / (a) key spaces — vocabulary-derived, NEVER broadcast;
+    the per-doc reduce lands on doc_id. Same three-exchange shape as
+    unigram_logprob, no quadratic term."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    bg = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS a, toks[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    bc = bg.groupBy("a", "b").agg(F.count("*").alias("c2"))
+    bs = bg.groupBy("a").agg(F.count("*").alias("c1"))
+    lp_int = F.floor(
+        F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("decimal(30,0)")
+    scored = (
+        bg.join(bc, ["a", "b"])
+        .join(bs, ["a"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(lp_int).alias("lp"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        (
+            F.col("lp").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n_bigrams").cast("double")
+        ).alias("avg_logprob"),
+    )
+
+
+SAMPLE_TOPN = 200
+
+
+@query(
+    "importance_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, sample_key FROM (
+      SELECT doc_id, lang, n_chars,
+             floor(
+               ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) * 1000000000.0 + 0.5
+             ) / 1000000000.0 AS sample_key
+      FROM documents WHERE n_chars > 0
+    )
+    ORDER BY sample_key DESC, doc_id
+    LIMIT {SAMPLE_TOPN}
+    """,
+)
+def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    exponential races): each doc draws a deterministic uniform u from
+    md5(doc_id) and competes with key ln(u)/w, w = n_chars — the
+    top-k by key IS an exact weighted-without-replacement sample, so
+    long documents (more token mass) are proportionally more likely
+    to be drawn. The reproducible engine-side version of
+    df.sample(weights): re-running, re-partitioning, or re-running on
+    another engine draws the IDENTICAL sample — the property training
+    reproducibility actually needs (df.sample is seed+partitioning
+    dependent; the same discipline as stratified_sample).
+
+    Determinism: u = (first 8 md5 hex digits + 0.5) / 2^32 is exact in
+    both engines; ln is floor-masked to 9dp (the unigram_logprob
+    pattern) and ties break on doc_id.
+
+    Scale shape: one narrow scan computes the key; the global top-k is
+    TakeOrderedAndProject (per-partition heaps + k-row merge), never a
+    full sort."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    x = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (x + F.lit(0.5)) / F.lit(4294967296.0)
+    key = (
+        F.floor(
+            F.log(u) / F.col("n_chars").cast("double") * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000000.0)
+    )
+    return (
+        t["documents"]
+        .where(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(SAMPLE_TOPN)
+    )

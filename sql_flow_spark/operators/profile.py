@@ -1,0 +1,209 @@
+"""Data profiling + data-quality checks.
+
+The operational layer every production pipeline puts in front of its
+analytics: a one-pass column profile (the ANALYZE TABLE / dbt-docs
+shape) and a declarative rule scan emitting violation counts (the
+dbt-test / Great-Expectations shape). Reference scope note: the
+reference engine (sqlflow/handlers.py — one SQL statement per batch)
+leaves profiling to the user's SQL; these package the patterns as
+operators with exact oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_flow_spark.registry import query
+from sql_flow_spark.tables import load_tables
+
+_PROFILE_COLS = (
+    # (column, is_timestamp) — min/max of ints and strings cast to
+    # VARCHAR identically in both engines; timestamps go through an
+    # explicit format so neither engine's default repr matters.
+    ("o_orderkey", False),
+    ("o_custkey", False),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+    ("o_orderdate", True),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, is_ts in _PROFILE_COLS:
+        mn = (
+            f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')"
+            if is_ts
+            else f"CAST(MIN({col}) AS VARCHAR)"
+        )
+        mx = (
+            f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S')"
+            if is_ts
+            else f"CAST(MAX({col}) AS VARCHAR)"
+        )
+        parts.append(
+            f"SELECT '{col}' AS column_name,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,"
+            f" CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_val, {mx} AS max_val FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("column_profile", oracle=_profile_oracle())
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the orders table — row count, null
+    count, exact distinct count, min/max — one row per column: the
+    ingest-validation / catalog-stats pass (ANALYZE TABLE as a
+    queryable result).
+
+    Scale shape: ONE scan — all per-column aggregates run in a single
+    HashAggregate; the exact multi-column COUNT(DISTINCT) costs one
+    Expand (rows × columns) feeding a partial-then-final agg, the
+    standard Spark plan for exact NDV (swap in approx_count_distinct
+    to drop the Expand when 2% error is acceptable — this operator is
+    the exact, oracle-able variant). The wide 1-row result is then
+    exploded driver-free into the per-column long format. min/max of
+    timestamps are emitted through an explicit format string so both
+    engines print identical values."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, is_ts in _PROFILE_COLS:
+        aggs.append(F.count(col).alias(f"nn_{col}"))
+        aggs.append(F.countDistinct(col).alias(f"nd_{col}"))
+        if is_ts:
+            aggs.append(
+                F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss").alias(
+                    f"mn_{col}"
+                )
+            )
+            aggs.append(
+                F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss").alias(
+                    f"mx_{col}"
+                )
+            )
+        else:
+            aggs.append(F.min(col).cast("string").alias(f"mn_{col}"))
+            aggs.append(F.max(col).cast("string").alias(f"mx_{col}"))
+    wide = t["orders"].agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{col}")).alias("n_null"),
+                F.col(f"nd_{col}").alias("n_distinct"),
+                F.col(f"mn_{col}").alias("min_val"),
+                F.col(f"mx_{col}").alias("max_val"),
+            )
+            for col, _ in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+_DQ_ORACLE = """
+SELECT 'orders_orphan_customer' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM orders o
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem_orphan_order',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l
+LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem_nonpositive_quantity',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_over_8pct',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_ship_before_order',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM lineitem l
+LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@query("dq_checks", oracle=_DQ_ORACLE)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule scan — referential integrity
+    (orders→customer, lineitem→orders), domain checks (non-positive
+    quantity, discount cap), and the cross-table consistency rule
+    ship-date-before-order-date — one row per rule with checked and
+    violation counts (the dbt-test / Great-Expectations contract as
+    an engine operator; a violation row-emitter is the same plans with
+    the filter kept instead of counted).
+
+    Scale shape: referential checks are LEFT joins against the
+    DISTINCT key projection of the dimension side — Spark broadcasts
+    it when small, shuffles on the key when not, and the count+
+    conditional-sum rides the join output without materializing
+    violations; domain rules are single column-pruned scans with
+    map-side partial aggs. Nothing collects; the result is five
+    one-row aggregates unioned."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem", "customer"))
+    orders, lineitem, customer = t["orders"], t["lineitem"], t["customer"]
+
+    def _counts(name: str, df: DataFrame, bad) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(
+                "n_violations"
+            ),
+        )
+
+    orphan_orders = _counts(
+        "orders_orphan_customer",
+        orders.join(
+            customer.select("c_custkey").distinct(),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        ),
+        F.col("c_custkey").isNull(),
+    )
+    orphan_lines = _counts(
+        "lineitem_orphan_order",
+        lineitem.join(
+            orders.select("o_orderkey").distinct(),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+            "left",
+        ),
+        F.col("o_orderkey").isNull(),
+    )
+    nonpos_qty = _counts(
+        "lineitem_nonpositive_quantity", lineitem, F.col("l_quantity") <= 0
+    )
+    discount_cap = _counts(
+        "lineitem_discount_over_8pct", lineitem, F.col("l_discount") > 0.08
+    )
+    ship_order = _counts(
+        "lineitem_ship_before_order",
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+            "left",
+        ),
+        F.col("l_shipdate") < F.col("o_orderdate"),
+    )
+    return (
+        orphan_orders.unionAll(orphan_lines)
+        .unionAll(nonpos_qty)
+        .unionAll(discount_cap)
+        .unionAll(ship_order)
+    )
