@@ -803,3 +803,144 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("id_a", "id_b").alias("doc_b"),
         dist.cast("int").alias("dist"),
     ).where(F.col("dist") <= ED_TAU)
+
+
+# ----------------------------------------------- containment pairs
+
+CONTAIN_TAU = 0.5
+
+
+@query(
+    "containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             {O_NGRAMS.format(t=O_TOKENS)} AS shingles
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / CAST(len(a.shingles) AS DOUBLE) AS containment
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id <> b.doc_id
+    WHERE len(a.shingles) > 0
+      AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(a.shingles) AS DOUBLE) >= {CONTAIN_TAU}
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment |A∩B| / |A| — the ASYMMETRIC similarity
+    Jaccard can't express: a short quote or excerpt embedded in a
+    long document has low Jaccard (the union is dominated by the
+    container) but high containment, so this is the operator that
+    catches snippet/quotation/subset duplication (Broder's original
+    distinction). One row per direction: doc_contained's shingles are
+    ≥ {CONTAIN_TAU} covered by doc_container's.
+
+    Exactness: intersection sizes computed over xxhash64'd shingles
+    equal the oracle's string-shingle sizes modulo 64-bit collisions
+    (P ≈ 1e-10 at this scale, same argument as ngram_jaccard); the
+    integer-count double ratio is engine-identical.
+
+    Scale shape: source-blocked pair generation is the oracle-
+    verifiable twin (same contract as ngram_jaccard) — the production
+    composition feeds minhash_candidate_pairs instead, and the
+    containment scoring is O(candidates). The sound prefilter here is
+    one-sided: containment(A→B) ≥ τ forces |B| ≥ τ·|A| (the container
+    can't be much smaller), applied on two cached ints before the
+    O(|A|+|B|) intersect."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = with_shingles(t["documents"], 3).select(
+        "doc_id",
+        "source",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+    )
+    sh = materialize_once(sh.withColumn("nsh", F.size("shingles")))
+    a = sh.select(
+        F.col("doc_id").alias("doc_contained"),
+        F.col("source").alias("src_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("nsh").alias("n_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_container"),
+        F.col("source").alias("src_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("nsh").alias("n_b"),
+    )
+    cand = a.join(
+        b,
+        (F.col("src_a") == F.col("src_b"))
+        & (F.col("doc_contained") != F.col("doc_container"))
+        & (F.col("n_a") > 0)
+        & (
+            F.col("n_b").cast("double")
+            >= F.lit(CONTAIN_TAU) * F.col("n_a").cast("double")
+        ),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    containment = inter.cast("double") / F.col("n_a").cast("double")
+    return cand.select(
+        "doc_contained", "doc_container", containment.alias("containment")
+    ).where(F.col("containment") >= CONTAIN_TAU)
+
+
+# ----------------------------------------------- incremental dedup
+
+@query(
+    "incremental_dedup",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, md5({O_NORMALIZE.format(expr='text')}) AS f
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
+    incoming AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 1),
+    firsts AS (SELECT f, MIN(doc_id) AS first_id FROM incoming GROUP BY f)
+    SELECT i.doc_id,
+           CASE WHEN c.f IS NOT NULL THEN 'dup_of_corpus'
+                WHEN i.doc_id > fs.first_id THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict
+    FROM incoming i
+    LEFT JOIN corpus c ON i.f = c.f
+    JOIN firsts fs ON fs.f = i.f
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the PRODUCTION shape of exact
+    dedup: new documents are checked against the fingerprint index of
+    the already-ingested corpus (never against the corpus text), and
+    against each other within the batch (first-id wins). Here the
+    even/odd doc_id split stands in for corpus/incoming so the
+    operator is self-contained and oracle-checkable; in deployment
+    the corpus leg is the bucketed fingerprint table the exact-dedup
+    family maintains.
+
+    Verdict precedence: a fingerprint already in the corpus is
+    'dup_of_corpus' even if it also repeats within the batch — the
+    corpus index is authoritative.
+
+    Scale shape: this is why incremental beats re-running dedup_exact
+    over corpus+batch at 100 TB — the corpus contributes only its
+    DISTINCT fingerprint column (16 bytes/doc, bucketable on f so the
+    anti-join is exchange-free against a bucketed index), and the
+    batch-internal window shuffles only the batch. Cost per ingest is
+    O(batch + corpus-index probe), not O(corpus)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    fp = t["documents"].select("doc_id", fingerprint("text").alias("f"))
+    corpus = fp.where(F.col("doc_id") % 2 == 0).select("f").distinct()
+    incoming = fp.where(F.col("doc_id") % 2 == 1)
+    firsts = incoming.groupBy("f").agg(F.min("doc_id").alias("first_id"))
+    return (
+        incoming.join(
+            corpus.withColumn("in_corpus", F.lit(True)), "f", "left"
+        )
+        .join(firsts, "f")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus"), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") > F.col("first_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )

@@ -405,3 +405,76 @@ def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
         ).alias("hapax_ratio"),
     )
+
+
+@query(
+    "char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, substr(text, i, 1) AS ch
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, len(text))) AS i
+            FROM documents WHERE len(text) > 0)
+    ),
+    cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+    n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id)
+    SELECT cnt.doc_id, n.n AS n_chars_counted,
+           -CAST(SUM(c * CAST(floor(
+              ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+              AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0
+            / CAST(n AS DOUBLE) AS entropy
+    FROM cnt JOIN n USING (doc_id)
+    GROUP BY cnt.doc_id, n.n
+    """,
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy over characters (nats) — the
+    compression-proxy quality signal: binary junk and base64 blobs
+    score high, repeated-character spam scores near zero, natural
+    text sits in a narrow band, so both tails are filter candidates
+    (the cheap stand-in for the gzip-ratio filter in CCNet-style
+    pipelines).
+
+    Determinism: H = -(1/n)·Σ c·ln(c/n) — the per-character ln is
+    floor-masked to 6dp (unigram_logprob pattern), making the sum an
+    exact integer; the two boundary divisions are IEEE-identical.
+    Both engines index characters (not bytes): Spark substring and
+    DuckDB substr/len share character semantics.
+
+    Scale shape: the char explode is a narrow per-row flatMap (×
+    n_chars, no Python); one shuffle onto (doc_id, char) with
+    map-side partials, then a doc_id-keyed reduce that reuses the
+    exchange prefix. Linear in corpus bytes."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    chars = (
+        t["documents"]
+        .where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text)),"
+                    " i -> substring(text, i, 1))"
+                )
+            ).alias("ch"),
+        )
+    )
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    n = cnt.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    ln_int = F.floor(
+        F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("decimal(30,0)")
+    return (
+        cnt.join(n, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            (
+                -F.sum(F.col("c") * ln_int).cast("double")
+                / F.lit(1000000.0)
+                / F.col("n").cast("double")
+            ).alias("entropy")
+        )
+        .select("doc_id", F.col("n").alias("n_chars_counted"), "entropy")
+    )

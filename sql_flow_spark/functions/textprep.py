@@ -644,3 +644,116 @@ def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(SAMPLE_TOPN)
     )
+
+
+PMI_VOCAB_TOPK = 50
+PMI_MIN_PAIR_DOCS = 5
+
+
+@query(
+    "cooccurrence_pmi",
+    oracle=f"""
+    WITH terms AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+      )
+    ),
+    vocab AS (
+      SELECT term, df FROM (
+        SELECT term, COUNT(*) AS df FROM terms GROUP BY term
+        ORDER BY df DESC, term LIMIT {PMI_VOCAB_TOPK}
+      )
+    ),
+    vt AS (SELECT t.doc_id, t.term, v.df FROM terms t JOIN vocab v USING (term)),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM terms),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             MIN(a.df) AS df_a, MIN(b.df) AS df_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM vt a JOIN vt b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    )
+    SELECT term_a, term_b, n_ab,
+           CAST(floor(ln(
+             CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE))
+           ) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS pmi
+    FROM pairs, nd
+    WHERE n_ab >= {PMI_MIN_PAIR_DOCS}
+    """,
+)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level term
+    co-occurrence, restricted to the top-{PMI_VOCAB_TOPK} vocabulary:
+    PMI = ln(P(a,b) / (P(a)·P(b))) with document-frequency
+    probabilities — the collocation/phrase-detection statistic
+    (word2vec-style preprocessing) and the topic-coherence building
+    block. High PMI = terms that travel together far beyond chance.
+
+    Determinism: probabilities are ratios of exact integer counts;
+    the single ln at the boundary is floor-masked to 6dp; the vocab
+    cut has a total (df desc, term) order.
+
+    Scale shape: the vocabulary restriction is what bounds the pair
+    space — the top-k vocab (a FIXED k-row table, legitimately
+    broadcast, unlike corpus-derived vocabularies) filters the
+    exploded terms BEFORE the per-doc self-join, so pairs per doc are
+    ≤ C(k,2) regardless of doc length, and the co-occurrence groupBy
+    lands on a ≤ C(k,2) key space. One term-keyed exchange for df
+    counts, one doc_id-keyed for the pair join. Linear in corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    terms = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .distinct()
+    )
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(PMI_VOCAB_TOPK)
+    )
+    vt = terms.join(F.broadcast(vocab), "term")
+    nd = terms.agg(F.countDistinct("doc_id").alias("n"))
+    a = vt.select(
+        F.col("doc_id").alias("d"), F.col("term").alias("term_a"),
+        F.col("df").alias("df_a"),
+    )
+    b = vt.select(
+        F.col("doc_id").alias("d2"), F.col("term").alias("term_b"),
+        F.col("df").alias("df_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("d") == F.col("d2")) & (F.col("term_a") < F.col("term_b")),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.min("df_a").alias("df_a"),
+            F.min("df_b").alias("df_b"),
+            F.count("*").cast("long").alias("n_ab"),
+        )
+        .where(F.col("n_ab") >= PMI_MIN_PAIR_DOCS)
+    )
+    pmi = (
+        F.floor(
+            F.log(
+                F.col("n_ab").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1000000.0)
+    )
+    return pairs.join(F.broadcast(nd)).select(
+        "term_a", "term_b", "n_ab", pmi.alias("pmi")
+    )

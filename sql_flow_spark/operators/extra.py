@@ -1207,3 +1207,87 @@ def events_weekday_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("value_sum"),
         )
     )
+
+
+@query(
+    "winsorized_stats",
+    oracle="""
+    WITH th AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           th.lo AS p05, th.hi AS p95,
+           CAST(SUM(CAST(floor(
+             LEAST(GREATEST(e.value, th.lo), th.hi) * 10000.0 + 0.5)
+             AS DECIMAL(30,0))) AS DOUBLE) / 10000.0
+             / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean,
+           CAST(SUM(CASE WHEN e.value >= th.lo AND e.value <= th.hi
+                    THEN CAST(floor(e.value * 10000.0 + 0.5)
+                              AS DECIMAL(30,0)) ELSE 0 END) AS DOUBLE)
+             / 10000.0
+             / CAST(COUNT(CASE WHEN e.value >= th.lo AND e.value <= th.hi
+                          THEN 1 END) AS DOUBLE) AS trimmed_mean,
+           CAST(COUNT(CASE WHEN e.value < th.lo THEN 1 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(COUNT(CASE WHEN e.value > th.hi THEN 1 END) AS BIGINT)
+             AS n_clipped_high
+    FROM events e JOIN th ON e.event_type = th.event_type
+    GROUP BY e.event_type, th.lo, th.hi
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type statistics: 5/95 winsorized mean (outliers
+    clamped to the percentile fence) and trimmed mean (outliers
+    dropped) plus clip counts — the metric-pipeline answer to heavy
+    tails that wreck plain averages (one whale event shifting the
+    mean). Exact percentile fences share Spark `percentile` /
+    DuckDB `quantile_cont`'s lower+(upper-lower)*frac interpolation
+    (the value_quartiles argument), clamped values are LEAST/GREATEST
+    in IEEE doubles, and both means divide fixed-point-exact sums —
+    engine-identical end to end.
+
+    Scale shape: two passes over one scan — the fence agg buffers
+    per-type value multisets (bounded key space; swap in
+    approx_percentile for unbounded keys), then fences BROADCAST back
+    (rows = event types) onto the second pass whose conditional sums
+    partial-aggregate map-side."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    th = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    e = ev.join(F.broadcast(th), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    in_fence = (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    fsum = lambda c: F.sum(  # noqa: E731
+        F.floor(c * F.lit(10000.0) + F.lit(0.5)).cast("decimal(30,0)")
+    ).cast("double") / F.lit(10000.0)
+    return e.groupBy("event_type", "lo", "hi").agg(
+        F.first("lo").alias("p05"),
+        F.first("hi").alias("p95"),
+        (fsum(clamped) / F.count(F.lit(1)).cast("double")).alias(
+            "winsorized_mean"
+        ),
+        (
+            F.sum(
+                F.when(
+                    in_fence,
+                    F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast(
+                        "decimal(30,0)"
+                    ),
+                ).otherwise(F.lit(0).cast("decimal(30,0)"))
+            ).cast("double")
+            / F.lit(10000.0)
+            / F.count(F.when(in_fence, F.lit(1))).cast("double")
+        ).alias("trimmed_mean"),
+        F.count(F.when(F.col("value") < F.col("lo"), F.lit(1)))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.count(F.when(F.col("value") > F.col("hi"), F.lit(1)))
+        .cast("long")
+        .alias("n_clipped_high"),
+    ).drop("lo", "hi")
