@@ -42,7 +42,7 @@ pipeline:
     policy: RAISE              # RAISE | IGNORE | DLQ
     # dlq: {type: files, path: /tmp/dlq, format: parquet}
   source:
-    type: files                # files | kafka | memory | rate | socket | websocket | webhook
+    type: files                # files | kafka | memory | rate | socket | jsonl_spool | websocket | webhook
     path: /data/in
     format: json               # json | csv | parquet
   handler:

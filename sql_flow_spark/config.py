@@ -27,7 +27,7 @@ class Policy:
 
 @dataclass
 class SourceConf:
-    type: str  # files | memory | rate | socket | kafka | websocket | webhook
+    type: str  # files | memory | rate | socket | jsonl_spool | kafka | websocket | webhook
     # files: directory of json/csv/parquet; streaming reads with
     # maxFilesPerTrigger, batch reads whole.
     path: Optional[str] = None

@@ -14,6 +14,7 @@ from sql_flow_spark.sources.kafka import KafkaSource
 from sql_flow_spark.sources.memory import MemorySource
 from sql_flow_spark.sources.rate import RateSource
 from sql_flow_spark.sources.socket_source import SocketSource
+from sql_flow_spark.sources.pyds import JsonlSpoolSource
 from sql_flow_spark.sources.push import WebhookSource, WebsocketSource
 
 
@@ -41,6 +42,8 @@ def new_source_from_conf(conf) -> Source:
         return MemorySource()
     if typ == "rate":
         return RateSource(rows_per_second=conf.rows_per_second)
+    if typ == "jsonl_spool":
+        return JsonlSpoolSource(conf.path or conf.options.get("path"))
     if typ == "socket":
         return SocketSource(
             host=conf.options.get("host", "127.0.0.1"),
@@ -70,6 +73,7 @@ __all__ = [
     "MemorySource",
     "RateSource",
     "SocketSource",
+    "JsonlSpoolSource",
     "WebsocketSource",
     "WebhookSource",
     "new_source_from_conf",

@@ -746,3 +746,86 @@ def test_socket_source_live_pipeline_e2e(spark):
         q.stop()
         stop.set()
         server.close()
+
+
+def test_jsonl_spool_python_datasource_e2e(spark, tmp_path):
+    """Custom Python DataSource (Spark 4 pyspark.sql.datasource) e2e:
+    a spool directory with REAL offset tracking — files arriving
+    mid-stream are picked up by the next micro-batch, and a restart
+    from the checkpoint resumes from the committed offset (no
+    re-delivery) — the durable-source contract the socket source
+    can't make."""
+    import json
+    import time
+
+    from sql_flow_spark.handlers import InferredBatch
+    from sql_flow_spark.pipeline import Pipeline
+    from sql_flow_spark.sinks import MemorySink
+    from sql_flow_spark.sources import JsonlSpoolSource, new_source_from_conf
+    from sql_flow_spark import config as cfg
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def put(name, recs):
+        tmp = spool / ("." + name)
+        tmp.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+        tmp.rename(spool / name)
+
+    put("000.jsonl", [{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+
+    # config round-trip
+    d = {"pipeline": {
+        "source": {"type": "jsonl_spool", "path": str(spool)},
+        "handler": {}, "sink": {"type": "noop"},
+    }}
+    assert cfg.validate_dict(d) == []
+    built = new_source_from_conf(cfg.new_from_dict(d).pipeline.source)
+    assert isinstance(built, JsonlSpoolSource)
+
+    handler = InferredBatch(
+        "SELECT get_json_object(value, '$.k') AS k, "
+        "CAST(get_json_object(value, '$.v') AS INT) AS v, src_file "
+        "FROM batch"
+    )
+    sink = MemorySink()
+    pipe = Pipeline(
+        spark=spark, source=JsonlSpoolSource(str(spool)),
+        handler=handler, sink=sink,
+    )
+    q = pipe.start(available_now=False, checkpoint_dir=ckpt)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(sink.rows()) < 2:
+            time.sleep(0.3)
+        assert sorted((r.k, r.v) for r in sink.rows()) == [("a", 1), ("b", 2)]
+        # file arriving mid-stream is picked up by a later micro-batch
+        put("001.jsonl", [{"k": "c", "v": 3}])
+        while time.time() < deadline and len(sink.rows()) < 3:
+            time.sleep(0.3)
+        got = sorted((r.k, r.v) for r in sink.rows())
+        assert got == [("a", 1), ("b", 2), ("c", 3)]
+        assert {r.src_file for r in sink.rows()} == {"000.jsonl", "001.jsonl"}
+    finally:
+        q.stop()
+
+    # restart from the checkpoint: committed files must NOT re-deliver
+    sink2 = MemorySink()
+    pipe2 = Pipeline(
+        spark=spark, source=JsonlSpoolSource(str(spool)),
+        handler=handler, sink=sink2,
+    )
+    put("002.jsonl", [{"k": "d", "v": 4}])
+    q2 = pipe2.start(available_now=False, checkpoint_dir=ckpt)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(sink2.rows()) < 1:
+            time.sleep(0.3)
+        assert sorted((r.k, r.v) for r in sink2.rows()) == [("d", 4)]
+    finally:
+        q2.stop()
+
+    # batch backfill over the same spool reads everything once
+    batch = JsonlSpoolSource(str(spool)).read(spark)
+    assert batch.count() == 4
