@@ -606,3 +606,39 @@ def test_dedupe_config_batch_and_stream(spark, tmp_path):
     q = pipe2.start(available_now=True, checkpoint_dir=str(tmp_path / "dd-ckpt"))
     q.awaitTermination(120)
     assert sorted(r.doc_id for r in sink2.rows()) == [1, 2]
+
+
+def test_iprange_nonequi_join_config(spark, tmp_path):
+    """Non-equi (BETWEEN) enrichment against an external range table
+    — the reference's attach-geoip flow (dev/config/examples/
+    attach-geoip.yml: ip::inet BETWEEN asn.start_ip AND asn.end_ip)
+    as handler SQL over an external_tables view."""
+    rng_dir = tmp_path / "ranges"
+    rng_dir.mkdir()
+    (rng_dir / "ranges.csv").write_text(
+        "start_num,end_num,asn,name\n"
+        # 10.0.0.0 - 10.0.0.255 and 192.168.1.0 - 192.168.1.255
+        "167772160,167772415,64500,corp-a\n"
+        "3232235776,3232236031,64501,corp-b\n"
+    )
+    sink = MemorySink()
+    invoke(
+        spark,
+        os.path.join(EXAMPLES, "iprange.join.yml"),
+        _write_fixture(
+            tmp_path,
+            [
+                '{"ip": "10.0.0.7"}',
+                '{"ip": "192.168.1.200"}',
+                '{"ip": "8.8.8.8"}',
+            ],
+        ),
+        setting_overrides={"SQLFLOW_IPRANGES_PATH": str(rng_dir)},
+        sink_override=sink,
+    )
+    rows = {(r.ip, r.asn, r.name) for r in sink.rows()}
+    assert rows == {
+        ("10.0.0.7", 64500, "corp-a"),
+        ("192.168.1.200", 64501, "corp-b"),
+        ("8.8.8.8", None, None),
+    }
