@@ -1291,3 +1291,48 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_clipped_high"),
     ).drop("lo", "hi")
+
+
+@query("sketch_rollup_distinct")  # rows-only: HLL estimates are
+# implementation-specific (Apache DataSketches), no DuckDB analog;
+# accuracy pinned in tests/test_approx_quality.py
+def sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting: per-day HLL sketches
+    (Apache DataSketches via hll_sketch_agg) UNIONED up to monthly
+    distinct-user estimates — the sketch-rollup pattern that makes
+    COUNT(DISTINCT) feasible at 100 TB: sketch once at ingest
+    granularity (a day's raw events never rescanned), then answer any
+    coarser range (month, quarter, rolling 28d) by merging
+    kilobyte-sized sketches. An exact monthly COUNT(DISTINCT) must
+    re-shuffle every raw event per query; the merge here moves
+    days × 1.5 KB.
+
+    Rows-only by design: the estimate depends on the DataSketches
+    implementation (no DuckDB analog); the estimate-vs-exact relative
+    error is pinned < 3% in tests/test_approx_quality.py, and
+    approx_distinct_users pins the same discipline for the HLL++
+    single-shot path.
+
+    Scale shape: one shuffle onto (month, day) for the daily
+    sketches (map-side partial sketch merge — sketches combine in the
+    partial agg, raw user_ids never cross the wire twice), then a
+    months-sized merge. lgConfigK=14 (default 12 would also do):
+    ~0.8% RSE at 16 KB per sketch."""
+    t = load_tables(spark, sf_dir, ("events",))
+    daily = (
+        t["events"]
+        .select(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .groupBy("month", "day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    )
+    return (
+        daily.groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+    )

@@ -301,3 +301,27 @@ def test_pagerank_tracks_numpy(spark, sf_dir):
     np.testing.assert_allclose(
         np.array([got[p] for p in nodes]), pr, rtol=1e-6, atol=1e-9
     )
+
+
+def test_sketch_rollup_tracks_exact_distinct(spark, sf_dir):
+    """Monthly distinct-user estimates from merged daily HLL sketches
+    must land within 3% of the exact COUNT(DISTINCT) — proving the
+    sketches survive the union (re-aggregation) step intact."""
+    from pyspark.sql import functions as F
+
+    from sql_flow_spark.tables import load_tables
+
+    got = {
+        r.month: r.est_users
+        for r in QUERIES["sketch_rollup_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.month: r.n
+        for r in load_tables(spark, sf_dir, ("events",))["events"]
+        .groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for m, est in got.items():
+        assert abs(est - exact[m]) / exact[m] < 0.03, (m, est, exact[m])
