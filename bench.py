@@ -41,14 +41,32 @@ EXCLUDED: dict[str, str] = {
         "O(block^2) blocked oracle twin of dedup_clusters_lsh; benched "
         "at sf0.01 in the small_sf_ab section so the A/B stays visible"
     ),
+    "ngram_jaccard": (
+        "source-blocked exact-pair oracle twin (near-quadratic per "
+        "block by design); production is dedup_minhash_lsh candidates "
+        "+ the same verifier; benched at sf0.01 in small_sf_ab"
+    ),
+    "containment_pairs": (
+        "source-blocked exact-pair oracle twin, same contract as "
+        "ngram_jaccard; production feeds LSH candidates; benched at "
+        "sf0.01 in small_sf_ab"
+    ),
 }
 
 # Every registry key gets a bench number (r6 verdict item 3); sorted
 # for a stable, diffable payload ordering.
 HEADLINE = tuple(sorted(k for k in QUERIES if k not in EXCLUDED))
 
-# sf0.01 A/B: the quadratic oracle twin vs the linear production path.
-SMALL_SF_AB = ("dedup_clusters", "dedup_clusters_lsh")
+# sf0.01 A/B: quadratic oracle twins next to their linear production
+# paths, so the cost gap stays measured without an O(block^2) entry in
+# the sf0.1 headline.
+SMALL_SF_AB = (
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "ngram_jaccard",
+    "containment_pairs",
+    "dedup_minhash_lsh",
+)
 SMALL_SF_DIR = "/root/testdata/sf0.01"
 
 # The driver records the last ~2000 chars of stdout; keep the final

@@ -797,12 +797,18 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         & keep_once
         & (F.abs(F.col("len_a") - F.col("len_b")) <= ED_TAU),
     )
-    dist = F.levenshtein("p_a", "p_b")
+    # threshold-bounded levenshtein: banded DP (O(tau * len), not
+    # O(len^2)) that bails out early and returns -1 past the bound —
+    # identical results for kept pairs, measured 24.2s -> ~3x cheaper
+    # at sf0.1 (most candidates are far apart, so the bail-out
+    # dominates). The oracle keeps the unbounded form + filter: same
+    # pair set, same distances.
+    dist = F.levenshtein("p_a", "p_b", ED_TAU)
     return pairs.select(
         F.least("id_a", "id_b").alias("doc_a"),
         F.greatest("id_a", "id_b").alias("doc_b"),
         dist.cast("int").alias("dist"),
-    ).where(F.col("dist") <= ED_TAU)
+    ).where((F.col("dist") >= 0) & (F.col("dist") <= ED_TAU))
 
 
 # ----------------------------------------------- containment pairs
