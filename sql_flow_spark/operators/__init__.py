@@ -18,6 +18,7 @@ from sql_flow_spark.operators import scd  # noqa: F401
 from sql_flow_spark.operators import graph  # noqa: F401
 from sql_flow_spark.operators import profile  # noqa: F401
 from sql_flow_spark.operators import drift  # noqa: F401
+from sql_flow_spark.operators import stats  # noqa: F401
 from sql_flow_spark.functions import textops  # noqa: F401
 from sql_flow_spark.functions import textprep  # noqa: F401
 from sql_flow_spark.functions import dedup  # noqa: F401

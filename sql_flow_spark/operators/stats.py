@@ -1,0 +1,612 @@
+"""Statistical monitoring operators: parametric drift tests, corpus
+divergence, and sequential change detection.
+
+Completes the drift family (operators/drift.py gives KS / PSI /
+robust-z): Welch's t for mean shift, chi-square for categorical
+(time-of-day) mix shift, Jensen-Shannon for corpus-source divergence,
+EWMA for smoothed trending, and CUSUM for sequential changepoint
+location. Reference scope note: the reference engine
+(sqlflow/handlers.py) ships no statistics operators — this family
+extends the brief's quality-signal toolkit to the monitoring layer a
+production ingest pipeline alerts from.
+
+Cross-engine exactness follows the house rules (registry.py): counts
+are exact integers; every sum of doubles is fixed-point-scaled so
+partitioning cannot reorder it; ln/pow are 6-9dp floor-masked because
+they are not correctly rounded and differ by ulps between engines;
+sqrt and arithmetic on identical doubles are IEEE-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sql_flow_spark.functions.dedup import ws_tokens
+from sql_flow_spark.registry import o_dsum, query
+from sql_flow_spark.tables import load_tables
+
+# Shared first-half/second-half split for the two-sample tests
+# (2024-01-16 00:00:00 UTC, same boundary as operators/drift.py).
+_SPLIT_US = 1705363200000000
+
+_US_PER_DAY = 86_400_000_000
+
+
+@query(
+    "welch_t_drift",
+    oracle=f"""
+    WITH lab AS (
+      SELECT event_type, value,
+             CASE WHEN epoch_us(ts) < {_SPLIT_US} THEN 1 ELSE 2 END AS g
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, g,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {o_dsum('value')} AS sx,
+             {o_dsum('value * value')} AS sxx
+      FROM lab GROUP BY event_type, g
+    ),
+    m AS (
+      SELECT event_type, g, n, sx / CAST(n AS DOUBLE) AS mean,
+             (sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var
+      FROM s
+    )
+    SELECT a.event_type, a.n AS n1, b.n AS n2,
+           a.mean AS mean1, b.mean AS mean2,
+           (a.mean - b.mean)
+             / sqrt(a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE))
+             AS t_stat,
+           pow(a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE), 2)
+             / (pow(a.var / CAST(a.n AS DOUBLE), 2) / CAST(a.n - 1 AS DOUBLE)
+                + pow(b.var / CAST(b.n AS DOUBLE), 2) / CAST(b.n - 1 AS DOUBLE))
+             AS dof
+    FROM m a JOIN m b ON a.event_type = b.event_type AND a.g = 1 AND b.g = 2
+    """,
+)
+def welch_t_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-statistic per event type, first vs
+    second half of the period — the parametric mean-shift test that
+    complements ks_drift (any-distribution-shape) and psi_drift
+    (where-the-mass-moved): t answers "did the MEAN move, given the
+    noise", with Welch-Satterthwaite dof so unequal group variances
+    don't inflate the test.
+
+    Exactness: n / Σx / Σx² come from exact integer counts and
+    fixed-point sums (x·x is computed identically in both engines
+    before scaling); mean, variance, t and dof are then pure IEEE
+    arithmetic + sqrt/pow(·,2) on identical doubles.
+
+    Scale shape: ONE scan, one shuffle onto the bounded
+    (event_type, half) key space with map-side partials, then a
+    5-row self-join. The 100 TB cost is the scan."""
+    t = load_tables(spark, sf_dir, ("events",))
+    from sql_flow_spark.registry import dsum
+
+    lab = t["events"].select(
+        "event_type",
+        "value",
+        F.when(F.unix_micros("ts") < _SPLIT_US, 1).otherwise(2).alias("g"),
+    )
+    s = lab.groupBy("event_type", "g").agg(
+        F.count("*").cast("long").alias("n"),
+        dsum("value").alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    m = s.select(
+        "event_type",
+        "g",
+        "n",
+        (F.col("sx") / nd).alias("mean"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / nd)
+            / (F.col("n") - 1).cast("double")
+        ).alias("var"),
+    )
+    a = m.where(F.col("g") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("mean").alias("mean1"),
+        F.col("var").alias("var1"),
+    )
+    b = m.where(F.col("g") == 2).select(
+        "event_type",
+        F.col("n").alias("n2"),
+        F.col("mean").alias("mean2"),
+        F.col("var").alias("var2"),
+    )
+    se1 = F.col("var1") / F.col("n1").cast("double")
+    se2 = F.col("var2") / F.col("n2").cast("double")
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n1",
+        "n2",
+        "mean1",
+        "mean2",
+        ((F.col("mean1") - F.col("mean2")) / F.sqrt(se1 + se2)).alias("t_stat"),
+        (
+            F.pow(se1 + se2, F.lit(2))
+            / (
+                F.pow(se1, F.lit(2)) / (F.col("n1") - 1).cast("double")
+                + F.pow(se2, F.lit(2)) / (F.col("n2") - 1).cast("double")
+            )
+        ).alias("dof"),
+    )
+
+
+@query(
+    "chi2_hour_drift",
+    oracle=f"""
+    WITH o AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+             CAST(SUM(CASE WHEN epoch_us(ts) < {_SPLIT_US}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+             CAST(SUM(CASE WHEN epoch_us(ts) < {_SPLIT_US}
+                      THEN 0 ELSE 1 END) AS BIGINT) AS o2
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(o1) AS BIGINT) AS c1,
+             CAST(SUM(o2) AS BIGINT) AS c2,
+             CAST(COUNT(*) AS BIGINT) AS n_hours
+      FROM o GROUP BY event_type
+    ),
+    terms AS (
+      SELECT o.event_type, tot.c1, tot.c2, tot.n_hours,
+             pow(CAST(o1 AS DOUBLE) - CAST((o1 + o2) AS DOUBLE)
+                   * CAST(c1 AS DOUBLE) / CAST(c1 + c2 AS DOUBLE), 2)
+               / (CAST((o1 + o2) AS DOUBLE)
+                   * CAST(c1 AS DOUBLE) / CAST(c1 + c2 AS DOUBLE))
+             + pow(CAST(o2 AS DOUBLE) - CAST((o1 + o2) AS DOUBLE)
+                   * CAST(c2 AS DOUBLE) / CAST(c1 + c2 AS DOUBLE), 2)
+               / (CAST((o1 + o2) AS DOUBLE)
+                   * CAST(c2 AS DOUBLE) / CAST(c1 + c2 AS DOUBLE))
+             AS term
+      FROM o JOIN tot ON tot.event_type = o.event_type
+    )
+    SELECT event_type,
+           {o_dsum('term', 6)} AS chi2,
+           MIN(n_hours) - 1 AS dof,
+           MIN(c1) AS n1, MIN(c2) AS n2
+    FROM terms GROUP BY event_type
+    """,
+)
+def chi2_hour_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of hour-of-day mix drift per event
+    type: does the TIME-OF-DAY profile of the second half differ from
+    the first half's — the categorical drift check (bot traffic,
+    timezone mix changes, scheduler bugs) that value-based KS/PSI
+    cannot see. Expected counts are the classic row-total x
+    col-total / grand-total; dof = (hours present - 1) x (2 - 1).
+
+    Exactness: all observed/marginal counts are exact integers (hour
+    from pure epoch integer arithmetic, no calendar functions);
+    per-cell terms are identical IEEE arithmetic; the term sum is
+    fixed-point at 6dp so hour arrival order cannot change it.
+
+    Scale shape: one shuffle onto the bounded (type, hour) key space
+    with map-side partials; everything after is type x 24 rows."""
+    t = load_tables(spark, sf_dir, ("events",))
+    from sql_flow_spark.registry import dsum
+
+    first = F.unix_micros("ts") < _SPLIT_US
+    o = (
+        t["events"]
+        .select(
+            "event_type",
+            ((F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long") % 24)
+            .cast("long")
+            .alias("hour"),
+            F.when(first, 1).otherwise(0).alias("is1"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.sum("is1").cast("long").alias("o1"),
+            F.sum(1 - F.col("is1")).cast("long").alias("o2"),
+        )
+    )
+    tot = o.groupBy("event_type").agg(
+        F.sum("o1").cast("long").alias("c1"),
+        F.sum("o2").cast("long").alias("c2"),
+        F.count("*").cast("long").alias("n_hours"),
+    )
+    rowtot = (F.col("o1") + F.col("o2")).cast("double")
+    grand = (F.col("c1") + F.col("c2")).cast("double")
+    e1 = rowtot * F.col("c1").cast("double") / grand
+    e2 = rowtot * F.col("c2").cast("double") / grand
+    term = (
+        F.pow(F.col("o1").cast("double") - e1, F.lit(2)) / e1
+        + F.pow(F.col("o2").cast("double") - e2, F.lit(2)) / e2
+    )
+    return (
+        o.join(F.broadcast(tot), "event_type")
+        .select("event_type", "c1", "c2", "n_hours", term.alias("term"))
+        .groupBy("event_type")
+        .agg(
+            dsum("term", 6).alias("chi2"),
+            (F.min("n_hours") - 1).alias("dof"),
+            F.min("c1").alias("n1"),
+            F.min("c2").alias("n2"),
+        )
+    )
+
+
+@query(
+    "js_divergence_sources",
+    oracle="""
+    WITH terms AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    c AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM terms GROUP BY source, term
+    ),
+    vocab AS (
+      SELECT term, CAST(SUM(cnt) AS BIGINT) AS ct FROM c GROUP BY term
+    ),
+    st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS ts FROM c GROUP BY source),
+    g AS (SELECT CAST(SUM(ct) AS BIGINT) AS tg FROM vocab),
+    grid AS (
+      SELECT st.source, v.term, v.ct, st.ts, g.tg,
+             COALESCE(c.cnt, 0) AS cnt
+      FROM st CROSS JOIN vocab v CROSS JOIN g
+      LEFT JOIN c ON c.source = st.source AND c.term = v.term
+    ),
+    pq AS (
+      SELECT source, ts, tg - ts AS tr,
+             CAST(cnt AS DOUBLE) / CAST(ts AS DOUBLE) AS p,
+             CAST(ct - cnt AS DOUBLE) / CAST(tg - ts AS DOUBLE) AS q
+      FROM grid
+    ),
+    t AS (
+      SELECT source, ts, tr,
+             CASE WHEN p > 0 THEN
+               p * (floor(ln(2.0 * p / (p + q)) * 1000000.0 + 0.5)
+                    / 1000000.0) ELSE 0.0 END
+             + CASE WHEN q > 0 THEN
+               q * (floor(ln(2.0 * q / (p + q)) * 1000000.0 + 0.5)
+                    / 1000000.0) ELSE 0.0 END
+             AS term_jsd
+      FROM pq
+    )
+    SELECT source, MIN(ts) AS source_tokens,
+           CAST(SUM(CAST(floor(term_jsd * 1000000000000.0 + 0.5)
+                         AS DECIMAL(30,0))) AS DOUBLE)
+             / 1000000000000.0 / 2.0 AS jsd
+    FROM t GROUP BY source
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram
+    distribution vs the REST of the corpus — "which ingest source is
+    lexically unlike the mix". The bounded, symmetric alternative to
+    KL (finite even on disjoint support), and the standard corpus-mix
+    diagnostic when weighting pretraining sources.
+
+    Exactness: word counts are exact integers over the shared
+    whitespace tokenization (top_terms/tfidf precedent); p, q are
+    count ratios; each ln is 6dp floor-masked; the per-term sum is
+    fixed-point at 12dp (terms are O(p)-small) so term order cannot
+    change it; zero-count sides contribute exactly 0 by mask.
+
+    Scale shape: one exploded token pass -> (source, term) counts;
+    the vocab + per-source grid is vocab x sources rows with the
+    tiny source-totals broadcast; the JSD reduce lands on the
+    source key space with map-side partials. Never pairwise over
+    documents, never a driver collect."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    from sql_flow_spark.registry import dsum
+
+    c = (
+        t["documents"]
+        .select(
+            "source",
+            F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    c = c.persist()
+    vocab = c.groupBy("term").agg(F.sum("cnt").cast("long").alias("ct"))
+    st = c.groupBy("source").agg(F.sum("cnt").cast("long").alias("ts"))
+    grand = vocab.agg(F.sum("ct").cast("long").alias("tg"))
+    grid = (
+        vocab.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(grand))
+        .join(c, ["source", "term"], "left")
+        .select(
+            "source",
+            "ts",
+            "tg",
+            "ct",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    p = F.col("cnt").cast("double") / F.col("ts").cast("double")
+    q = (F.col("ct") - F.col("cnt")).cast("double") / (
+        F.col("tg") - F.col("ts")
+    ).cast("double")
+
+    def masked_ln(x):
+        return (
+            F.floor(F.log(x) * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+        )
+
+    term_jsd = F.when(p > 0, p * masked_ln(F.lit(2.0) * p / (p + q))).otherwise(
+        0.0
+    ) + F.when(q > 0, q * masked_ln(F.lit(2.0) * q / (p + q))).otherwise(0.0)
+    return (
+        grid.select("source", "ts", term_jsd.alias("term_jsd"))
+        .groupBy("source")
+        .agg(
+            F.min("ts").alias("source_tokens"),
+            (dsum("term_jsd", 12) / F.lit(2.0)).alias("jsd"),
+        )
+    )
+
+
+# EWMA smoothing factor; weights use (1-alpha)^gap over calendar-day
+# gaps so missing days decay correctly.
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {_US_PER_DAY} AS BIGINT) AS day_idx,
+             {o_dsum('value')} / CAST(COUNT(*) AS DOUBLE) AS daily_avg
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT t.event_type, t.day_idx, t.daily_avg,
+             floor(pow({1.0 - _EWMA_ALPHA}, t.day_idx - i.day_idx)
+                   * 1000000000.0 + 0.5) / 1000000000.0 AS w,
+             i.daily_avg AS x
+      FROM daily t JOIN daily i
+        ON i.event_type = t.event_type AND i.day_idx <= t.day_idx
+    )
+    SELECT event_type, day_idx, MIN(daily_avg) AS daily_avg,
+           (CAST(SUM(CAST(floor(w * x * 1000000.0 + 0.5)
+                          AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0)
+           / (CAST(SUM(CAST(floor(w * 1000000000.0 + 0.5)
+                            AS DECIMAL(30,0))) AS DOUBLE) / 1000000000.0)
+           AS ewma
+    FROM pairs GROUP BY event_type, day_idx
+    """,
+)
+def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the daily mean value
+    per event type (alpha = 0.3, pandas ewm adjust=True semantics:
+    ewma_t = sum w_i x_i / sum w_i with w_i = (1-a)^(t-i) over
+    calendar-day gaps) — the smoothed trend line a monitoring
+    dashboard draws, robust to single-day spikes, correctly decaying
+    across missing days.
+
+    Exactness: daily means are fixed-point sums / exact counts; the
+    decay weight pow(0.7, gap) is 9dp floor-masked (pow is not
+    correctly rounded across engines; mask spacing 1e-9 vs pow error
+    ~1e-16 makes boundary flips impossible in practice); numerator
+    and denominator are fixed-point sums so join order cannot change
+    them.
+
+    Scale shape: the raw scan collapses to types x days rows FIRST
+    (one bounded-key shuffle with map-side partials); the triangular
+    self-join runs on that tiny aggregate, never on raw events. At
+    unbounded history, bound the window (w < 1e-9 after ~64 days) —
+    the same prefilter keeps the join linear."""
+    t = load_tables(spark, sf_dir, ("events",))
+    from sql_flow_spark.registry import davg
+
+    daily = (
+        t["events"]
+        .select(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(_US_PER_DAY)).cast("long").alias(
+                "day_idx"
+            ),
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(davg("value").alias("daily_avg"))
+    )
+    daily = daily.persist()
+    i = daily.select(
+        F.col("event_type").alias("e2"),
+        F.col("day_idx").alias("d2"),
+        F.col("daily_avg").alias("x"),
+    )
+    w = (
+        F.floor(
+            F.pow(F.lit(1.0 - _EWMA_ALPHA), F.col("day_idx") - F.col("d2"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        / F.lit(1e9)
+    )
+    pairs = daily.join(
+        i,
+        (F.col("e2") == F.col("event_type")) & (F.col("d2") <= F.col("day_idx")),
+    ).select(
+        "event_type",
+        "day_idx",
+        "daily_avg",
+        w.alias("w"),
+        "x",
+    )
+    num = (
+        F.sum(
+            F.floor(F.col("w") * F.col("x") * F.lit(1e6) + F.lit(0.5)).cast(
+                "decimal(30,0)"
+            )
+        ).cast("double")
+        / F.lit(1e6)
+    )
+    den = (
+        F.sum(F.floor(F.col("w") * F.lit(1e9) + F.lit(0.5)).cast("decimal(30,0)"))
+        .cast("double")
+        / F.lit(1e9)
+    )
+    return pairs.groupBy("event_type", "day_idx").agg(
+        F.min("daily_avg").alias("daily_avg"),
+        (num / den).alias("ewma"),
+    )
+
+
+# CUSUM tuning: k = drift allowance (in sigma units), h = alert
+# threshold. Standard SPC defaults.
+_CUSUM_K = 0.5
+_CUSUM_H = 4.0
+
+
+@query(
+    "cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {_US_PER_DAY} AS BIGINT) AS day_idx,
+             {o_dsum('value')} / CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             {o_dsum('x', 6)} / CAST(COUNT(*) AS DOUBLE) AS mu,
+             sqrt(({o_dsum('x * x', 6)}
+                   - {o_dsum('x', 6)} * {o_dsum('x', 6)}
+                     / CAST(COUNT(*) AS DOUBLE))
+                  / CAST(COUNT(*) - 1 AS DOUBLE)) AS sd
+      FROM daily GROUP BY event_type
+    ),
+    z AS (
+      SELECT d.event_type, d.day_idx,
+             floor((d.x - s.mu) / s.sd * 1000000.0 + 0.5) / 1000000.0 AS z
+      FROM daily d JOIN stats s ON s.event_type = d.event_type
+    ),
+    r AS (
+      SELECT event_type, day_idx, z,
+             SUM(z - {_CUSUM_K}) OVER w AS rp,
+             SUM(-z - {_CUSUM_K}) OVER w AS rn
+      FROM z
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    s2 AS (
+      SELECT event_type, day_idx,
+             rp - LEAST(0.0, MIN(rp) OVER w) AS sp,
+             rn - LEAST(0.0, MIN(rn) OVER w) AS sn
+      FROM r
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    ranked AS (
+      SELECT event_type, day_idx, sp, sn,
+             GREATEST(sp, sn) AS s_max,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY GREATEST(sp, sn) DESC, day_idx) AS rk
+      FROM s2
+    )
+    SELECT event_type,
+           floor(s_max * 1000000.0 + 0.5) / 1000000.0 AS cusum_max,
+           day_idx AS peak_day,
+           CASE WHEN s_max > {_CUSUM_H} THEN 1 ELSE 0 END AS drifted
+    FROM ranked WHERE rk = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detector on the daily mean value
+    per event type (Page 1954): standardized deviations accumulate in
+    S+ / S- with drift allowance k = 0.5 sigma; the peak locates the
+    most likely change day and peak > h = 4 flags a sustained shift —
+    the sequential test that catches SLOW drifts a two-sample test
+    diluted over the whole period misses.
+
+    The recursion S_t = max(0, S_{{t-1}} + z_t - k) is rewritten
+    closed-form as S_t = R_t - min(0, min_{{j<=t}} R_j) with
+    R_t = sum(z - k) — two stock window functions, no recursion, no
+    UDF, identical in both engines.
+
+    Exactness: daily means via fixed-point sums; mu/sd per type from
+    6dp-masked sums over the tiny daily aggregate; z is 6dp-masked so
+    both engines accumulate identical doubles; ROWS frames over the
+    unique (type, day) ordering have no tie ambiguity; the output
+    statistic is 6dp-masked.
+
+    Scale shape: raw scan -> types x days aggregate (one bounded-key
+    shuffle); windows and argmax run on that tiny frame."""
+    t = load_tables(spark, sf_dir, ("events",))
+    from sql_flow_spark.registry import davg, dsum
+
+    daily = (
+        t["events"]
+        .select(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(_US_PER_DAY)).cast("long").alias(
+                "day_idx"
+            ),
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(davg("value").alias("x"))
+    )
+    nd = F.count("*").cast("double")
+    stats = daily.groupBy("event_type").agg(
+        (dsum("x", 6) / nd).alias("mu"),
+        F.sqrt(
+            (dsum(F.col("x") * F.col("x"), 6) - dsum("x", 6) * dsum("x", 6) / nd)
+            / (F.count("*") - 1).cast("double")
+        ).alias("sd"),
+    )
+    z = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day_idx",
+        (
+            F.floor(
+                (F.col("x") - F.col("mu")) / F.col("sd") * F.lit(1e6) + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("z"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = z.select(
+        "event_type",
+        "day_idx",
+        F.sum(F.col("z") - F.lit(_CUSUM_K)).over(w).alias("rp"),
+        F.sum(-F.col("z") - F.lit(_CUSUM_K)).over(w).alias("rn"),
+    )
+    s2 = r.select(
+        "event_type",
+        "day_idx",
+        (F.col("rp") - F.least(F.lit(0.0), F.min("rp").over(w))).alias("sp"),
+        (F.col("rn") - F.least(F.lit(0.0), F.min("rn").over(w))).alias("sn"),
+    )
+    s_max = F.greatest("sp", "sn")
+    ranked = s2.select(
+        "event_type",
+        "day_idx",
+        s_max.alias("s_max"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                s_max.desc(), F.col("day_idx")
+            )
+        )
+        .alias("rk"),
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "event_type",
+        (F.floor(F.col("s_max") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "cusum_max"
+        ),
+        F.col("day_idx").alias("peak_day"),
+        F.when(F.col("s_max") > _CUSUM_H, 1).otherwise(0).alias("drifted"),
+    )
