@@ -757,3 +757,79 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(F.broadcast(nd)).select(
         "term_a", "term_b", "n_ab", pmi.alias("pmi")
     )
+
+
+GROUP_SAMPLE_N = 5
+
+
+@query(
+    "weighted_sample_per_group",
+    oracle=f"""
+    SELECT lang, rk, doc_id, n_chars, sample_key FROM (
+      SELECT lang, doc_id, n_chars, sample_key,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY sample_key DESC, doc_id) AS BIGINT) AS rk
+      FROM (
+        SELECT doc_id, lang, n_chars,
+               floor(
+                 ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE) * 1000000000.0 + 0.5
+               ) / 1000000000.0 AS sample_key
+        FROM documents WHERE n_chars > 0
+      )
+    )
+    WHERE rk <= {GROUP_SAMPLE_N}
+    """,
+)
+def weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sampling without replacement — the
+    stratified member of the sampling family: importance_sample's
+    Efraimidis-Spirakis race (key = ln(u)/w, u deterministic from
+    md5(doc_id), w = n_chars) run independently inside each language,
+    top-{GROUP_SAMPLE_N} per group. The engine-side equivalent of "draw
+    k docs per language, long docs proportionally more likely", with
+    the same reproducibility guarantee: identical draw under any
+    partitioning, any engine, any run.
+
+    Exactness: u is exact in both engines, ln is 9dp floor-masked,
+    ties break on doc_id (the importance_sample discipline).
+
+    Scale shape: one narrow scan computes keys; the per-group top-k is
+    a window rank over the lang partitioning — a single shuffle on
+    lang with rank short-circuit. When groups are few and huge, the
+    per-partition-heap form (groupBy lang + an aggregate top-k over
+    mapped partials) removes even the window sort; documented, not
+    needed at the dims here."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    x = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (x + F.lit(0.5)) / F.lit(4294967296.0)
+    key = (
+        F.floor(
+            F.log(u) / F.col("n_chars").cast("double") * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000000.0)
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        t["documents"]
+        .where(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars", key.alias("sample_key"))
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("sample_key").desc(), "doc_id"
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return ranked.where(F.col("rk") <= GROUP_SAMPLE_N).select(
+        "lang", "rk", "doc_id", "n_chars", "sample_key"
+    )

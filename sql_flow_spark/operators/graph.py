@@ -140,3 +140,142 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return pr.select(F.col("node").alias("partkey"), F.col("pr").alias("pagerank"))
+
+
+@query(
+    "triangle_count",
+    oracle="""
+    WITH pk AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM pk a JOIN pk b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY node
+    ),
+    o AS MATERIALIZED (
+      SELECT CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS src,
+             CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS dst
+      FROM und u
+      JOIN deg da ON da.node = u.a
+      JOIN deg db ON db.node = u.b
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+      FROM o e1
+      JOIN o e2 ON e2.src = e1.src AND e2.dst <> e1.dst
+      JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    corner AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v AS node FROM tri
+      UNION ALL SELECT w AS node FROM tri
+    ),
+    tc AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM corner GROUP BY node
+    )
+    SELECT d.node AS partkey, d.deg AS degree,
+           COALESCE(tc.triangles, 0) AS triangles,
+           CASE WHEN d.deg >= 2 THEN
+             2.0 * CAST(COALESCE(tc.triangles, 0) AS DOUBLE)
+               / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE))
+           ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN tc ON tc.node = d.node
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    part co-purchase graph — the community-density signal next to
+    pagerank_copurchase's importance ranking (high-LCC parts sit in
+    tight bundles; low-LCC high-degree parts are hubs bridging
+    unrelated baskets).
+
+    Algorithm: degree-ordered edge orientation (each undirected edge
+    points from its lower (degree, id) endpoint to the higher), then
+    wedge join + closing-edge equi-join. In the total order every
+    triangle has exactly one node with two out-edges and the closing
+    edge carries exactly one orientation, so each triangle emits ONCE
+    from the equi-join — no OR-join, no dedup pass. This is the
+    standard bounded-work distributed triangle algorithm: out-degrees
+    are capped at ~sqrt(E) by orientation, so wedge fan-out is
+    sum outdeg^2 = O(E^1.5) worst-case instead of sum deg^2, which a
+    celebrity hub would otherwise make quadratic.
+
+    Exactness: everything through the corner count is DISTINCT sets /
+    exact integer counts; the coefficient 2T/(d(d-1)) is one IEEE
+    division on identical integers.
+
+    Scale shape: DISTINCT basket pairs (linear for bounded baskets) ->
+    degree (two-key agg) -> oriented edges (two broadcastable deg
+    joins at dim scale, shuffle joins at web scale) -> wedge self-join
+    partitioned on src -> closing equi-join on (src, dst). All
+    equi-joins, all spillable; no driver traffic."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    pk = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = pk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = pk.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("b"))
+    und = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("nb"), F.col("deg").alias("degb"))
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(da, F.col("na") == F.col("a"))
+        .join(db, F.col("nb") == F.col("b"))
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    o = o.persist()
+    e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = o.select(F.col("src").alias("u2"), F.col("dst").alias("w"))
+    e3 = o.select(F.col("src").alias("v3"), F.col("dst").alias("w3"))
+    tri = (
+        e1.join(e2, (F.col("u2") == F.col("u")) & (F.col("w") != F.col("v")))
+        .join(e3, (F.col("v3") == F.col("v")) & (F.col("w3") == F.col("w")))
+        .select("u", "v", "w")
+    )
+    tc = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    dd = F.col("deg").cast("double")
+    return (
+        deg.join(tc, "node", "left")
+        .select(
+            F.col("node").alias("partkey"),
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.lit(2.0)
+                * F.coalesce(F.col("triangles"), F.lit(0)).cast("double")
+                / (dd * (dd - F.lit(1.0))),
+            )
+            .otherwise(0.0)
+            .alias("clustering_coeff"),
+        )
+    )

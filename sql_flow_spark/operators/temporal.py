@@ -432,3 +432,124 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (fsum / F.count("*").over(w).cast("double")).alias("moving_avg"),
     )
+
+
+_US_PER_DAY_SD = 86_400_000_000
+_TREND_HALF = 3  # 7-day centered moving-average trend window
+
+
+@query(
+    "seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {_US_PER_DAY_SD} AS BIGINT) AS day_idx,
+             {o_dsum('value')} AS daily_total
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day_idx,
+             CAST((day_idx + 4) % 7 AS BIGINT) AS dow,
+             daily_total,
+             CASE WHEN COUNT(*) OVER w = {2 * _TREND_HALF + 1} THEN
+               CAST(SUM(CAST(floor(daily_total * 10000.0 + 0.5)
+                             AS DECIMAL(30,0))) OVER w AS DOUBLE)
+                 / 10000.0 / {float(2 * _TREND_HALF + 1)}
+             END AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                   ROWS BETWEEN {_TREND_HALF} PRECEDING
+                        AND {_TREND_HALF} FOLLOWING)
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             {o_dsum('daily_total - trend', 6)}
+               / CAST(COUNT(daily_total - trend) AS DOUBLE) AS seasonal
+      FROM tr WHERE trend IS NOT NULL GROUP BY event_type, dow
+    )
+    SELECT t.event_type, t.day_idx, t.dow, t.daily_total, t.trend,
+           s.seasonal,
+           t.daily_total - t.trend - s.seasonal AS resid
+    FROM tr t JOIN seas s
+      ON s.event_type = t.event_type AND s.dow = t.dow
+    """,
+)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series per event type: daily_total = trend (7-day centered moving
+    average, full-window-only) + weekly seasonal (mean detrended value
+    per day-of-week) + residual — the decomposition behind "is Monday
+    always low, or is THIS Monday anomalous", and the right input for
+    anomaly tests (events_anomaly on resid, not raw, once seasonality
+    exists).
+
+    Exactness: daily totals are fixed-point sums; the trend window sum
+    runs over 4dp-scaled INTEGERS (a windowed double sum would let
+    DuckDB's segment-tree accumulation order differ from Spark's) and
+    divides by exactly 7; day-of-week is pure epoch integer arithmetic
+    ((day + 4) % 7, the events_weekday_hour precedent — no calendar
+    functions); seasonal means are fixed-point over identical detrended
+    doubles; the residual is IEEE subtraction on identical values.
+
+    Scale shape: the raw scan collapses to the types x days aggregate
+    first (one bounded-key shuffle, map-side partials); windows,
+    seasonal means (types x 7 keys) and the final join all run on that
+    tiny frame, with seasonal broadcast back."""
+    t = load_tables(spark, sf_dir, ("events",))
+    from sql_flow_spark.registry import dsum
+
+    daily = (
+        t["events"]
+        .select(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(_US_PER_DAY_SD))
+            .cast("long")
+            .alias("day_idx"),
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(dsum("value").alias("daily_total"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-_TREND_HALF, _TREND_HALF)
+    )
+    full = 2 * _TREND_HALF + 1
+    trend = F.when(
+        F.count("*").over(w) == full,
+        F.sum(
+            F.floor(F.col("daily_total") * F.lit(1e4) + F.lit(0.5)).cast(
+                "decimal(30,0)"
+            )
+        )
+        .over(w)
+        .cast("double")
+        / F.lit(1e4)
+        / F.lit(float(full)),
+    )
+    tr = daily.select(
+        "event_type",
+        "day_idx",
+        ((F.col("day_idx") + 4) % 7).cast("long").alias("dow"),
+        "daily_total",
+        trend.alias("trend"),
+    )
+    tr = tr.persist()
+    detr = F.col("daily_total") - F.col("trend")
+    seas = (
+        tr.where(F.col("trend").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg((dsum(detr, 6) / F.count(detr).cast("double")).alias("seasonal"))
+    )
+    return tr.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        "day_idx",
+        "dow",
+        "daily_total",
+        "trend",
+        "seasonal",
+        (F.col("daily_total") - F.col("trend") - F.col("seasonal")).alias(
+            "resid"
+        ),
+    )
