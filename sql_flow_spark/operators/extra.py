@@ -1336,3 +1336,133 @@ def sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
         )
     )
+
+
+@query("theta_audience_overlap")  # rows-only: Theta estimates are
+# implementation-specific (Apache DataSketches), no DuckDB analog;
+# accuracy pinned in tests/test_approx_quality.py
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types from Theta sketches
+    (Apache DataSketches theta_sketch_agg + theta_intersection /
+    theta_union / theta_difference): for every type pair, estimated
+    |A|, |B|, |A AND B|, |A OR B|, |A NOT B| and the Jaccard overlap —
+    the sketch SET-ALGEBRA pattern that HLL cannot do (HLL only
+    unions). At 100 TB this answers "how many purchase users also saw
+    an error" by combining kilobyte sketches, where the exact answer
+    is a full re-shuffle of raw events per pair.
+
+    Rows-only by design (same contract as sketch_rollup_distinct);
+    estimate-vs-exact error is pinned < 5% for every pair measure in
+    tests/test_approx_quality.py.
+
+    Scale shape: ONE shuffle onto the bounded event_type key space
+    builds the per-type sketches (raw user_ids cross the wire once,
+    sketches combine in the map-side partial agg); the pair algebra
+    runs on k x 4 KB binaries — a broadcast-sized self-join."""
+    t = load_tables(spark, sf_dir, ("events",))
+    sk = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("ska"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("skb"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("ska"), F.col("skb"))
+    )
+    union = F.theta_sketch_estimate(F.theta_union(F.col("ska"), F.col("skb")))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.theta_sketch_estimate("ska").alias("est_a"),
+        F.theta_sketch_estimate("skb").alias("est_b"),
+        inter.alias("est_overlap"),
+        union.alias("est_union"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("ska"), F.col("skb"))
+        ).alias("est_a_only"),
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    ).orderBy("type_a", "type_b")
+
+
+@query(
+    "key_skew_report",
+    oracle="""
+    WITH kc AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rk
+      FROM kc
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             quantile_cont(cnt, 0.5) AS median_cnt,
+             quantile_cont(cnt, 0.99) AS p99_cnt,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM kc
+    )
+    SELECT t.n_rows, t.n_keys,
+           CAST(t.n_rows AS DOUBLE) / CAST(t.n_keys AS DOUBLE) AS avg_cnt,
+           t.median_cnt, t.p99_cnt, t.max_cnt,
+           CAST(t.max_cnt AS DOUBLE) / (CAST(t.n_rows AS DOUBLE)
+             / CAST(t.n_keys AS DOUBLE)) AS max_over_avg,
+           (SELECT CAST(SUM(cnt) AS DOUBLE) FROM ranked WHERE rk <= 10)
+             / CAST(t.n_rows AS DOUBLE) AS top10_share
+    FROM tot t
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for events.user_id — the
+    measure-before-you-shuffle report behind every salting decision
+    (plans/skew.py applies the fix; this operator quantifies the
+    need): rows, distinct keys, average/median/p99/max per-key
+    multiplicity, max/avg ratio (the straggler factor a plain hash
+    shuffle would suffer), and the share of rows owned by the top-10
+    keys (what a broadcast-the-hot-keys split would peel off).
+
+    Exactness: counts exact; percentiles use the shared
+    interpolation on exact integer counts; ratios are IEEE division.
+    The top-10 share has a total (cnt, key) tiebreak order.
+
+    Scale shape: one shuffle onto the key space with map-side
+    partials, then single-row aggregates over key counts; the top-10
+    is TakeOrderedAndProject-sized. The key-count table is the
+    operator's own output domain — there is no cheaper way to know
+    skew exactly; the approx twin (sketch quantiles over counts) is
+    the documented swap when even key counts are too many."""
+    t = load_tables(spark, sf_dir, ("events",))
+    kc = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    kc = kc.persist()
+    tot = kc.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.percentile("cnt", 0.5).alias("median_cnt"),
+        F.percentile("cnt", 0.99).alias("p99_cnt"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    top10 = (
+        kc.orderBy(F.col("cnt").desc(), "user_id")
+        .limit(10)
+        .agg(F.sum("cnt").cast("double").alias("top10_rows"))
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    return tot.crossJoin(F.broadcast(top10)).select(
+        "n_rows",
+        "n_keys",
+        avg.alias("avg_cnt"),
+        "median_cnt",
+        "p99_cnt",
+        "max_cnt",
+        (F.col("max_cnt").cast("double") / avg).alias("max_over_avg"),
+        (F.col("top10_rows") / F.col("n_rows").cast("double")).alias(
+            "top10_share"
+        ),
+    )

@@ -325,3 +325,34 @@ def test_sketch_rollup_tracks_exact_distinct(spark, sf_dir):
     assert set(got) == set(exact) and got
     for m, est in got.items():
         assert abs(est - exact[m]) / exact[m] < 0.03, (m, est, exact[m])
+
+
+def test_theta_overlap_tracks_exact_set_algebra(spark, sf_dir):
+    """Theta-sketch pair estimates (|A|, |B|, intersection, union,
+    difference) must land within 5% of the exact set sizes — proving
+    the sketch set algebra, not just the single-set estimate."""
+    from sql_flow_spark.tables import load_tables
+
+    got = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["theta_audience_overlap"](spark, sf_dir).collect()
+    }
+    assert got
+    users = {
+        r.event_type: set(r.us)
+        for r in load_tables(spark, sf_dir, ("events",))["events"]
+        .groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("us"))
+        .collect()
+    }
+
+    def close(est, exact):
+        return exact == 0 or abs(est - exact) / exact < 0.05
+
+    for (ta, tb), r in got.items():
+        a, b = users[ta], users[tb]
+        assert close(r.est_a, len(a)) and close(r.est_b, len(b))
+        assert close(r.est_overlap, len(a & b))
+        assert close(r.est_union, len(a | b))
+        assert close(r.est_a_only, len(a - b))
+        assert close(r.jaccard, len(a & b) / len(a | b))
