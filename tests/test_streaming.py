@@ -589,3 +589,66 @@ def test_streaming_exact_dedup_with_batch_fingerprint(spark, tmp_path):
     q.awaitTermination(120)
     kept = sorted(r["doc_id"] for r in got)
     assert kept == [1, 2, 4]  # doc 3 is doc 1's variant -> dropped
+
+
+def test_streaming_psi_drift_monitor(spark, tmp_path):
+    """foreachBatch PSI monitor e2e: fences frozen on a reference
+    frame; a batch drawn FROM the reference scores near zero, a
+    shifted batch trips the alert."""
+    import json as _json
+
+    from sql_flow_spark.streaming.drift import (
+        monitor_stream,
+        psi_of_batch,
+        reference_fences,
+    )
+
+    # Reference: uniform values 0..999 in one group.
+    ref = spark.range(1000).select(
+        F.lit("m").alias("g"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    fences = reference_fences(ref, "g", "v")
+    assert len(fences["m"]) == 9
+
+    # Batch-mode scoring sanity: in-distribution ~0, shifted >> 0.25.
+    ok = psi_of_batch(ref, fences, "g", "v").collect()[0]
+    assert abs(ok.psi) < 0.05
+    shifted = spark.range(1000).select(
+        F.lit("m").alias("g"),
+        (F.col("id") % 100 + 900).cast("double").alias("v"),
+    )
+    bad = psi_of_batch(shifted, fences, "g", "v").collect()[0]
+    assert bad.psi > 0.25
+
+    # Streaming leg: two files -> two micro-batches, second drifted.
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "a.jsonl", "w") as f:
+        for i in range(1000):
+            f.write(_json.dumps({"g": "m", "v": float(i % 1000)}) + "\n")
+    with open(in_dir / "b.jsonl", "w") as f:
+        for i in range(1000):
+            f.write(_json.dumps({"g": "m", "v": float(i % 100 + 900)}) + "\n")
+
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    seen = []
+    q = monitor_stream(
+        stream,
+        fences,
+        "g",
+        "v",
+        on_batch=lambda bid, rows: seen.extend(rows),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) == 2
+    by_drift = sorted(seen, key=lambda r: r.psi)
+    assert by_drift[0].drifted is False and abs(by_drift[0].psi) < 0.05
+    assert by_drift[1].drifted is True and by_drift[1].psi > 0.25
