@@ -207,3 +207,96 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(discount_cap)
         .unionAll(ship_order)
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_oracle() -> str:
+    from itertools import combinations
+
+    from sql_flow_spark.registry import o_dsum
+
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"{o_dsum(c)} AS sx_{c}")
+        sums.append(f"{o_dsum(f'{c} * {c}')} AS sxx_{c}")
+    for a, b in combinations(_CORR_COLS, 2):
+        sums.append(f"{o_dsum(f'{a} * {b}')} AS sxy_{a}_{b}")
+    pair_rows = []
+    for a, b in combinations(_CORR_COLS, 2):
+        num = f"(CAST(n AS DOUBLE) * sxy_{a}_{b} - sx_{a} * sx_{b})"
+        den = (
+            f"sqrt((CAST(n AS DOUBLE) * sxx_{a} - sx_{a} * sx_{a})"
+            f" * (CAST(n AS DOUBLE) * sxx_{b} - sx_{b} * sx_{b}))"
+        )
+        pair_rows.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n,"
+            f" floor(({num} / {den}) * 1000000000000.0 + 0.5)"
+            " / 1000000000000.0 AS corr FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL ".join(pair_rows)
+    )
+
+
+@query("correlation_matrix", oracle=_corr_oracle())
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over lineitem's numeric measures —
+    column_profile's bivariate companion (the feature-redundancy /
+    leakage screen run before training on tabular features).
+
+    All six coefficients come from ONE scan and ONE HashAggregate
+    computing the 15 moment sums (n, Σx, Σx², Σxy — no Expand, no
+    per-pair passes); the single-row result unpivots to pair rows
+    engine-side.
+
+    Exactness: every moment sum is fixed-point at 4dp — exact
+    integers because the generator's measures carry ≤2 decimal
+    digits, so all products have ≤4. One subtlety the sf0.1 gate
+    caught: the scaled Σ(price²) integer exceeds 2^53, so its
+    decimal→double image can differ by 1 ulp between engines (the
+    integer itself is identical; the ROUNDING to double is not
+    specified identically) — amplified through the cancellation in
+    nΣx²−(Σx)², that moves r in its last two digits. r is therefore
+    12dp floor-masked (mask spacing 1e-12 vs observed drift ~5e-16:
+    no boundary risk), the ln/pow masking discipline applied to a
+    ratio.
+
+    Scale shape: map-side partial aggregation does almost all the
+    work; one single-row exchange; the unpivot is constant-sized."""
+    from itertools import combinations
+
+    from sql_flow_spark.registry import dsum
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(dsum(c).alias(f"sx_{c}"))
+        aggs.append(dsum(F.col(c) * F.col(c)).alias(f"sxx_{c}"))
+    for a, b in combinations(_CORR_COLS, 2):
+        aggs.append(dsum(F.col(a) * F.col(b)).alias(f"sxy_{a}_{b}"))
+    s = t["lineitem"].agg(*aggs)
+    nd = F.col("n").cast("double")
+    pair_structs = []
+    for a, b in combinations(_CORR_COLS, 2):
+        num = nd * F.col(f"sxy_{a}_{b}") - F.col(f"sx_{a}") * F.col(f"sx_{b}")
+        den = F.sqrt(
+            (nd * F.col(f"sxx_{a}") - F.col(f"sx_{a}") * F.col(f"sx_{a}"))
+            * (nd * F.col(f"sxx_{b}") - F.col(f"sx_{b}") * F.col(f"sx_{b}"))
+        )
+        pair_structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n").alias("n"),
+                (
+                    F.floor((num / den) * F.lit(1e12) + F.lit(0.5))
+                    / F.lit(1e12)
+                ).alias("corr"),
+            )
+        )
+    return s.select(F.explode(F.array(*pair_structs)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.n", "p.corr"
+    )
