@@ -912,3 +912,153 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.join(F.broadcast(sizes), "cluster").select(
         "cluster", "dim", F.col("c").alias("centroid"), "n_members"
     )
+
+
+FPS_K = 5
+
+
+def _o_fps() -> str:
+    """Unroll the K-1 farthest-point iterations into DuckDB CTEs.
+
+    Each stage carries the running min-distance column forward
+    (d_k(c) = least(d_{k-1}(c), 1 - cos(c, p_k))), so stage k costs
+    one |corpus|-sized pass against the single newest pick — the same
+    work shape as the Spark side, which keeps the two engines
+    bit-identical AND keeps the oracle honest about the algorithm."""
+    cos = (
+        f"({o_dot_dec('c.embedding', 'p.embedding')}"
+        " / (c.nrm * p.nrm))"
+    )
+    parts = [
+        f"""
+    e AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({o_dot_dec('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ),
+    p1 AS (SELECT vec_id, embedding, nrm FROM e ORDER BY vec_id LIMIT 1),
+    d1 AS MATERIALIZED (
+      SELECT c.vec_id, 1.0 - {cos} AS md
+      FROM e c CROSS JOIN p1 p
+    )"""
+    ]
+    sel = ["SELECT vec_id FROM p1"]
+    for k in range(2, FPS_K + 1):
+        prev = k - 1
+        not_in = " UNION ALL ".join(sel)
+        parts.append(f"""
+    pick{k} AS MATERIALIZED (
+      SELECT d.vec_id, d.md FROM d{prev} d
+      WHERE d.vec_id NOT IN ({not_in})
+      ORDER BY d.md DESC, d.vec_id LIMIT 1
+    ),
+    p{k} AS (
+      SELECT e.vec_id, e.embedding, e.nrm FROM e
+      WHERE e.vec_id = (SELECT vec_id FROM pick{k})
+    ),
+    d{k} AS MATERIALIZED (
+      SELECT c.vec_id, LEAST(d.md, 1.0 - {cos}) AS md
+      FROM e c JOIN d{prev} d ON d.vec_id = c.vec_id CROSS JOIN p{k} p
+    )""")
+        sel.append(f"SELECT vec_id FROM pick{k}")
+    finals = ["SELECT 1 AS pick_order, vec_id, 0.0 AS mindist FROM p1"]
+    finals += [
+        f"SELECT {k} AS pick_order, vec_id, md AS mindist FROM pick{k}"
+        for k in range(2, FPS_K + 1)
+    ]
+    return (
+        "WITH " + ",".join(parts) + "\n    " + " UNION ALL ".join(finals)
+    )
+
+
+@query("farthest_point_sample", oracle=_o_fps())
+def farthest_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point (k-center) selection of FPS_K maximally
+    diverse embedding vectors — the deterministic diverse-coreset
+    sampler (MMR with the relevance term off): seed with the smallest
+    vec_id, then repeatedly take the candidate whose cosine distance
+    to its NEAREST already-picked vector is largest. The
+    diversity-aware counterpart of importance_sample /
+    stratified_sample for training-data selection: those weight by
+    quality or stratum, this one maximizes geometric coverage so a
+    small eval/seed set spans the embedding space instead of piling
+    into the densest cluster.
+
+    Exactness: cosine rides dot_dec (fixed-point exact dot products,
+    registry.py recipe) and sqrt norms — IEEE-identical scalars in
+    both engines; LEAST / ORDER BY on identical doubles are then
+    deterministic, ties broken by vec_id. The oracle unrolls the same
+    running-min recurrence into CTE stages (o_fps), so both engines
+    execute literally the same algorithm.
+
+    Scale shape: norms once (narrow map), then K-1 rounds of
+    [broadcast 1 pick -> corpus-linear least() update -> 1-row
+    TakeOrderedAndProject argmax]. Driver traffic is K-1 single rows
+    (the bounded-trainer-loop pattern of bpe_learn_merges); the
+    running-dists frame is localCheckpointed per round so lineage
+    stays flat. O(K * corpus * dim) total — for K beyond ~tens at
+    100 TB, pre-bucket with ann_lsh/ann_ivf and run FPS per bucket."""
+    from sql_flow_spark.functions.mat import materialize_once
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select(
+        "vec_id",
+        "embedding",
+        F.sqrt(sq_norm_dec(F.col("embedding"))).alias("nrm"),
+    )
+    e = materialize_once(e)
+
+    seed = e.orderBy("vec_id").limit(1)
+    picks = seed.select("vec_id", "embedding", "nrm").collect()
+    out = [(1, picks[0]["vec_id"], 0.0)]
+
+    p = seed.select(
+        F.col("embedding").alias("p_emb"), F.col("nrm").alias("p_nrm")
+    )
+    dists = (
+        e.crossJoin(F.broadcast(p))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            (
+                F.lit(1.0)
+                - dot_dec(F.col("embedding"), F.col("p_emb"))
+                / (F.col("nrm") * F.col("p_nrm"))
+            ).alias("md"),
+        )
+    )
+    selected = {picks[0]["vec_id"]}
+    for k in range(2, FPS_K + 1):
+        dists = materialize_once(dists)
+        best = (
+            dists.where(~F.col("vec_id").isin(*selected))
+            .orderBy(F.col("md").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((k, best["vec_id"], best["md"]))
+        selected.add(best["vec_id"])
+        pk = (
+            dists.where(F.col("vec_id") == best["vec_id"])
+            .select(
+                F.col("embedding").alias("p_emb"), F.col("nrm").alias("p_nrm")
+            )
+        )
+        dists = (
+            dists.crossJoin(F.broadcast(pk))
+            .select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                F.least(
+                    F.col("md"),
+                    F.lit(1.0)
+                    - dot_dec(F.col("embedding"), F.col("p_emb"))
+                    / (F.col("nrm") * F.col("p_nrm")),
+                ).alias("md"),
+            )
+        )
+    return spark.createDataFrame(
+        out, "pick_order INT, vec_id BIGINT, mindist DOUBLE"
+    )

@@ -833,3 +833,123 @@ def weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rk") <= GROUP_SAMPLE_N).select(
         "lang", "rk", "doc_id", "n_chars", "sample_key"
     )
+
+
+ZIPF_TOP_N = 500
+
+
+@query(
+    "zipf_fit",
+    oracle=f"""
+    WITH freq AS MATERIALIZED (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS occurrences
+      FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+      )
+      GROUP BY term
+      ORDER BY occurrences DESC, term
+      LIMIT {ZIPF_TOP_N}
+    ),
+    ranked AS (
+      SELECT floor(ln(CAST(ROW_NUMBER() OVER
+               (ORDER BY occurrences DESC, term) AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS x,
+             floor(ln(CAST(occurrences AS DOUBLE)) * 1000000.0 + 0.5)
+               / 1000000.0 AS y
+      FROM freq
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sx,
+             CAST(SUM(CAST(floor(y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sy,
+             CAST(SUM(CAST(floor(x * x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sxx,
+             CAST(SUM(CAST(floor(y * y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS syy,
+             CAST(SUM(CAST(floor(x * y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sxy
+      FROM ranked
+    )
+    SELECT n AS n_terms,
+           floor(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx)) * 1000000.0 + 0.5)
+             / 1000000.0 AS zipf_slope,
+           floor(((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                  / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+             AS intercept,
+           floor(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(n AS DOUBLE) * syy - sy * sy)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS r2
+    FROM s
+    """,
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(frequency)
+    on ln(rank) for the top-500 terms. A healthy natural-language
+    corpus fits slope ~ -1 with high r²; synthetic/templated or
+    deduplicated-to-death corpora bend away — a one-row corpus health
+    gauge next to corpus_report.
+
+    Exactness recipe (house rules, registry.py): ln is floor-masked to
+    6dp on each point (ln is not correctly rounded and may differ by
+    ulps between engines); the five regression sums then go through
+    6dp fixed-point integers so partitioning can't reorder a double
+    sum; slope/intercept/r² are IEEE arithmetic on identical scalars,
+    floor-masked once more at the boundary because x*y products of
+    masked 6dp values are exact only to ~12dp in a double.
+
+    Scale shape: word-count (explode -> partial-agg shuffle on term) ->
+    top-500 via TakeOrderedAndProject (no global sort) -> 500-row
+    window + single-row agg. The only data-sized stage is the scan."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    freq = (
+        t["documents"]
+        .select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), "term")
+        .limit(ZIPF_TOP_N)
+    )
+
+    def mask6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    w = Window.orderBy(F.col("occurrences").desc(), "term")
+    ranked = freq.select(
+        mask6(F.log(F.row_number().over(w).cast("double"))).alias("x"),
+        mask6(F.log(F.col("occurrences").cast("double"))).alias("y"),
+    )
+
+    def fsum(c):
+        return (
+            F.sum(F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")).cast(
+                "double"
+            )
+            / F.lit(1e6)
+        )
+
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        fsum(F.col("x")).alias("sx"),
+        fsum(F.col("y")).alias("sy"),
+        fsum(F.col("x") * F.col("x")).alias("sxx"),
+        fsum(F.col("y") * F.col("y")).alias("syy"),
+        fsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return s.select(
+        F.col("n").alias("n_terms"),
+        mask6(slope).alias("zipf_slope"),
+        mask6((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
+        mask6(cov * cov / (varx * vary)).alias("r2"),
+    )

@@ -279,3 +279,116 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+@query(
+    "degree_assortativity",
+    oracle="""
+    WITH pk AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM pk a JOIN pk b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY node
+    ),
+    dirv AS (
+      SELECT da.deg AS dj, db.deg AS dk
+      FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b
+      UNION ALL
+      SELECT db.deg AS dj, da.deg AS dk
+      FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             CAST(SUM(dj) AS BIGINT) AS sj,
+             CAST(SUM(dk) AS BIGINT) AS sk,
+             CAST(SUM(dj * dk) AS BIGINT) AS sjk,
+             CAST(SUM(dj * dj) AS BIGINT) AS sjj
+      FROM dirv
+    )
+    SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           floor(((CAST(m2 AS DOUBLE) * CAST(sjk AS DOUBLE)
+                   - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE))
+                  / (CAST(m2 AS DOUBLE) * CAST(sjj AS DOUBLE)
+                     - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+    FROM s
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity coefficient of the part co-purchase graph:
+    the Pearson correlation of endpoint degrees over every directed
+    edge (each undirected edge contributes both orientations, the
+    standard symmetrization). Positive = hubs buy with hubs
+    (assortative, social-network-like); negative = hubs bridge
+    long-tail parts (disassortative, catalog-like) — one number that
+    tells a retrieval/recommendation layer which graph regime it is in,
+    completing the graph family (pagerank_copurchase = importance,
+    triangle_count = local density, this = global mixing).
+
+    Exactness: degrees are exact integer counts; the five moments are
+    exact BIGINT sums over the directed edge list (symmetric, so
+    sj == sk and sjj doubles as both marginal second moments); the
+    coefficient is IEEE arithmetic on identical scalars, floor-masked
+    to 6dp at the boundary.
+
+    Scale shape: DISTINCT basket pairs (bounded-basket linear) -> two
+    broadcastable degree joins -> single-row moment agg. No data-sized
+    stage after the first DISTINCT; the moment agg is map-side partial
+    everywhere."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    pk = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = pk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = pk.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("b")
+    )
+    und = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    und = und.persist()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("nb"), F.col("deg").alias("degb"))
+    joined = und.join(da, F.col("na") == F.col("a")).join(
+        db, F.col("nb") == F.col("b")
+    )
+    dirv = joined.select(
+        F.col("dega").alias("dj"), F.col("degb").alias("dk")
+    ).unionAll(
+        joined.select(F.col("degb").alias("dj"), F.col("dega").alias("dk"))
+    )
+    s = dirv.agg(
+        F.count("*").cast("long").alias("m2"),
+        F.sum("dj").cast("long").alias("sj"),
+        F.sum("dk").cast("long").alias("sk"),
+        F.sum(F.col("dj") * F.col("dk")).cast("long").alias("sjk"),
+        F.sum(F.col("dj") * F.col("dj")).cast("long").alias("sjj"),
+    )
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    num = F.col("m2").cast("double") * F.col("sjk").cast("double") - F.col(
+        "sj"
+    ).cast("double") * F.col("sk").cast("double")
+    den = F.col("m2").cast("double") * F.col("sjj").cast("double") - F.col(
+        "sj"
+    ).cast("double") * F.col("sj").cast("double")
+    return s.crossJoin(F.broadcast(n_nodes)).select(
+        (F.col("m2") / F.lit(2)).cast("long").alias("n_edges"),
+        F.col("n_nodes"),
+        (F.floor((num / den) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "assortativity"
+        ),
+    )

@@ -610,3 +610,111 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_idx").alias("peak_day"),
         F.when(F.col("s_max") > _CUSUM_H, 1).otherwise(0).alias("drifted"),
     )
+
+
+_US_PER_HOUR = 3_600_000_000
+_ACF_MAX_LAG = 6
+
+
+@query(
+    "events_autocorr",
+    oracle=f"""
+    WITH hourly AS MATERIALIZED (
+      SELECT epoch_us(ts) // {_US_PER_HOUR} AS h,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS s,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+      FROM hourly
+    ),
+    lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x.cnt * y.cnt) AS BIGINT) AS sxy,
+             CAST(SUM(x.cnt) AS BIGINT) AS sx,
+             CAST(SUM(y.cnt) AS BIGINT) AS sy
+      FROM lags l
+      JOIN hourly x ON TRUE
+      JOIN hourly y ON y.h = x.h + l.lag
+      GROUP BY l.lag
+    )
+    SELECT p.lag AS lag, t.n AS n_hours, p.n_pairs AS n_pairs,
+           (CAST(p.sxy AS DOUBLE)
+              - (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                * CAST(p.sx + p.sy AS DOUBLE)
+              + CAST(p.n_pairs AS DOUBLE)
+                * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+           / (CAST(t.ss AS DOUBLE)
+              - CAST(t.n AS DOUBLE)
+                * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+           AS acf
+    FROM pairs p CROSS JOIN tot t
+    """,
+)
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..6 autocorrelation of the hourly event-arrival series —
+    the seasonality/burstiness probe that tells a monitoring layer
+    whether a traffic series is hour-over-hour sticky (high r1),
+    periodic (peaks at the cycle length), or white (all ~0). Pairs are
+    (hour h, hour h+k) where BOTH buckets exist; mean and the
+    denominator come from the full series (Box-Jenkins convention).
+
+    Exactness: counts are integers, so Σx, Σx², Σxy, Σ over pairs are
+    all exact BIGINT sums — no fixed-point masking needed anywhere; the
+    ACF itself is then a handful of IEEE ops on identical scalars.
+
+    Scale shape: one shuffle to hourly buckets (tiny output: one row
+    per hour — 8.8k/year), then the lag joins run on the already-tiny
+    series (broadcast), global moments are a single-row agg. At 100 TB
+    the only data-sized stage is the first partial-agg scan."""
+    t = load_tables(spark, sf_dir, ("events",))
+    hourly = (
+        t["events"]
+        .select(F.expr(f"unix_micros(ts) div {_US_PER_HOUR}").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    hourly = hourly.persist()
+    tot = hourly.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ss"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    x = hourly.select(F.col("h").alias("hx"), F.col("cnt").alias("x"))
+    y = hourly.select(F.col("h").alias("hy"), F.col("cnt").alias("y"))
+    pairs = (
+        lags.crossJoin(F.broadcast(x))
+        .join(
+            F.broadcast(y),
+            F.col("hy") == F.col("hx") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    num = (
+        F.col("sxy").cast("double")
+        - mean * (F.col("sx") + F.col("sy")).cast("double")
+        + F.col("n_pairs").cast("double") * mean * mean
+    )
+    den = F.col("ss").cast("double") - F.col("n").cast("double") * mean * mean
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_hours"),
+        F.col("n_pairs"),
+        (num / den).alias("acf"),
+    )
