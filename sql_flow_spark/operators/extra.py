@@ -1466,3 +1466,100 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top10_share"
         ),
     )
+
+
+@query(
+    "gini_revenue",
+    oracle=f"""
+    WITH rev AS MATERIALIZED (
+      SELECT o.o_custkey,
+             CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                 * 10000.0 + 0.5) AS DECIMAL(30,0)))
+                  AS DECIMAL(38,0)) AS xs
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey
+    ),
+    ranked AS (
+      SELECT xs,
+             CAST(ROW_NUMBER() OVER (ORDER BY xs, o_custkey) AS BIGINT) AS rk
+      FROM rev
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xs) AS DECIMAL(38,0)) AS s0,
+             CAST(SUM(rk * xs) AS DECIMAL(38,0)) AS s1
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           CAST(s0 AS DOUBLE) / 10000.0 AS total_revenue,
+           floor((2.0 * CAST(s1 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE))
+                  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS gini
+    FROM s
+    """,
+)
+def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the
+    revenue-concentration gauge next to key_skew_report's join-skew
+    view: 0 = every customer spends alike, ->1 = a whale oligopoly.
+    Uses the exact rank formulation G = 2*Sum(i*x_(i))/(n*Sum(x)) -
+    (n+1)/n over ascending-sorted revenues.
+
+    Exactness: per-customer revenue goes through the 4dp fixed-point
+    decimal sum (order-insensitive); ranks are total-ordered
+    (revenue, custkey); Sum(rank*x) accumulates in DECIMAL(38,0) so it
+    stays exact far past int64 at large SF; the coefficient is IEEE
+    arithmetic on identical scalars, 6dp-masked at the boundary.
+
+    Scale shape: fact-fact join shuffles on orderkey (AQE-salted if
+    skewed) -> customer-keyed agg (customer-dim-sized output) -> the
+    one global sort is over n_customers rows, dim-sized, a
+    RangePartitioning sort not a single-task window at cluster scale;
+    moments are a single-row agg. The raw-fact stages never sort."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    xs = (
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1) - F.col("l_discount"))
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            ).cast("decimal(30,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("xs")
+    )
+    rev = (
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(xs)
+    )
+    w = Window.orderBy("xs", "o_custkey")
+    ranked = rev.select(
+        "xs", F.row_number().over(w).cast("long").alias("rk")
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xs").cast("decimal(38,0)").alias("s0"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("xs"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("s1").cast("double") / (nd * F.col("s0").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        (F.col("s0").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+        (F.floor(gini * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("gini"),
+    )

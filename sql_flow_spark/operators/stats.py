@@ -718,3 +718,86 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs"),
         (num / den).alias("acf"),
     )
+
+
+@query(
+    "events_burstiness",
+    oracle=f"""
+    WITH hourly AS MATERIALIZED (
+      SELECT event_type, epoch_us(ts) // {_US_PER_HOUR} AS h,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(MAX(h) - MIN(h) + 1 AS BIGINT) AS n_hours,
+             CAST(SUM(cnt) AS BIGINT) AS s0,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type, n_hours, s0 AS n_events,
+           floor(((CAST(ss AS DOUBLE)
+                   - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                     / CAST(n_hours AS DOUBLE))
+                  / CAST(n_hours AS DOUBLE))
+                 / (CAST(s0 AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS fano,
+           floor(sqrt((CAST(ss AS DOUBLE)
+                       - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                         / CAST(n_hours AS DOUBLE))
+                      / CAST(n_hours AS DOUBLE))
+                 / (CAST(s0 AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cv
+    FROM s
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, var/mean) + coefficient of
+    variation of the hourly arrival series per event type — the
+    burstiness gauge that separates Poisson-like traffic (F ~ 1) from
+    bursty (F >> 1) and clocklike (F << 1) types. events_autocorr says
+    WHERE in time the structure is; this says HOW FAR from-random the
+    dispersion is — together the arrival-process health panel.
+
+    Convention: the series spans every hour from the type's first to
+    last event (missing hours are true zero-count buckets — they
+    contribute 0 to both moment sums, so only the span enters). All
+    moments are exact BIGINT sums over integer counts; population
+    variance; fano/cv are IEEE arithmetic + sqrt on identical scalars,
+    6dp-masked at the boundary.
+
+    Scale shape: one partial-agg shuffle to (type, hour) buckets (the
+    only data-sized stage), then a type-keyed single-pass agg over the
+    tiny bucket table. No windows, no driver traffic."""
+    t = load_tables(spark, sf_dir, ("events",))
+    hourly = (
+        t["events"]
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_US_PER_HOUR}").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    s = hourly.groupBy("event_type").agg(
+        (F.max("h") - F.min("h") + F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("cnt").cast("long").alias("s0"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ss"),
+    )
+    nd = F.col("n_hours").cast("double")
+    mean = F.col("s0").cast("double") / nd
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s0").cast("double") * F.col("s0").cast("double") / nd
+    ) / nd
+
+    def mask6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return s.select(
+        "event_type",
+        "n_hours",
+        F.col("s0").alias("n_events"),
+        mask6(var / mean).alias("fano"),
+        mask6(F.sqrt(var) / mean).alias("cv"),
+    )
