@@ -437,3 +437,81 @@ def user_activity_streaks(spark, sf_dir: str):
         F.max("streak_len").cast("long").alias("longest_streak"),
         F.sum("streak_len").cast("long").alias("active_days"),
     )
+
+
+@query(
+    "user_behavior_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT user_id,
+             CAST(SUM(n) AS BIGINT) AS tn,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM c GROUP BY user_id
+    ),
+    terms AS (
+      SELECT c.user_id, t.tn, t.k,
+             (CAST(c.n AS DOUBLE) / CAST(t.tn AS DOUBLE))
+               * (floor(ln(CAST(c.n AS DOUBLE) / CAST(t.tn AS DOUBLE))
+                        * 1000000.0 + 0.5) / 1000000.0) AS term
+      FROM c JOIN tot t ON t.user_id = c.user_id
+    )
+    SELECT user_id,
+           CAST(MAX(tn) AS BIGINT) AS n_events,
+           CAST(MAX(k) AS BIGINT) AS n_types,
+           floor(-CAST(SUM(CAST(floor(term * 1000000000.0 + 0.5) AS BIGINT))
+                       AS DOUBLE) / 1000000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS entropy
+    FROM terms
+    GROUP BY user_id
+    """,
+)
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral
+    diversity score that separates single-action bots (entropy 0) from
+    broad explorers (entropy -> ln k): the per-user counterpart of
+    event_transition_matrix's population-level structure, and the
+    ranking signal behind engagement/bot triage.
+
+    Exactness: type counts are exact integers; each p*ln p term masks
+    ln to 6dp (ln is the one non-correctly-rounded primitive), the
+    term sum goes through 9dp fixed-point integers so per-user
+    accumulation order can't matter, and the final entropy is masked
+    once more at the boundary.
+
+    Scale shape: one partial-agg shuffle to (user, type) counts, a
+    user-keyed reduce for totals that REUSES the same hash
+    partitioning (no second exchange of the big side), then the term
+    join is user-keyed on already-user-partitioned tiny aggregates.
+    Output is user-dim-sized. No windows, no driver traffic."""
+    t = load_tables(spark, sf_dir, ("events",))
+    c = (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = c.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.count("*").cast("long").alias("k"),
+    )
+    p = F.col("n").cast("double") / F.col("tn").cast("double")
+    term = p * (F.floor(F.log(p) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+    terms = c.join(tot, "user_id").select(
+        "user_id",
+        "tn",
+        "k",
+        term.alias("term"),
+    )
+    ent = (
+        -F.sum(F.floor(F.col("term") * F.lit(1e9) + F.lit(0.5)).cast("long"))
+        .cast("double")
+        / F.lit(1e9)
+    )
+    return terms.groupBy("user_id").agg(
+        F.max("tn").cast("long").alias("n_events"),
+        F.max("k").cast("long").alias("n_types"),
+        (F.floor(ent * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("entropy"),
+    )

@@ -1563,3 +1563,108 @@ def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s0").cast("double") / F.lit(10000.0)).alias("total_revenue"),
         (F.floor(gini * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("gini"),
     )
+
+
+@query(
+    "price_elasticity",
+    oracle="""
+    WITH pts AS (
+      SELECT p.p_brand,
+             floor(ln(l.l_extendedprice / l.l_quantity) * 1000000.0 + 0.5)
+               / 1000000.0 AS x,
+             floor(ln(l.l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0
+    ),
+    s AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sx,
+             CAST(SUM(CAST(floor(y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sy,
+             CAST(SUM(CAST(floor(x * x * 1000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(SUM(CAST(floor(y * y * 1000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 AS syy,
+             CAST(SUM(CAST(floor(x * y * 1000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 AS sxy
+      FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           floor(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx)) * 1000000.0 + 0.5)
+             / 1000000.0 AS elasticity,
+           floor(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(n AS DOUBLE) * syy - sy * sy)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS r2
+    FROM s
+    """,
+)
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: grouped OLS of
+    ln(quantity) on ln(unit price) over every order line — the
+    log-log regression whose slope is the constant-elasticity
+    estimate, the grouped-regression shape (zipf_fit is the global
+    one). Joins the monitoring/stats family as the cross-measure
+    response curve none of the single-column keys capture.
+
+    Exactness: the unit price l_extendedprice/l_quantity is one IEEE
+    division on identical doubles; both logs are 6dp floor-masked;
+    the five per-group regression sums go through 6dp fixed-point
+    integers (order-insensitive); slope and r² are IEEE arithmetic on
+    identical scalars, masked at the boundary.
+
+    Scale shape: broadcast the part dim onto the lineitem scan (no
+    fact shuffle for the join), then ONE partial-agg shuffle on
+    p_brand (bounded key count). Output is brand-sized. The regression
+    itself is free once the moments exist — the same
+    one-pass-moments trick as correlation_matrix."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    pts = (
+        t["lineitem"]
+        .where(F.col("l_quantity") > 0)
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+    )
+
+    def mask6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    def fsum(c):
+        return (
+            F.sum(F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")).cast(
+                "double"
+            )
+            / F.lit(1e6)
+        )
+
+    pts = pts.select(
+        "p_brand",
+        mask6(
+            F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+        ).alias("x"),
+        mask6(F.log(F.col("l_quantity"))).alias("y"),
+    )
+    s = pts.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        fsum(F.col("x")).alias("sx"),
+        fsum(F.col("y")).alias("sy"),
+        fsum(F.col("x") * F.col("x")).alias("sxx"),
+        fsum(F.col("y") * F.col("y")).alias("syy"),
+        fsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "p_brand",
+        "n",
+        mask6(cov / varx).alias("elasticity"),
+        mask6(cov * cov / (varx * vary)).alias("r2"),
+    )

@@ -300,3 +300,98 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.explode(F.array(*pair_structs)).alias("p")).select(
         "p.col_a", "p.col_b", "p.n", "p.corr"
     )
+
+
+# Benford first-digit expectations log10(1 + 1/d), d = 1..9, as fixed
+# 12dp literals so both engines compare against identical constants
+# (computing log10 at runtime would need its own cross-engine mask).
+_BENFORD_P = {
+    1: 0.301029995664,
+    2: 0.176091259056,
+    3: 0.124938736608,
+    4: 0.096910013008,
+    5: 0.079181246048,
+    6: 0.066946789631,
+    7: 0.057991946978,
+    8: 0.051152522447,
+    9: 0.045757490561,
+}
+
+
+def _o_benford_case() -> str:
+    return (
+        "CASE digit "
+        + " ".join(
+            f"WHEN {d} THEN CAST({p!r} AS DOUBLE)"
+            for d, p in _BENFORD_P.items()
+        )
+        + " END"
+    )
+
+
+@query(
+    "benford_deviation",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM c)
+    SELECT c.digit, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.tn AS DOUBLE) AS obs_share,
+           {_o_benford_case()} AS benford_share,
+           floor((CAST(c.n AS DOUBLE) / CAST(t.tn AS DOUBLE)
+                  - {_o_benford_case()})
+                 * 1000000.0 + 0.5) / 1000000.0 AS deviation
+    FROM c CROSS JOIN tot t
+    """,
+)
+def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the classic
+    fabricated-data / upstream-transformation tripwire for a financial
+    measure column (organic multiplicative amounts follow
+    log10(1+1/d); flat or spiked digit profiles mean synthetic data,
+    capped prices, or a broken feed). Completes the data-quality
+    family: dq_checks validates rows, column_profile summarizes
+    columns, this one tests a *distributional law*.
+
+    Exactness: the first digit comes from the decimal string of the
+    exact integer part (floor -> BIGINT -> VARCHAR renders identically
+    in both engines — no float formatting, no log10 at runtime); the
+    nine expected shares are shared 12dp literals; counts are exact,
+    shares one IEEE division, deviation masked 6dp.
+
+    Scale shape: narrow map to a single digit column, one 9-key
+    partial-agg shuffle, broadcast single-row total. Nothing else."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    c = (
+        t["orders"]
+        .where(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = c.agg(F.sum("n").cast("long").alias("tn"))
+    bexpr = None
+    for d, p in _BENFORD_P.items():
+        cond = F.when(F.col("digit") == d, F.lit(p))
+        bexpr = cond if bexpr is None else bexpr.when(
+            F.col("digit") == d, F.lit(p)
+        )
+    obs = F.col("n").cast("double") / F.col("tn").cast("double")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        obs.alias("obs_share"),
+        bexpr.alias("benford_share"),
+        (
+            F.floor((obs - bexpr) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).alias("deviation"),
+    )
