@@ -515,3 +515,114 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("n_types"),
         (F.floor(ent * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("entropy"),
     )
+
+
+@query(
+    "funnel_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+        AND epoch_us(e.ts) > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+        AND epoch_us(e.ts) > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT 'view_to_click' AS stage, c.t2 - v.t1 AS us
+      FROM c JOIN v ON v.user_id = c.user_id
+      UNION ALL
+      SELECT 'click_to_purchase', p.t3 - c.t2
+      FROM p JOIN c ON c.user_id = p.user_id
+      UNION ALL
+      SELECT 'view_to_purchase', p.t3 - v.t1
+      FROM p JOIN v ON v.user_id = p.user_id
+    )
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(us) AS BIGINT) AS total_us,
+           quantile_cont(us, 0.5) / 1000000.0 AS median_s,
+           quantile_cont(us, 0.9) / 1000000.0 AS p90_s,
+           CAST(SUM(us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0
+             AS mean_s
+    FROM lat GROUP BY stage
+    """,
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel leg (view->click,
+    click->purchase, view->purchase), using user_funnel's
+    strictly-ordered stage times — user_funnel reports HOW MANY users
+    survive each leg; this reports HOW LONG the surviving users took
+    (median/p90/mean), the latency half of the funnel health panel.
+
+    Exactness: stage times are exact integer epoch-micros (MIN over
+    integers); latencies are integer differences; quantile_cont and
+    Spark's percentile share linear interpolation and agree exactly on
+    integer inputs (pinned by winsorized_stats/value_quartiles
+    already); mean divides an exact BIGINT sum once.
+
+    Scale shape: the three stage builds are user-keyed partial aggs
+    that reuse one hash partitioning (same shape as user_funnel); the
+    latency rows are users-sized; the final agg has 3 groups. The
+    percentile sort is per-stage over dim-sized data."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    lat = (
+        c.join(v, "user_id")
+        .select(
+            F.lit("view_to_click").alias("stage"),
+            (F.col("t2") - F.col("t1")).alias("lat_us"),
+        )
+        .unionAll(
+            p.join(c, "user_id").select(
+                F.lit("click_to_purchase").alias("stage"),
+                (F.col("t3") - F.col("t2")).alias("lat_us"),
+            )
+        )
+        .unionAll(
+            p.join(v, "user_id").select(
+                F.lit("view_to_purchase").alias("stage"),
+                (F.col("t3") - F.col("t1")).alias("lat_us"),
+            )
+        )
+    )
+    return lat.groupBy("stage").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("lat_us").cast("long").alias("total_us"),
+        (F.percentile("lat_us", 0.5) / F.lit(1e6)).alias("median_s"),
+        (F.percentile("lat_us", 0.9) / F.lit(1e6)).alias("p90_s"),
+        (
+            F.sum("lat_us").cast("double")
+            / F.count("*").cast("double")
+            / F.lit(1e6)
+        ).alias("mean_s"),
+    )
