@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sql_flow_spark.functions.mat import materialize_once
 from sql_flow_spark.registry import (
     O_TS_STR,
     dsum,
@@ -1440,7 +1441,7 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    kc = kc.persist()
+    kc = materialize_once(kc)
     tot = kc.agg(
         F.sum("cnt").cast("long").alias("n_rows"),
         F.count("*").cast("long").alias("n_keys"),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sql_flow_spark.functions.dedup import ws_tokens
+from sql_flow_spark.functions.mat import materialize_once
 from sql_flow_spark.registry import o_dsum, query
 from sql_flow_spark.tables import load_tables
 
@@ -311,7 +312,7 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "term")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    c = c.persist()
+    c = materialize_once(c)
     vocab = c.groupBy("term").agg(F.sum("cnt").cast("long").alias("ct"))
     st = c.groupBy("source").agg(F.sum("cnt").cast("long").alias("ts"))
     grand = vocab.agg(F.sum("ct").cast("long").alias("tg"))
@@ -416,7 +417,7 @@ def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day_idx")
         .agg(davg("value").alias("daily_avg"))
     )
-    daily = daily.persist()
+    daily = materialize_once(daily)
     i = daily.select(
         F.col("event_type").alias("e2"),
         F.col("day_idx").alias("d2"),
@@ -680,7 +681,7 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    hourly = hourly.persist()
+    hourly = materialize_once(hourly)
     tot = hourly.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("cnt").cast("long").alias("s"),

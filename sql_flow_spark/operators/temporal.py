@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sql_flow_spark.functions.mat import materialize_once
 from sql_flow_spark.registry import o_dsum, query
 from sql_flow_spark.tables import load_tables
 
@@ -535,7 +536,7 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "daily_total",
         trend.alias("trend"),
     )
-    tr = tr.persist()
+    tr = materialize_once(tr)
     detr = F.col("daily_total") - F.col("trend")
     seas = (
         tr.where(F.col("trend").isNotNull())
