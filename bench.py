@@ -133,11 +133,21 @@ def main():
     for df in load_tables(spark, sf_dir, TABLE_NAMES, register_views=False).values():
         df.write.format("noop").mode("overwrite").save()
 
+    # Streaming first, on a fresh engine: measured AFTER the headline
+    # sweep its number degrades with accumulated JVM state (codegen
+    # cache, listener backlog) and stops being comparable across
+    # rounds as the registry grows — observed 89k -> 22k rows/s purely
+    # from key-count growth moving it later in the run. Run it twice
+    # and keep the second (steady state): the first pass pays
+    # streaming-stack classloading/codegen that batch keys amortize
+    # through their own warm pass above.
+    run_stream_pipeline(spark, sf_dir)
+    stream_sec, stream_rows = run_stream_pipeline(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(run_one(spark, name, sf_dir), 3)
 
-    stream_sec, stream_rows = run_stream_pipeline(spark, sf_dir)
     timings["streaming_pipeline_agg"] = round(stream_sec, 3)
 
     small_ab: dict[str, float] = {}
