@@ -1515,9 +1515,12 @@ def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: fact-fact join shuffles on orderkey (AQE-salted if
     skewed) -> customer-keyed agg (customer-dim-sized output) -> the
-    one global sort is over n_customers rows, dim-sized, a
-    RangePartitioning sort not a single-task window at cluster scale;
-    moments are a single-row agg. The raw-fact stages never sort."""
+    global rank is DISTRIBUTED (r7 advice): range-partition on the
+    rank order, row_number within each range partition (parallel
+    WindowExec, one task per partition), plus per-partition offsets
+    from a count table — the only unpartitioned window runs over
+    n_partitions rows, never n_customers. Moments are a single-row
+    agg. The raw-fact stages never sort."""
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
     xs = (
         F.sum(
@@ -1543,9 +1546,42 @@ def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(xs)
     )
-    w = Window.orderBy("xs", "o_custkey")
-    ranked = rev.select(
-        "xs", F.row_number().over(w).cast("long").alias("rk")
+    # Distributed global rank: a bare Window.orderBy would move every
+    # customer row into ONE task. Range-partition on the rank order,
+    # tag the physical partition id (range partitions are contiguous
+    # in the sort order, so pid order == global order), rank WITHIN
+    # each pid via a partitionBy("pid") window (parallel), then add
+    # per-pid offsets. materialize_once pins one partition assignment
+    # for both consumers (counts + window).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = materialize_once(
+        rev.repartitionByRange(n_part, "xs", "o_custkey").withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    offs = (
+        tagged.groupBy("pid")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("c").over(
+                    # n_partitions rows only — trivially single-task
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("off"),
+        )
+    )
+    wp = Window.partitionBy("pid").orderBy("xs", "o_custkey")
+    ranked = (
+        tagged.withColumn("j", F.row_number().over(wp).cast("long"))
+        .join(F.broadcast(offs), "pid")
+        .select("xs", (F.col("off") + F.col("j")).alias("rk"))
     )
     s = ranked.agg(
         F.count("*").cast("long").alias("n"),
@@ -1580,15 +1616,15 @@ def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT p_brand,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-               / 1000000.0 AS sx,
-             CAST(SUM(CAST(floor(y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-               / 1000000.0 AS sy,
-             CAST(SUM(CAST(floor(x * x * 1000000.0 + 0.5) AS BIGINT))
+             CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(floor(y * 1000000.0 + 0.5) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1000000.0 AS sy,
+             CAST(SUM(CAST(floor(x * x * 1000000.0 + 0.5) AS DECIMAL(38,0)))
                   AS DOUBLE) / 1000000.0 AS sxx,
-             CAST(SUM(CAST(floor(y * y * 1000000.0 + 0.5) AS BIGINT))
+             CAST(SUM(CAST(floor(y * y * 1000000.0 + 0.5) AS DECIMAL(38,0)))
                   AS DOUBLE) / 1000000.0 AS syy,
-             CAST(SUM(CAST(floor(x * y * 1000000.0 + 0.5) AS BIGINT))
+             CAST(SUM(CAST(floor(x * y * 1000000.0 + 0.5) AS DECIMAL(38,0)))
                   AS DOUBLE) / 1000000.0 AS sxy
       FROM pts GROUP BY p_brand
     )
@@ -1637,10 +1673,16 @@ def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
     def fsum(c):
+        # DECIMAL(38,0) accumulator, not BIGINT: x=ln(unit price) can
+        # reach ~11.6 so x^2*1e6 terms are ~1.3e8; at TPC-H SF~100k the
+        # per-brand sxx sum would land within ~3x of int64 overflow and
+        # Spark 4's ANSI mode makes that a hard error (DuckDB widens to
+        # HUGEINT silently — asymmetric failure). gini_revenue uses the
+        # same decimal discipline.
         return (
-            F.sum(F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")).cast(
-                "double"
-            )
+            F.sum(
+                F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+            ).cast("double")
             / F.lit(1e6)
         )
 

@@ -381,9 +381,10 @@ def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = c.agg(F.sum("n").cast("long").alias("tn"))
     bexpr = None
     for d, p in _BENFORD_P.items():
-        cond = F.when(F.col("digit") == d, F.lit(p))
-        bexpr = cond if bexpr is None else bexpr.when(
-            F.col("digit") == d, F.lit(p)
+        bexpr = (
+            F.when(F.col("digit") == d, F.lit(p))
+            if bexpr is None
+            else bexpr.when(F.col("digit") == d, F.lit(p))
         )
     obs = F.col("n").cast("double") / F.col("tn").cast("double")
     return c.crossJoin(F.broadcast(tot)).select(
