@@ -11,11 +11,27 @@ stdout-tail capture and arrived unparseable):
      driver's tail window: metric/value/unit/sf/streaming plus only
      the slowest keys, with a pointer to the full file.
 
+Sampling protocol (r8 — r7's single-sample numbers disagreed up to
+2.5x between runs, so the bench could no longer detect a genuine 2x
+regression): every key is timed TWICE; if the two samples spread more
+than SPREAD_GATE, a third sample is taken and the reported value is
+the median of three, else the min of two (min is the standard
+steady-state estimator under additive load noise; median-of-3 guards
+the keys where one sample is an outlier in either direction). All raw
+samples and the final spread are recorded in the payload so the next
+round can see exactly how trustworthy each number is.
+
+Session isolation (r8): the graph family runs in its OWN subprocess
+(fresh JVM) before the main sweep — with 160 keys in one warm JVM,
+accumulated codegen/listener state was the dominant noise source for
+the heaviest keys.
+
 Headline = every key in the operator registry except EXCLUDED (each
-exclusion has a named reason).  The deliberately-quadratic
-``dedup_clusters`` blocked oracle twin is benched at sf0.01 next to
-its linear production path ``dedup_clusters_lsh`` so the A/B stays
-visible without an O(block^2) entry in the sf0.1 headline total.
+exclusion has a named reason).  The deliberately-quadratic oracle
+twins AND the full-graph exact ``triangle_count`` (O(E^1.5), the
+sparsified variant is the production headline) are benched at sf0.01
+in the ``small_sf_ab`` section so every A/B stays visible without a
+structurally supra-linear entry in the sf0.1 headline total.
 
 Each query is executed to completion via the noop sink (full plan
 runs, no collect/driver cost — the number measures the engine, not
@@ -26,7 +42,9 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -51,23 +69,44 @@ EXCLUDED: dict[str, str] = {
         "ngram_jaccard; production feeds LSH candidates; benched at "
         "sf0.01 in small_sf_ab"
     ),
+    "triangle_count": (
+        "full-graph exact triangle count is O(E^1.5) — structurally "
+        "supra-linear (first-decade probe 6.8x); the production "
+        "headline is triangle_count_sparse (w>=2 sparsification, same "
+        "pipeline); exact stays oracle-green and benched at sf0.01 in "
+        "small_sf_ab"
+    ),
 }
 
 # Every registry key gets a bench number (r6 verdict item 3); sorted
 # for a stable, diffable payload ordering.
 HEADLINE = tuple(sorted(k for k in QUERIES if k not in EXCLUDED))
 
-# sf0.01 A/B: quadratic oracle twins next to their linear production
-# paths, so the cost gap stays measured without an O(block^2) entry in
-# the sf0.1 headline.
+# Keys that run in their own fresh-JVM subprocess (r8: heavy iterative
+# graph plans were the most noise-exposed in a warm 160-key session).
+GRAPH_KEYS = tuple(
+    k
+    for k in ("pagerank_copurchase", "triangle_count_sparse", "degree_assortativity")
+    if k in QUERIES
+)
+
+# sf0.01 A/B: structurally-expensive oracle twins next to their linear
+# production paths, so the cost gap stays measured without a
+# supra-linear entry in the sf0.1 headline.
 SMALL_SF_AB = (
     "dedup_clusters",
     "dedup_clusters_lsh",
     "ngram_jaccard",
     "containment_pairs",
     "dedup_minhash_lsh",
+    "triangle_count",
+    "triangle_count_sparse",
 )
 SMALL_SF_DIR = "/root/testdata/sf0.01"
+
+# Two samples agreeing within this relative spread are trusted; wider
+# spread triggers a third sample + median-of-3.
+SPREAD_GATE = 0.25
 
 # The driver records the last ~2000 chars of stdout; keep the final
 # summary line comfortably inside that.
@@ -81,14 +120,38 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def sample_one(spark, name: str, sf_dir: str):
+    """2-or-3-sample protocol: returns (value, samples, spread).
+    spread = (max-min)/min over the first two samples — recorded so
+    the payload shows how trustworthy each number is."""
+    s = [run_one(spark, name, sf_dir), run_one(spark, name, sf_dir)]
+    spread = (max(s) - min(s)) / max(min(s), 1e-9)
+    if spread > SPREAD_GATE:
+        s.append(run_one(spark, name, sf_dir))
+        value = sorted(s)[1]  # median of 3
+    else:
+        value = min(s)
+    return round(value, 3), [round(x, 3) for x in s], round(spread, 3)
+
+
+def warm_session(spark, sf_dir: str) -> None:
+    """Warm the JVM/codegen paths and the OS page cache for the input
+    files so query timings measure plan execution (steady state), not
+    first-touch IO + classloading."""
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from sql_flow_spark.tables import TABLE_NAMES, load_tables
+
+    for df in load_tables(spark, sf_dir, TABLE_NAMES, register_views=False).values():
+        df.write.format("noop").mode("overwrite").save()
+
+
 def run_stream_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     """End-to-end engine throughput: the events table streamed through
     the full pipeline machinery (file stream -> handler SQL per
-    micro-batch -> sink), availableNow. Comparable to the reference's
-    msgs/sec benchmarks (reference README.md:235 — 45k msgs/s simple
-    agg single-node)."""
-    import tempfile
-
+    micro-batch -> sink), availableNow. The reference publishes
+    single-node msgs/sec for the analogous loop (reference
+    README.md:235) but on different hardware/workload, so our numbers
+    stand alone (cold AND warm recorded)."""
     from sql_flow_spark.handlers import InferredBatch
     from sql_flow_spark.pipeline import Pipeline
     from sql_flow_spark.sinks import NoopSink
@@ -115,40 +178,66 @@ def run_stream_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n_rows
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+def _bench_confs():
     # The engine default split size (128 MiB) is the cluster setting;
     # the local bench reads single small parquet files, so use small
     # splits to spread the scan across local cores.
-    spark = get_spark(
-        "bench", extra_confs={"spark.sql.files.maxPartitionBytes": "2097152"}
+    return {"spark.sql.files.maxPartitionBytes": "2097152"}
+
+
+def graph_phase(sf_dir: str, out_path: str) -> None:
+    """Fresh-JVM phase: graph keys only, written as JSON to out_path."""
+    spark = get_spark("bench-graph", extra_confs=_bench_confs())
+    warm_session(spark, sf_dir)
+    result = {}
+    for name in GRAPH_KEYS:
+        value, samples, spread = sample_one(spark, name, sf_dir)
+        result[name] = {"value": value, "samples": samples, "spread": spread}
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    spark.stop()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Graph family first, in its own subprocess = genuinely fresh JVM
+    # (stopping a SparkContext does not reset the gateway JVM's codegen
+    # cache; a child process does).
+    graph_out = tempfile.mktemp(prefix="sfs-bench-graph-", suffix=".json")
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--phase", "graph",
+         "--out", graph_out],
+        check=True,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
     )
-    # Warm the JVM/codegen paths and the OS page cache for the input
-    # files so query timings measure plan execution (steady state),
-    # not first-touch IO + classloading.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    from sql_flow_spark.tables import TABLE_NAMES, load_tables
+    with open(graph_out) as f:
+        graph_stats = json.load(f)
+    os.unlink(graph_out)
 
-    for df in load_tables(spark, sf_dir, TABLE_NAMES, register_views=False).values():
-        df.write.format("noop").mode("overwrite").save()
+    spark = get_spark("bench", extra_confs=_bench_confs())
+    warm_session(spark, sf_dir)
 
-    # Streaming first, on a fresh engine: measured AFTER the headline
-    # sweep its number degrades with accumulated JVM state (codegen
-    # cache, listener backlog) and stops being comparable across
-    # rounds as the registry grows — observed 89k -> 22k rows/s purely
-    # from key-count growth moving it later in the run. Run it twice
-    # and keep the second (steady state): the first pass pays
-    # streaming-stack classloading/codegen that batch keys amortize
-    # through their own warm pass above.
-    run_stream_pipeline(spark, sf_dir)
-    stream_sec, stream_rows = run_stream_pipeline(spark, sf_dir)
+    # Streaming next, still early: measured AFTER the headline sweep
+    # its number degrades with accumulated JVM state (codegen cache,
+    # listener backlog) — observed 89k -> 22k rows/s purely from
+    # key-count growth moving it later in the run. BOTH passes are
+    # recorded (r7 verdict item 4): cold pays streaming-stack
+    # classloading/codegen once; warm is the steady state and stays
+    # the headline `streaming_rows_per_sec` for trend continuity.
+    cold_sec, stream_rows = run_stream_pipeline(spark, sf_dir)
+    warm_sec, _ = run_stream_pipeline(spark, sf_dir)
 
-    timings: dict[str, float] = {}
+    stats: dict[str, dict] = dict(graph_stats)
     for name in HEADLINE:
-        timings[name] = round(run_one(spark, name, sf_dir), 3)
+        if name in stats:
+            continue
+        value, samples, spread = sample_one(spark, name, sf_dir)
+        stats[name] = {"value": value, "samples": samples, "spread": spread}
 
-    timings["streaming_pipeline_agg"] = round(stream_sec, 3)
+    timings = {name: stats[name]["value"] for name in sorted(stats)}
+    timings["streaming_pipeline_agg"] = round(warm_sec, 3)
 
     small_ab: dict[str, float] = {}
     if os.path.isdir(SMALL_SF_DIR):
@@ -156,7 +245,6 @@ def main():
             small_ab[name] = round(run_one(spark, name, SMALL_SF_DIR), 3)
 
     total = round(sum(timings.values()), 3)
-    streaming_rps = int(stream_rows / stream_sec)
 
     payload = {
         "metric": "headline_queries_total",
@@ -164,8 +252,23 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        "streaming_rows_per_sec": streaming_rps,
+        "streaming_rows_per_sec": int(stream_rows / warm_sec),
+        "streaming_rows_per_sec_cold": int(stream_rows / cold_sec),
+        "streaming_rows_per_sec_warm": int(stream_rows / warm_sec),
+        "streaming_protocol": (
+            "fresh engine, before headline sweep; cold=first availableNow "
+            "pass, warm=second pass (steady state)"
+        ),
         "n_queries": len(timings),
+        "sampling": {
+            "protocol": (
+                f"2 samples/key; spread>{SPREAD_GATE} adds a 3rd, value="
+                "median-of-3, else min-of-2; graph keys in a fresh-JVM "
+                "subprocess"
+            ),
+            "samples": {k: stats[k]["samples"] for k in sorted(stats)},
+            "spread": {k: stats[k]["spread"] for k in sorted(stats)},
+        },
         "excluded": EXCLUDED,
         "small_sf_ab": {"sf": 0.01, "queries": small_ab},
     }
@@ -185,7 +288,8 @@ def main():
         "value": total,
         "unit": "sec",
         "sf": float(sf),
-        "streaming_rows_per_sec": streaming_rps,
+        "streaming_rows_per_sec": int(stream_rows / warm_sec),
+        "streaming_rows_per_sec_cold": int(stream_rows / cold_sec),
         "n_queries": len(timings),
         "full_payload": "bench_out.json",
         "queries": {},
@@ -200,4 +304,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--phase" in sys.argv:
+        i = sys.argv.index("--phase")
+        phase = sys.argv[i + 1]
+        out = sys.argv[sys.argv.index("--out") + 1]
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        if phase == "graph":
+            graph_phase(sf_dir, out)
+        else:
+            raise SystemExit(f"unknown phase {phase}")
+    else:
+        main()
