@@ -180,6 +180,21 @@ class DedupeConf:
 
 
 @dataclass
+class IngestDedupConf:
+    """``pipeline.ingest_dedup:`` — streaming corpus dedup: every
+    micro-batch is scored against the fingerprint index of everything
+    ingested before it (dup_of_corpus / dup_in_batch / new), verdicts
+    land in ``out_dir``, and the batch's new fingerprints grow the
+    index. Batch-keyed overwrite directories make replays exactly-once
+    (streaming/ingest_dedup.py has the full contract)."""
+
+    index_dir: str
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    out_dir: Optional[str] = None
+
+
+@dataclass
 class PipelineConf:
     source: SourceConf
     handler: HandlerConf
@@ -188,6 +203,7 @@ class PipelineConf:
     flush_interval_seconds: int = 30
     on_error: ErrorPolicyConf = field(default_factory=ErrorPolicyConf)
     dedupe: Optional[DedupeConf] = None
+    ingest_dedup: Optional[IngestDedupConf] = None
 
 
 @dataclass
@@ -318,6 +334,11 @@ def new_from_dict(conf: dict) -> Conf:
             ),
             dedupe=(
                 DedupeConf(**p["dedupe"]) if p.get("dedupe") else None
+            ),
+            ingest_dedup=(
+                IngestDedupConf(**p["ingest_dedup"])
+                if p.get("ingest_dedup")
+                else None
             ),
         ),
     )

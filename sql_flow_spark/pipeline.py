@@ -57,6 +57,7 @@ class Pipeline:
         batch_size: int = 1000,
         legs: Optional[list[tuple[str, Handler, Sink]]] = None,
         dedupe: Optional[cfg.DedupeConf] = None,
+        ingest_dedup: Optional[cfg.IngestDedupConf] = None,
     ):
         self.spark = spark
         self.source = source
@@ -70,6 +71,21 @@ class Pipeline:
         self.legs = legs or []
         self.dedupe = dedupe
         self.stats = Stats()
+        # corpus ingest dedup leg (config pipeline.ingest_dedup):
+        # scored per micro-batch AFTER the handler legs, on the raw
+        # source batch — the handler result and the dedup verdicts are
+        # independent outputs of one source read.
+        self.ingest_dedup = None
+        if ingest_dedup is not None:
+            from sql_flow_spark.streaming.ingest_dedup import IngestDedup
+
+            self.ingest_dedup = IngestDedup(
+                spark,
+                index_dir=ingest_dedup.index_dir,
+                id_col=ingest_dedup.id_column,
+                text_col=ingest_dedup.text_column,
+                out_dir=ingest_dedup.out_dir,
+            )
 
     def _apply_dedupe(self, df: DataFrame, streaming: bool) -> DataFrame:
         """Source-side exactly-once per key (config ``pipeline.dedupe``,
@@ -112,6 +128,10 @@ class Pipeline:
             self.sink.flush()
             self.stats.num_batches += 1
         self._run_legs(df, "batch")
+        if self.ingest_dedup is not None:
+            # one-shot invoke scores as batch 0 (same idempotent slot
+            # every run — `dev invoke` is a test harness, not ingest)
+            self.ingest_dedup.process(df, 0)
         return result
 
     def _run_legs(self, df: DataFrame, ctx: str):
@@ -163,6 +183,17 @@ class Pipeline:
                 self.sink.flush()
                 self.stats.num_batches += 1
             self._run_legs(batch_df, f"micro-batch {batch_id}")
+            if self.ingest_dedup is not None:
+                try:
+                    self.ingest_dedup.process(batch_df, batch_id)
+                except Exception as e:
+                    self.stats.num_errors += 1
+                    if self.error_policy == cfg.Policy.RAISE:
+                        raise
+                    if self.error_policy == cfg.Policy.DLQ:
+                        self.dlq.write_error(
+                            str(e), f"micro-batch {batch_id}", "ingest_dedup"
+                        )
         finally:
             if stateful:
                 batch_df.unpersist()
@@ -297,6 +328,7 @@ def new_pipeline_from_conf(
         batch_size=p.batch_size,
         legs=legs,
         dedupe=p.dedupe,
+        ingest_dedup=p.ingest_dedup,
     )
 
 
