@@ -17,6 +17,8 @@ thresholds agree exactly.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -356,6 +358,47 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("qid", "nid", "cosine", "rank")
     )
+
+
+@query("ann_ivf_incremental")  # approximate + disk index -> rows-only
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index's third verb: APPEND (streaming/ann_index.py).
+    Builds the disk-resident cell-partitioned index from half the
+    corpus, appends the other half WITHOUT retraining (assign-only —
+    one Arrow matmul against the frozen centroids, a narrow map + one
+    partitioned write, no shuffle), then answers the standard query
+    set against the grown index. The append path also emits the
+    cell-occupancy PSI drift verdict that schedules retraining
+    (tests/test_approx_quality.py pins both recall vs brute force and
+    the drift trigger firing on a shifted batch).
+
+    At 100 TB: ingest cost per micro-batch is O(batch) with zero
+    shuffle; queries read only nprobe/k of the index via Hive
+    partition pruning on cell."""
+    import hashlib
+    import tempfile
+
+    from sql_flow_spark.streaming.ann_index import IncrementalIVF
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    corpus = e.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 2 == 0)
+    )
+    arrivals = e.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 2 == 1)
+    )
+    queries_df = e.where(F.col("vec_id") < N_QUERIES)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"sfs-ann-ivf-{tag}")
+    # nprobe 6 (vs the one-shot path's 4): centroids are trained on
+    # half the corpus, so cell boundaries are coarser — probing two
+    # extra cells buys the recall back at +50% probe cost.
+    idx = IncrementalIVF.build(
+        spark, index_dir, corpus, k=IVF_K, nprobe=IVF_NPROBE + 2
+    )
+    idx.append_batch(arrivals, 0)
+    return idx.search(queries_df, TOP_K)
 
 
 # ---------------------------------------------------- label centroids

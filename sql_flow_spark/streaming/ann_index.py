@@ -1,0 +1,280 @@
+"""Incremental ANN (IVF) index maintenance — append without retrain,
+with a drift trigger for when retraining is due.
+
+The batch ANN family (functions/similarity.py) covers build-and-query:
+``ivf_centroids`` trains the coarse quantizer on a bounded sample,
+``ann_ivf_topk`` assigns + probes in one job. A 100 TB ingest pipeline
+needs the third verb: APPEND. New vectors arriving per micro-batch are
+assigned to the EXISTING cells (one Arrow-batched matmul against the
+frozen centroids — no retraining, no index rebuild), and written to
+the index's partitioned layout. Retraining is a deliberate, monitored
+event, not a per-batch cost: each appended batch's cell-occupancy
+histogram is scored against the occupancy profile frozen at train
+time with a categorical PSI (the drift family's metric over cells
+instead of deciles); when the data distribution moves, cells go
+lopsided, PSI crosses the act threshold, and the index flags
+``needs_retrain`` — the signal to schedule a rebuild, exactly how
+production vector stores (faiss-on-object-store layouts) handle
+distribution shift.
+
+Layout: ``index_dir/b=<batch>/cell=<c>/*.parquet`` — Hive-partitioned
+on batch AND cell, so (a) a replayed micro-batch overwrites only its
+own ``b=`` directory (the ingest-dedup exactly-once contract), and
+(b) a query probing ``nprobe`` cells prunes every other cell's files
+at the scan (PartitionFilters, no data read). Centroids + the
+reference occupancy live in ``_meta.json`` beside the data — the
+index is self-describing and reload-able after restart.
+
+Scale shape: append is a narrow map (assign UDF) + one partitioned
+write — no shuffle, no driver traffic beyond the k-sized occupancy
+counts. Search reads only nprobe/k of the index (partition pruning),
+broadcasts the query batch, exact-reranks inside probed cells — the
+ann_ivf_topk plan against a disk-resident, incrementally-grown index.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_flow_spark.functions.similarity import (
+    dot_dec,
+    ivf_assign,
+    ivf_centroids,
+    sq_norm_dec,
+)
+
+logger = logging.getLogger(__name__)
+
+# PSI act threshold — same 0.25 "act" level as the drift family
+# (operators/drift.py psi_drift docstring has the scale).
+RETRAIN_PSI = 0.25
+
+_META = "_meta.json"
+SEED_BATCH = -1
+
+
+def occupancy_psi(
+    batch_counts: dict[int, int], ref_counts: dict[int, int], k: int
+) -> float:
+    """Categorical PSI over cell ids (k categories), smoothed +0.5 per
+    cell so empty cells stay finite — the cell-space analog of
+    psi_drift's binned PSI. Driver-side: both inputs are k-sized."""
+    bt = sum(batch_counts.values()) + 0.5 * k
+    rt = sum(ref_counts.values()) + 0.5 * k
+    psi = 0.0
+    for c in range(k):
+        pb = (batch_counts.get(c, 0) + 0.5) / bt
+        pr = (ref_counts.get(c, 0) + 0.5) / rt
+        psi += (pb - pr) * math.log(pb / pr)
+    return psi
+
+
+class IncrementalIVF:
+    """A disk-resident IVF index that grows per micro-batch.
+
+    Build once (``build``), append forever (``append_batch`` /
+    ``attach``), search anytime (``search``), rebuild when
+    ``needs_retrain`` fires."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        centroids,
+        ref_occupancy: dict[int, int],
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        nprobe: int = 4,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.centroids = centroids  # (k, dim) ndarray, L2-normalized
+        self.ref_occupancy = dict(ref_occupancy)
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.nprobe = nprobe
+
+    @property
+    def k(self) -> int:
+        return len(self.centroids)
+
+    # ------------------------------------------------------ lifecycle
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        index_dir: str,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        k: int = 16,
+        nprobe: int = 4,
+    ) -> "IncrementalIVF":
+        """Train the coarse quantizer on the corpus (bounded sample —
+        ivf_centroids' contract), assign + write the corpus as the
+        seed partition, freeze the occupancy profile."""
+        cent = ivf_centroids(corpus, emb_col=emb_col, id_col=id_col, k=k)
+        idx = cls(
+            spark, index_dir, cent, {}, id_col=id_col,
+            emb_col=emb_col, nprobe=nprobe,
+        )
+        occ = idx._write_batch(corpus, SEED_BATCH)
+        idx.ref_occupancy = occ
+        idx._save_meta()
+        return idx
+
+    @classmethod
+    def load(cls, spark: SparkSession, index_dir: str) -> "IncrementalIVF":
+        import numpy as np
+
+        with open(os.path.join(index_dir, _META)) as f:
+            meta = json.load(f)
+        return cls(
+            spark,
+            index_dir,
+            np.array(meta["centroids"], dtype=np.float64),
+            {int(c): n for c, n in meta["ref_occupancy"].items()},
+            id_col=meta["id_col"],
+            emb_col=meta["emb_col"],
+            nprobe=meta["nprobe"],
+        )
+
+    def _save_meta(self) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(os.path.join(self.index_dir, _META), "w") as f:
+            json.dump(
+                {
+                    "centroids": [list(map(float, c)) for c in self.centroids],
+                    "ref_occupancy": self.ref_occupancy,
+                    "id_col": self.id_col,
+                    "emb_col": self.emb_col,
+                    "nprobe": self.nprobe,
+                },
+                f,
+            )
+
+    # -------------------------------------------------------- append
+
+    def _assigned(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(self.id_col).alias("vec_id"),
+            F.col(self.emb_col).alias("embedding"),
+            F.sqrt(sq_norm_dec(F.col(self.emb_col))).alias("nrm"),
+            ivf_assign(F.col(self.emb_col), self.centroids, 1)[0].alias("cell"),
+        )
+
+    def _write_batch(self, df: DataFrame, batch_id: int) -> dict[int, int]:
+        """Assign + write one batch to ``b=<id>`` (idempotent overwrite,
+        cell-partitioned). Returns the batch's cell occupancy (k-sized
+        driver transfer — the only collect on this path)."""
+        assigned = self._assigned(df)
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{self.index_dir}/b={batch_id}")
+        )
+        # occupancy from what was written (one k-sized agg over the
+        # just-written files — replay-consistent by construction)
+        rows = (
+            self.spark.read.parquet(f"{self.index_dir}/b={batch_id}")
+            .groupBy("cell")
+            .count()
+            .collect()
+        )
+        return {int(r["cell"]): int(r["count"]) for r in rows}
+
+    def append_batch(self, df: DataFrame, batch_id: int) -> dict:
+        """Append one micro-batch without retraining. Returns
+        ``{"n", "psi", "needs_retrain", "occupancy"}`` — the drift
+        verdict for the monitoring loop."""
+        occ = self._write_batch(df, batch_id)
+        psi = occupancy_psi(occ, self.ref_occupancy, self.k)
+        verdict = {
+            "n": sum(occ.values()),
+            "psi": psi,
+            "needs_retrain": psi > RETRAIN_PSI,
+            "occupancy": occ,
+        }
+        if verdict["needs_retrain"]:
+            logger.warning(
+                "ann index %s: batch %s occupancy PSI %.3f > %.2f — "
+                "schedule a retrain",
+                self.index_dir, batch_id, psi, RETRAIN_PSI,
+            )
+        return verdict
+
+    def attach(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        on_batch: Optional[Callable[[int, dict], None]] = None,
+        available_now: bool = True,
+        processing_time: str | None = None,
+    ):
+        """Maintain the index from a streaming DataFrame; ``on_batch``
+        receives each batch's drift verdict."""
+
+        def _step(batch_df: DataFrame, batch_id: int) -> None:
+            verdict = self.append_batch(batch_df, batch_id)
+            if on_batch is not None:
+                on_batch(batch_id, verdict)
+
+        writer = (
+            stream.writeStream.foreachBatch(_step)
+            .queryName("ann-index-append")
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    # -------------------------------------------------------- search
+
+    def index_df(self) -> DataFrame:
+        return self.spark.read.parquet(self.index_dir)
+
+    def search(self, queries: DataFrame, topk: int = 5) -> DataFrame:
+        """Probe nprobe cells per query, exact-cosine rerank inside
+        them. The cell IN-filter reaches the scan as a partition
+        filter: only nprobe/k of the index's files are read."""
+        q = queries.select(
+            F.col(self.id_col).alias("qid"),
+            F.col(self.emb_col).alias("ea"),
+            F.sqrt(sq_norm_dec(F.col(self.emb_col))).alias("qnrm"),
+            F.explode(
+                ivf_assign(F.col(self.emb_col), self.centroids, self.nprobe)
+            ).alias("qcell"),
+        )
+        cand = (
+            self.index_df()
+            .join(F.broadcast(q), F.col("cell") == F.col("qcell"))
+            .where(F.col("vec_id") != F.col("qid"))
+            .dropDuplicates(["qid", "vec_id"])
+        )
+        scored = cand.select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (
+                dot_dec(F.col("ea"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc(), F.col("nid")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= topk)
+            .select("qid", "nid", "cosine", "rank")
+        )

@@ -1,0 +1,170 @@
+"""Incremental ANN index maintenance (streaming/ann_index.py): append
+without retrain, partition-pruned search, occupancy-PSI drift trigger,
+restart + replay safety."""
+
+import math
+import os
+import random
+
+from pyspark.sql import functions as F
+
+from sql_flow_spark.sources import FileSource
+from sql_flow_spark.streaming.ann_index import (
+    RETRAIN_PSI,
+    IncrementalIVF,
+    occupancy_psi,
+)
+
+DIM = 8
+
+
+def _vecs(n, center, seed, spread=0.05):
+    rnd = random.Random(seed)
+    out = []
+    for i in range(n):
+        out.append([center[d] + rnd.gauss(0, spread) for d in range(DIM)])
+    return out
+
+
+def _corpus_df(spark, n_per_cluster=40, seed=1):
+    """Three well-separated clusters on distinct axes."""
+    centers = [
+        [1.0] + [0.0] * (DIM - 1),
+        [0.0, 1.0] + [0.0] * (DIM - 2),
+        [0.0, 0.0, 1.0] + [0.0] * (DIM - 3),
+    ]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for v in _vecs(n_per_cluster, c, seed * 100 + ci):
+            rows.append((vid, v))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_build_append_search_and_load(spark, tmp_path):
+    index_dir = str(tmp_path / "ivf")
+    corpus = _corpus_df(spark)
+    idx = IncrementalIVF.build(spark, index_dir, corpus, k=4, nprobe=2)
+
+    # append an in-distribution batch: no retrain flag
+    batch = spark.createDataFrame(
+        [(1000 + i, v) for i, v in enumerate(_vecs(30, [1.0] + [0.0] * 7, 7))]
+        + [(2000 + i, v) for i, v in enumerate(_vecs(30, [0.0, 1.0] + [0.0] * 6, 8))]
+        + [(3000 + i, v) for i, v in enumerate(_vecs(30, [0.0, 0.0, 1.0] + [0.0] * 5, 9))],
+        "vec_id long, embedding array<double>",
+    )
+    verdict = idx.append_batch(batch, 0)
+    assert verdict["n"] == 90
+    assert not verdict["needs_retrain"], f"in-dist batch tripped: {verdict}"
+
+    # search finds appended neighbors: query at cluster-0's center must
+    # rank same-cluster vectors (including appended 1000-series) on top
+    q = spark.createDataFrame(
+        [(9_000_000, [1.0] + [0.0] * (DIM - 1))],
+        "vec_id long, embedding array<double>",
+    )
+    hits = idx.search(q, topk=10).collect()
+    assert len(hits) == 10
+    assert all(r.nid < 200 or 1000 <= r.nid < 1100 for r in hits), (
+        "top hits must come from cluster 0 (seed or appended)"
+    )
+    assert any(1000 <= r.nid < 1100 for r in hits), "appended vectors searchable"
+
+    # reload from disk: same centroids, same search results
+    idx2 = IncrementalIVF.load(spark, index_dir)
+    hits2 = idx2.search(q, topk=10).collect()
+    assert [(r.qid, r.nid, r.rank) for r in hits2] == [
+        (r.qid, r.nid, r.rank) for r in hits
+    ]
+
+
+def test_drift_trigger_fires_on_shifted_batch(spark, tmp_path):
+    index_dir = str(tmp_path / "ivf")
+    idx = IncrementalIVF.build(spark, index_dir, _corpus_df(spark), k=4, nprobe=2)
+    # a batch from an unseen direction: occupancy collapses onto
+    # whichever cell is least-wrong -> PSI blows past the act level
+    shifted = spark.createDataFrame(
+        [(5000 + i, v) for i, v in enumerate(
+            _vecs(90, [0.0] * (DIM - 1) + [-1.0], 42)
+        )],
+        "vec_id long, embedding array<double>",
+    )
+    verdict = idx.append_batch(shifted, 1)
+    assert verdict["psi"] > RETRAIN_PSI
+    assert verdict["needs_retrain"]
+
+
+def test_append_replay_is_idempotent(spark, tmp_path):
+    index_dir = str(tmp_path / "ivf")
+    idx = IncrementalIVF.build(spark, index_dir, _corpus_df(spark), k=4, nprobe=2)
+    batch = spark.createDataFrame(
+        [(1000 + i, v) for i, v in enumerate(_vecs(20, [1.0] + [0.0] * 7, 7))],
+        "vec_id long, embedding array<double>",
+    )
+    v1 = idx.append_batch(batch, 3)
+    n_after_first = idx.index_df().count()
+    v2 = idx.append_batch(batch, 3)  # replay of the same micro-batch
+    assert v1["occupancy"] == v2["occupancy"]
+    assert idx.index_df().count() == n_after_first, "replay must not grow the index"
+
+
+def test_streaming_append_e2e(spark, tmp_path):
+    """File-stream of arriving vectors maintained into the index, one
+    drift verdict per micro-batch."""
+    index_dir = str(tmp_path / "ivf")
+    idx = IncrementalIVF.build(spark, index_dir, _corpus_df(spark), k=4, nprobe=2)
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # each micro-batch mirrors the corpus mix (a single-cluster batch
+    # would legitimately trip the drift monitor — that IS drift)
+    centers = [
+        [1.0] + [0.0] * (DIM - 1),
+        [0.0, 1.0] + [0.0] * (DIM - 2),
+        [0.0, 0.0, 1.0] + [0.0] * (DIM - 3),
+    ]
+
+    def _mixed(base_id, seed):
+        rows = []
+        for ci, c in enumerate(centers):
+            rows += [
+                (base_id + ci * 100 + i, v)
+                for i, v in enumerate(_vecs(9, c, seed + ci))
+            ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    f1 = _mixed(1000, 11)
+    f2 = _mixed(2000, 21)
+    f1.coalesce(1).write.parquet(in_dir + "/f1")
+    f2.coalesce(1).write.parquet(in_dir + "/f2")
+
+    verdicts = {}
+    src = FileSource(
+        in_dir + "/f*",
+        format="parquet",
+        schema="vec_id long, embedding array<double>",
+        max_files_per_trigger=1,
+    )
+    stream = src.read_stream(spark)
+    q = idx.attach(
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        on_batch=lambda bid, v: verdicts.__setitem__(bid, v),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    assert sum(v["n"] for v in verdicts.values()) == 54
+    assert not any(v["needs_retrain"] for v in verdicts.values())
+    total = idx.index_df().count()
+    assert total == 120 + 54  # seed corpus + both streamed batches
+
+
+def test_occupancy_psi_zero_when_identical():
+    ref = {0: 50, 1: 30, 2: 20, 3: 0}
+    assert occupancy_psi(ref, ref, 4) == 0.0
+    assert occupancy_psi({0: 100}, ref, 4) > RETRAIN_PSI
+    assert math.isfinite(occupancy_psi({3: 10}, {0: 10}, 4))

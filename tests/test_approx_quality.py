@@ -106,6 +106,32 @@ def test_ann_ivf_results_subset_of_exact_scores(spark, sf_dir):
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
 
 
+def test_ann_ivf_incremental_tracks_full_ivf(spark, sf_dir):
+    """The incrementally-grown disk index (half corpus built, half
+    appended assign-only) must search the SAME corpus the one-shot IVF
+    sees: every returned pair shares the exact scoring math with brute
+    force, and recall vs the exact top-k stays non-trivial — appending
+    without retrain may only change CELL BOUNDARIES (trained on half
+    the data), not scoring."""
+    exact = {
+        (r.qid, r.nid): r.cosine
+        for r in QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    approx = QUERIES["ann_ivf_incremental"](spark, sf_dir).collect()
+    assert len(approx) > 0
+    hits = 0
+    for r in approx:
+        if (r.qid, r.nid) in exact:
+            assert r.cosine == exact[(r.qid, r.nid)]
+            hits += 1
+    assert hits / len(approx) > 0.5, (
+        f"incremental IVF recall too low: {hits}/{len(approx)}"
+    )
+    # deterministic rebuild: same trainer contract as ann_ivf_topk
+    again = QUERIES["ann_ivf_incremental"](spark, sf_dir).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
 def test_boilerplate_flag_fires_on_dup_families(spark, sf_dir):
     """Non-degeneracy: the synthetic corpus's duplicate families repeat
     shingles across >=3 docs of a source, so the detector must flag a
