@@ -24,6 +24,18 @@ reproducible):
 - all other tables are copied unchanged (the probed keys only scan
   ``documents``; copying keeps load_tables working for any key).
 
+Graph mode (``--mode graph``, r8 — second decade for the co-purchase
+graph family): replicates ``lineitem`` instead, re-keying
+``l_orderkey' = l_orderkey + i * max_orderkey`` and leaving
+``l_partkey`` UNCHANGED — 10x the baskets over the same part catalog,
+the realistic growth model (transactions outgrow the catalog). Nodes
+stay fixed while the edge set densifies toward saturation, which is
+exactly the regime where triangle_count's O(E^1.5) wedge work bites
+and the w>=2 sparsification lever is supposed to pay — this probe
+measures both sides of that A/B. A partkey re-key would instead make
+10 disjoint graph copies (embarrassingly parallel, trivially linear)
+and prove nothing.
+
 Timing: one warm JVM, each (key, dir) run twice, best-of-2 — the same
 protocol as the SCALING.md 10x tables.
 
@@ -31,6 +43,7 @@ Usage:
     python scripts/scale_probe.py                  # default 5 heavy keys
     python scripts/scale_probe.py --keys chunk_dedup,bpe_apply
     python scripts/scale_probe.py --replicas 10 --base /root/testdata/sf0.1
+    python scripts/scale_probe.py --mode graph     # graph family keys
 """
 
 from __future__ import annotations
@@ -51,6 +64,13 @@ DEFAULT_KEYS = (
     "bpe_learn_merges",
     "chunk_dedup",
     "boilerplate_flag",
+)
+
+GRAPH_KEYS = (
+    "triangle_count_sparse",
+    "triangle_count",
+    "degree_assortativity",
+    "pagerank_copurchase",
 )
 
 
@@ -117,6 +137,45 @@ def build_replica_dir(base: str, replicas: int, out: str) -> str:
     return out
 
 
+def build_graph_replica_dir(base: str, replicas: int, out: str) -> str:
+    """Graph-mode 10x dir: copied tables + replicated lineitem
+    (orderkeys re-keyed per replica, partkeys untouched — basket
+    growth over a fixed catalog; see module docstring)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    for f in os.listdir(base):
+        if f.endswith(".parquet") and f != "lineitem.parquet":
+            dst = os.path.join(out, f)
+            if not os.path.exists(dst):
+                shutil.copyfile(os.path.join(base, f), dst)
+
+    dst_li = os.path.join(out, "lineitem.parquet")
+    marker = os.path.join(out, f".li_replicas_{replicas}")
+    if os.path.exists(dst_li) and os.path.exists(marker):
+        return out
+
+    table = pq.read_table(os.path.join(base, "lineitem.parquet"))
+    max_ok = pc.max(table.column("l_orderkey")).as_py() + 1
+    ok_idx = table.schema.get_field_index("l_orderkey")
+    chunks = []
+    for i in range(replicas):
+        ids = pc.add(table.column("l_orderkey"), i * max_ok)
+        chunks.append(table.set_column(ok_idx, "l_orderkey", ids))
+    big = pa.concat_tables(chunks)
+    pq.write_table(big, dst_li)
+    with open(marker, "w") as f:
+        f.write(str(big.num_rows))
+    print(
+        f"graph replica dir {out}: lineitem {table.num_rows} -> "
+        f"{big.num_rows} rows",
+        file=sys.stderr,
+    )
+    return out
+
+
 def time_key(fn, spark, sf_dir: str, runs: int = 2) -> float:
     best = float("inf")
     for _ in range(runs):
@@ -131,19 +190,32 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=10)
-    ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
-    ap.add_argument("--out", default="/tmp/sfs_probe_10x")
+    ap.add_argument("--keys", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--mode", choices=("docs", "graph"), default="docs")
     args = ap.parse_args()
 
     from sql_flow_spark.operators import QUERIES
     from sql_flow_spark.session import get_spark
 
-    keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+    default_keys = GRAPH_KEYS if args.mode == "graph" else DEFAULT_KEYS
+    keys = [
+        k.strip()
+        for k in (args.keys or ",".join(default_keys)).split(",")
+        if k.strip()
+    ]
     unknown = [k for k in keys if k not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown keys: {unknown}")
 
-    replica = build_replica_dir(args.base, args.replicas, args.out)
+    out = args.out or (
+        "/tmp/sfs_probe_10x_graph" if args.mode == "graph"
+        else "/tmp/sfs_probe_10x"
+    )
+    if args.mode == "graph":
+        replica = build_graph_replica_dir(args.base, args.replicas, out)
+    else:
+        replica = build_replica_dir(args.base, args.replicas, out)
     spark = get_spark()
 
     results = {}

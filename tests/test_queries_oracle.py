@@ -11,6 +11,19 @@ from sql_flow_spark.tables import TABLE_NAMES
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
+# Two-lane split (r7 verdict item 8): the first 50 queries() keys are
+# exactly the driver's correctness window — they run in every lane.
+# Keys past the window carry the `full` marker; the inner loop skips
+# them with `-m "not full"` (pytest.ini documents the lanes) and the
+# full sweep (default `pytest tests/`) still re-proves every key.
+_WINDOW = set(list(QUERIES)[:50])
+_PARAMS = [
+    pytest.param(
+        name, marks=() if name in _WINDOW else (pytest.mark.full,)
+    )
+    for name in sorted(QUERIES)
+]
+
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
@@ -25,7 +38,7 @@ def _canon(rows, cols):
     return sorted(tuple(repr(r[i]) for i in order) for r in rows)
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", _PARAMS)
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     sdf = QUERIES[name](spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
