@@ -953,3 +953,100 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask6((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
         mask6(cov * cov / (varx * vary)).alias("r2"),
     )
+
+
+# Misra–Gries heavy hitters: K counters per partition guarantee every
+# term with global count > n/(K+1) survives candidate generation.
+MG_K = 63
+
+
+@query(
+    "heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    toks_ne AS (SELECT w FROM toks WHERE w <> ''),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks_ne)
+    SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(*) AS DOUBLE) / CAST(MIN(t.n) AS DOUBLE) AS share
+    FROM toks_ne, tot t
+    GROUP BY w
+    HAVING COUNT(*) * {MG_K + 1} > MIN(t.n)
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters WITHOUT a full-vocabulary shuffle: the
+    distributed Misra–Gries pattern. Each partition summarizes its
+    token stream with K=63 counters (classic MG: increment on hit,
+    decrement-all on overflow — undercount ≤ n_p/(K+1)); the tiny
+    per-partition summaries (≤ K x partitions rows) merge into a
+    candidate set that PROVABLY contains every term with global count
+    > n/(K+1); one broadcast-semi-join recount then yields exact
+    counts, filtered by the exact integer threshold cnt*(K+1) > n. The
+    final answer is deterministic and partitioning-independent — only
+    the intermediate candidate set varies — so the DuckDB oracle is
+    the naive GROUP BY + HAVING, hash-gated.
+
+    This is THE bounded-memory top-terms pattern at 100 TB: the naive
+    plan shuffles the full vocabulary (billions of keys for web-scale
+    n-grams); this plan shuffles K x partitions candidate rows plus a
+    9-ish-key recount. The same skeleton serves user/IP/entity heavy
+    hitters on any stream.
+
+    Exactness: final counts are exact integers from the recount pass;
+    the threshold compare is integer; share is one IEEE division.
+    (MG approximation affects only candidate RECALL, which the
+    n/(K+1) guarantee makes lossless for the reported set.)"""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["w"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < MG_K:
+                    counters[w] = 1
+                else:
+                    dead = [k for k in counters if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        if counters:
+            yield pd.DataFrame(
+                {"w": list(counters), "c": list(counters.values())}
+            )
+
+    # candidates: <= K rows per partition, merged on the tiny key set
+    cand = (
+        toks.mapInPandas(mg_partition, "w string, c long")
+        .groupBy("w")
+        .agg(F.sum("c").alias("mg_lower"))
+        .select("w")
+    )
+    tot = toks.agg(F.count("*").cast("long").alias("n"))
+    # exact recount restricted to candidates (broadcast semi-join keeps
+    # the scan shuffle-free; the groupBy key space is <= K x partitions)
+    exact = (
+        toks.join(F.broadcast(cand), "w")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * F.lit(MG_K + 1) > F.col("n"))
+        .select(
+            F.col("w").alias("term"),
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias(
+                "share"
+            ),
+        )
+    )

@@ -802,3 +802,264 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask6(var / mean).alias("fano"),
         mask6(F.sqrt(var) / mean).alias("cv"),
     )
+
+
+@query(
+    "theil_sen_trend",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {_US_PER_DAY} AS BIGINT) AS day_idx,
+             {o_dsum('value')} / CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.x - a.x) / CAST(b.day_idx - a.day_idx AS DOUBLE) AS m
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day_idx > a.day_idx
+    ),
+    fit AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             quantile_cont(m, 0.5) AS slope
+      FROM slopes GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           MIN(f.n_pairs) AS n_pairs,
+           MIN(f.slope) AS slope,
+           quantile_cont(d.x - f.slope * CAST(d.day_idx AS DOUBLE), 0.5)
+             AS intercept
+    FROM daily d JOIN fit f ON f.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the slope is the MEDIAN
+    of all pairwise slopes of the daily-mean series, the intercept the
+    median residual offset — the outlier-resistant trend line (one
+    corrupted day moves OLS arbitrarily, moves Theil–Sen not at all up
+    to ~29% contamination). Completes the trend corner of the drift
+    family: ewma_daily smooths, cusum_changepoint locates a break,
+    this one ESTIMATES the drift rate robustly.
+
+    Exactness: daily means are fixed-point sums / exact counts (both
+    engines see identical doubles); each pairwise slope is one IEEE
+    division on identical operands; Spark `percentile` and DuckDB
+    `quantile_cont` share the lower+(upper-lower)*frac interpolation
+    (the value_quartiles finding), so medians match bit-for-bit, and
+    the intercept pass reuses the identical slope scalar.
+
+    Scale shape: the raw scan collapses to types x days FIRST (one
+    bounded-key shuffle); the O(days^2) pair join and both medians run
+    on that tiny aggregate — at unbounded history, bound the trend
+    window (trailing 90 days) exactly like ewma's decay horizon."""
+    t = load_tables(spark, sf_dir, ("events",))
+    from sql_flow_spark.registry import davg
+
+    daily = (
+        t["events"]
+        .select(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(_US_PER_DAY)).cast("long").alias(
+                "day_idx"
+            ),
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(davg("value").alias("x"))
+    )
+    daily = materialize_once(daily)
+    b = daily.select(
+        F.col("event_type").alias("e2"),
+        F.col("day_idx").alias("d2"),
+        F.col("x").alias("x2"),
+    )
+    slopes = daily.join(
+        b,
+        (F.col("e2") == F.col("event_type")) & (F.col("d2") > F.col("day_idx")),
+    ).select(
+        "event_type",
+        (
+            (F.col("x2") - F.col("x"))
+            / (F.col("d2") - F.col("day_idx")).cast("double")
+        ).alias("m"),
+    )
+    fit = slopes.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.percentile("m", 0.5).alias("slope"),
+    )
+    return (
+        daily.join(F.broadcast(fit), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.min("n_pairs").alias("n_pairs"),
+            F.min("slope").alias("slope"),
+            F.percentile(
+                F.col("x") - F.col("slope") * F.col("day_idx").cast("double"),
+                0.5,
+            ).alias("intercept"),
+        )
+    )
+
+
+@query(
+    "mann_kendall_trend",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             CAST(epoch_us(ts) // {_US_PER_DAY} AS BIGINT) AS day_idx,
+             {o_dsum('value')} / CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day_idx > a.day_idx
+      GROUP BY a.event_type
+    ),
+    nn AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily
+      GROUP BY event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_adj
+      FROM (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, x
+      ) WHERE t > 1 GROUP BY event_type
+    ),
+    z AS (
+      SELECT nn.event_type, nn.n, s.s_stat,
+             (nn.n * (nn.n - 1) * (2 * nn.n + 5)
+              - COALESCE(t.tie_adj, 0)) AS var18
+      FROM nn JOIN s ON s.event_type = nn.event_type
+      LEFT JOIN ties t ON t.event_type = nn.event_type
+    )
+    SELECT event_type, n AS n_days, s_stat,
+           CASE WHEN s_stat > 0 THEN
+                  CAST(s_stat - 1 AS DOUBLE)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                WHEN s_stat < 0 THEN
+                  CAST(s_stat + 1 AS DOUBLE)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                ELSE 0.0 END AS z,
+           CASE WHEN s_stat > 0 AND CAST(s_stat - 1 AS DOUBLE)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0) > 1.959964
+                  THEN 'increasing'
+                WHEN s_stat < 0 AND CAST(s_stat + 1 AS DOUBLE)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0) < -1.959964
+                  THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM z
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per event type: S = sum of
+    pairwise signs of the daily-mean series, tie-corrected normal
+    approximation, two-sided verdict at alpha=0.05 — the
+    distribution-free IS-there-a-trend test beside theil_sen_trend's
+    HOW-steep estimate (the classic pairing in environmental/SLA
+    monitoring).
+
+    Exactness: S and the tie-corrected variance*18 are exact BIGINT
+    arithmetic on fixed-point-identical daily means; z is IEEE
+    division/sqrt on identical scalars; the 1.959964 cut is a shared
+    literal, so verdicts can't flip between engines.
+
+    Scale shape: same as theil_sen_trend — types x days collapse
+    first, O(days^2) sign join on the tiny aggregate, single-row
+    moments per type. Bound the window at unbounded history."""
+    t = load_tables(spark, sf_dir, ("events",))
+    from sql_flow_spark.registry import davg
+
+    daily = (
+        t["events"]
+        .select(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(_US_PER_DAY)).cast("long").alias(
+                "day_idx"
+            ),
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(davg("value").alias("x"))
+    )
+    daily = materialize_once(daily)
+    b = daily.select(
+        F.col("event_type").alias("e2"),
+        F.col("day_idx").alias("d2"),
+        F.col("x").alias("x2"),
+    )
+    s = (
+        daily.join(
+            b,
+            (F.col("e2") == F.col("event_type"))
+            & (F.col("d2") > F.col("day_idx")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("x2") > F.col("x"), 1)
+                .when(F.col("x2") < F.col("x"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count("*").cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_adj")
+        )
+    )
+    z = (
+        nn.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie_adj"), F.lit(0))
+            ).alias("var18"),
+        )
+    )
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    zval = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return z.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        zval.alias("z"),
+        F.when((F.col("s_stat") > 0) & (zval > 1.959964), "increasing")
+        .when((F.col("s_stat") < 0) & (zval < -1.959964), "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
