@@ -258,3 +258,30 @@ def test_r6b_operators_plan_hygiene(spark, sf_dir):
     # centroids: single shuffle onto (label, dim)
     p = plan(spark, sf_dir, "embedding_centroids")
     assert p.count("Arguments: hashpartitioning(") == 1
+
+
+def test_r8_operators_plan_hygiene(spark, sf_dir):
+    """Plan pins for the r8 additions: heavy_hitters must never
+    shuffle the full vocabulary to a sort-merge join (the whole point
+    is MG candidates + broadcast recount); the trend pair collapses to
+    types x days before its pair joins; triangle_count_sparse shares
+    the oriented-edge exchange like its exact twin."""
+    p = plan(spark, sf_dir, "heavy_hitters")
+    assert "SortMergeJoin" not in p, "recount must broadcast candidates"
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "MapInPandas" in p  # the per-partition MG summaries
+    assert "CartesianProduct" not in p
+
+    for name in ("theil_sen_trend", "mann_kendall_trend"):
+        p = plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name} degraded to cartesian"
+        assert "EvalPython" not in p, f"{name} fell back to python"
+
+    # sparse twin keeps the exact pipeline's plan shape (same joins /
+    # exchanges — only the edge-source HAVING differs; exchange REUSE
+    # materializes under AQE at runtime, not in the static plan)
+    ps = plan(spark, sf_dir, "triangle_count_sparse")
+    pe = plan(spark, sf_dir, "triangle_count")
+    assert "CartesianProduct" not in ps
+    assert ps.count("SortMergeJoin") == pe.count("SortMergeJoin")
+    assert ps.count("Exchange") == pe.count("Exchange")
