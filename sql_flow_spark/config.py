@@ -195,6 +195,23 @@ class IngestDedupConf:
 
 
 @dataclass
+class DriftMonitorConf:
+    """``pipeline.drift_monitor:`` — per-micro-batch PSI drift scoring
+    against decile fences fitted ONCE on a reference dataset at
+    pipeline start (streaming/drift.py). Scores (group, psi, n,
+    drifted, batch_id) go to the optional ``sink``; drifted groups are
+    logged at WARNING either way. The config-surface wiring of the r7
+    streaming PSI monitor."""
+
+    reference_path: str
+    group_column: str
+    value_column: str
+    reference_format: str = "parquet"
+    threshold: float = 0.25
+    sink: Optional[SinkConf] = None
+
+
+@dataclass
 class PipelineConf:
     source: SourceConf
     handler: HandlerConf
@@ -204,6 +221,7 @@ class PipelineConf:
     on_error: ErrorPolicyConf = field(default_factory=ErrorPolicyConf)
     dedupe: Optional[DedupeConf] = None
     ingest_dedup: Optional[IngestDedupConf] = None
+    drift_monitor: Optional[DriftMonitorConf] = None
 
 
 @dataclass
@@ -340,8 +358,18 @@ def new_from_dict(conf: dict) -> Conf:
                 if p.get("ingest_dedup")
                 else None
             ),
+            drift_monitor=_drift_monitor_from_dict(p.get("drift_monitor")),
         ),
     )
+
+
+def _drift_monitor_from_dict(d: Optional[dict]) -> Optional[DriftMonitorConf]:
+    if not d:
+        return None
+    d = dict(d)
+    sink = _sink_from_dict(d.pop("sink")) if d.get("sink") else None
+    d.pop("sink", None)
+    return DriftMonitorConf(sink=sink, **d)
 
 
 def new_from_path(path: str, setting_overrides: dict | None = None) -> Conf:

@@ -58,6 +58,7 @@ class Pipeline:
         legs: Optional[list[tuple[str, Handler, Sink]]] = None,
         dedupe: Optional[cfg.DedupeConf] = None,
         ingest_dedup: Optional[cfg.IngestDedupConf] = None,
+        drift_monitor: Optional[cfg.DriftMonitorConf] = None,
     ):
         self.spark = spark
         self.source = source
@@ -86,6 +87,23 @@ class Pipeline:
                 text_col=ingest_dedup.text_column,
                 out_dir=ingest_dedup.out_dir,
             )
+        # drift monitor leg (config pipeline.drift_monitor): fences
+        # fitted ONCE here on the reference dataset (a bounded
+        # groups x 9 driver dict), then scored per micro-batch.
+        self.drift_monitor = drift_monitor
+        self._drift_fences = None
+        self._drift_sink = None
+        if drift_monitor is not None:
+            from sql_flow_spark.streaming.drift import reference_fences
+
+            ref = spark.read.format(drift_monitor.reference_format).load(
+                drift_monitor.reference_path
+            )
+            self._drift_fences = reference_fences(
+                ref, drift_monitor.group_column, drift_monitor.value_column
+            )
+            if drift_monitor.sink is not None:
+                self._drift_sink = new_sink_from_conf(drift_monitor.sink, spark)
 
     def _apply_dedupe(self, df: DataFrame, streaming: bool) -> DataFrame:
         """Source-side exactly-once per key (config ``pipeline.dedupe``,
@@ -128,11 +146,47 @@ class Pipeline:
             self.sink.flush()
             self.stats.num_batches += 1
         self._run_legs(df, "batch")
+        if self.drift_monitor is not None:
+            self._score_drift(df, 0)
         if self.ingest_dedup is not None:
             # one-shot invoke scores as batch 0 (same idempotent slot
             # every run — `dev invoke` is a test harness, not ingest)
             self.ingest_dedup.process(df, 0)
         return result
+
+    def _score_drift(self, df: DataFrame, batch_id: int) -> None:
+        """Score one (micro-)batch's value distribution against the
+        frozen reference fences; scores land in the configured sink,
+        drifted groups log at WARNING (the alert path that works with
+        no sink at all)."""
+        from pyspark.sql import functions as F
+
+        from sql_flow_spark.streaming.drift import psi_of_batch
+
+        dm = self.drift_monitor
+        scored = psi_of_batch(
+            df, self._drift_fences, dm.group_column, dm.value_column
+        ).select(
+            "group",
+            "psi",
+            "n",
+            (F.col("psi") > dm.threshold).alias("drifted"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        # ONE batch scan: the score table is groups-sized, so collect
+        # it once and feed both the sink and the alert log from rows.
+        rows = scored.collect()
+        for r in rows:
+            if r["drifted"]:
+                logger.warning(
+                    "drift_monitor: group %r PSI %.3f > %s in batch %s",
+                    r["group"], r["psi"], dm.threshold, batch_id,
+                )
+        if self._drift_sink is not None and rows:
+            self._drift_sink.write_table(
+                self.spark.createDataFrame(rows, scored.schema)
+            )
+            self._drift_sink.flush()
 
     def _run_legs(self, df: DataFrame, ctx: str):
         """Each leg is error-isolated under the pipeline policy: one
@@ -183,6 +237,17 @@ class Pipeline:
                 self.sink.flush()
                 self.stats.num_batches += 1
             self._run_legs(batch_df, f"micro-batch {batch_id}")
+            if self.drift_monitor is not None:
+                try:
+                    self._score_drift(batch_df, batch_id)
+                except Exception as e:
+                    self.stats.num_errors += 1
+                    if self.error_policy == cfg.Policy.RAISE:
+                        raise
+                    if self.error_policy == cfg.Policy.DLQ:
+                        self.dlq.write_error(
+                            str(e), f"micro-batch {batch_id}", "drift_monitor"
+                        )
             if self.ingest_dedup is not None:
                 try:
                     self.ingest_dedup.process(batch_df, batch_id)
@@ -329,6 +394,7 @@ def new_pipeline_from_conf(
         legs=legs,
         dedupe=p.dedupe,
         ingest_dedup=p.ingest_dedup,
+        drift_monitor=p.drift_monitor,
     )
 
 
