@@ -626,3 +626,143 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("mean_s"),
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "concurrent_sessions_peak",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, tus,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    iv AS (
+      SELECT user_id, sid, MIN(tus) AS s, MAX(tus) AS e
+      FROM sess GROUP BY 1, 2
+    ),
+    clip AS (
+      SELECT day,
+             GREATEST(s, day * {_DAY_US}) AS cs,
+             LEAST(e, (day + 1) * {_DAY_US} - 1) AS ce
+      FROM (
+        SELECT s, e, unnest(generate_series(s // {_DAY_US}, e // {_DAY_US}))
+                 AS day
+        FROM iv
+      )
+    ),
+    pts AS (
+      SELECT day, cs AS t, 1 AS delta FROM clip
+      UNION ALL
+      SELECT day, ce AS t, -1 AS delta FROM clip
+    ),
+    run AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC)
+               AS running
+      FROM pts
+    ),
+    act AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active_sessions
+      FROM clip GROUP BY day
+    ),
+    pk AS (
+      SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrent
+      FROM run GROUP BY day
+    )
+    SELECT a.day AS day_idx, a.n_active_sessions, p.peak_concurrent
+    FROM act a JOIN pk p ON p.day = a.day
+    """,
+)
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per calendar day — the sweep-line
+    member of the behavior family (capacity planning / license-peak /
+    load-profile question the sessionize + histogram keys can't
+    answer): sessions (30-min-gap islands, the events_sessionize
+    convention) are clipped to the days they overlap, then each day
+    sweeps its +1/-1 boundary points in time order and the running sum's
+    maximum is that day's concurrency peak. Touching sessions count as
+    concurrent (starts sort before ends at the same microsecond;
+    intervals are inclusive).
+
+    Exactness: every quantity is integer microsecond arithmetic and
+    integer running sums; both engines use the default RANGE frame
+    (unbounded-preceding..current-row over peer groups), so ties of
+    identical (t, delta) accumulate as one peer group — order inside a
+    tie cannot change any running value.
+
+    Scale shape: one events shuffle onto user_id (sessionize), session
+    intervals are user-session-sized, the day explode is bounded by
+    session length in days (sessions are minutes-long), and the sweep
+    windows partition by DAY — parallel across the calendar. A single
+    day's sessions land in one task, fine to ~10^7 sessions/day/task;
+    past that, sub-partition the sweep by hour with a carry-in count
+    of sessions spanning the hour boundary (same clipping trick this
+    operator already applies at day boundaries)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts"))
+    gap = tus - F.unix_micros(F.lag(F.col("ts")).over(wu))
+    marked = t["events"].select(
+        "user_id",
+        "event_id",
+        tus.alias("tus"),
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.select(
+        "user_id", "tus", F.sum("is_new").over(wcum).alias("sid")
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("tus").alias("s"), F.max("tus").alias("e")
+    )
+    clip = iv.select(
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_DAY_US}"), F.expr(f"e div {_DAY_US}")
+            )
+        ).alias("day"),
+        "s",
+        "e",
+    ).select(
+        "day",
+        F.greatest(F.col("s"), F.col("day") * _DAY_US).alias("cs"),
+        F.least(F.col("e"), (F.col("day") + 1) * _DAY_US - 1).alias("ce"),
+    )
+    pts = clip.select(
+        "day", F.col("cs").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        clip.select("day", F.col("ce").alias("t"), F.lit(-1).alias("delta"))
+    )
+    # default RANGE frame on purpose: ties accumulate as a peer group,
+    # making the running sum order-independent within a tie
+    wday = Window.partitionBy("day").orderBy(
+        F.col("t").asc(), F.col("delta").desc()
+    )
+    run = pts.select("day", F.sum("delta").over(wday).alias("running"))
+    act = clip.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_active_sessions")
+    )
+    pk = run.groupBy("day").agg(
+        F.max("running").cast("long").alias("peak_concurrent")
+    )
+    return act.join(pk, "day").select(
+        F.col("day").alias("day_idx"), "n_active_sessions", "peak_concurrent"
+    )
