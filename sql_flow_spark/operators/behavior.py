@@ -766,3 +766,117 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.join(pk, "day").select(
         F.col("day").alias("day_idx"), "n_active_sessions", "peak_concurrent"
     )
+
+
+_FUNNEL_WINDOW_US = 6 * 3600 * 1_000_000  # 6h conversion window
+
+
+@query(
+    "window_funnel",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+        AND epoch_us(e.ts) > v.t1
+        AND epoch_us(e.ts) <= v.t1 + {_FUNNEL_WINDOW_US}
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e
+      JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t2
+      JOIN v ON e.user_id = v.user_id
+        AND epoch_us(e.ts) <= v.t1 + {_FUNNEL_WINDOW_US}
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_level1,
+      CAST(COUNT(c.user_id) AS BIGINT) AS n_level2,
+      CAST(COUNT(p.user_id) AS BIGINT) AS n_level3,
+      CAST(COUNT(c.user_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        AS conv_1_2,
+      CASE WHEN COUNT(c.user_id) > 0 THEN
+        CAST(COUNT(p.user_id) AS DOUBLE) / CAST(COUNT(c.user_id) AS DOUBLE)
+      ELSE 0.0 END AS conv_2_3
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded strictly-ordered funnel (the ClickHouse
+    windowFunnel shape): view -> click -> purchase where every later
+    stage must land within 6 HOURS of the user's first view — the
+    conversion-window variant of user_funnel (which admits a purchase
+    weeks later; funnel_latency measures how long, this one enforces a
+    deadline). Output is the funnel summary: users at each level and
+    the stage conversion rates.
+
+    Exactness: stage times are integer epoch-microseconds, the window
+    bound is an integer literal, counts are exact; the two rates are
+    one IEEE division each on identical integers.
+
+    Scale shape: identical to user_funnel — three min-aggregations
+    co-partitioned on user_id (one logical shuffle key reused), stage
+    tables user-sized, final single-row summary via map-side partial
+    counts. The window predicate prunes the stage joins harder than
+    user_funnel's open-ended one."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(
+            v.select(F.col("user_id").alias("vu"), "t1"),
+            (F.col("user_id") == F.col("vu"))
+            & (F.col("tus") > F.col("t1"))
+            & (F.col("tus") <= F.col("t1") + _FUNNEL_WINDOW_US),
+        )
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(
+            c.select(F.col("user_id").alias("cu"), "t2"),
+            (F.col("user_id") == F.col("cu")) & (F.col("tus") > F.col("t2")),
+        )
+        .join(
+            v.select(F.col("user_id").alias("vu2"), "t1"),
+            (F.col("user_id") == F.col("vu2"))
+            & (F.col("tus") <= F.col("t1") + _FUNNEL_WINDOW_US),
+        )
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t3"))
+    )
+    joined = v.join(
+        c.select(F.col("user_id").alias("cu2"), "t2"),
+        F.col("user_id") == F.col("cu2"),
+        "left",
+    ).join(
+        p.select(F.col("user_id").alias("pu"), "t3"),
+        F.col("user_id") == F.col("pu"),
+        "left",
+    )
+    n1 = F.count("*").cast("long")
+    n2 = F.count("cu2").cast("long")
+    n3 = F.count("pu").cast("long")
+    return joined.agg(
+        n1.alias("n_level1"),
+        n2.alias("n_level2"),
+        n3.alias("n_level3"),
+        (n2.cast("double") / n1.cast("double")).alias("conv_1_2"),
+        F.when(n2 > 0, n3.cast("double") / n2.cast("double"))
+        .otherwise(0.0)
+        .alias("conv_2_3"),
+    )
