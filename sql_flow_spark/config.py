@@ -212,6 +212,20 @@ class DriftMonitorConf:
 
 
 @dataclass
+class HeavyHittersConf:
+    """``pipeline.heavy_hitters:`` — streaming Misra–Gries heavy
+    hitters folded across micro-batches (streaming/heavy_hitters.py):
+    disk-backed ≤k-row state in ``state_dir``, per-batch report of
+    keys possibly above share 1/(k+1) with [count_lo, count_hi] bounds
+    and a `certain` flag, logged at INFO (WARNING for certain
+    hitters)."""
+
+    state_dir: str
+    key_column: str
+    k: int = 63
+
+
+@dataclass
 class PipelineConf:
     source: SourceConf
     handler: HandlerConf
@@ -222,6 +236,7 @@ class PipelineConf:
     dedupe: Optional[DedupeConf] = None
     ingest_dedup: Optional[IngestDedupConf] = None
     drift_monitor: Optional[DriftMonitorConf] = None
+    heavy_hitters: Optional[HeavyHittersConf] = None
 
 
 @dataclass
@@ -359,6 +374,11 @@ def new_from_dict(conf: dict) -> Conf:
                 else None
             ),
             drift_monitor=_drift_monitor_from_dict(p.get("drift_monitor")),
+            heavy_hitters=(
+                HeavyHittersConf(**p["heavy_hitters"])
+                if p.get("heavy_hitters")
+                else None
+            ),
         ),
     )
 

@@ -59,6 +59,7 @@ class Pipeline:
         dedupe: Optional[cfg.DedupeConf] = None,
         ingest_dedup: Optional[cfg.IngestDedupConf] = None,
         drift_monitor: Optional[cfg.DriftMonitorConf] = None,
+        heavy_hitters: Optional[cfg.HeavyHittersConf] = None,
     ):
         self.spark = spark
         self.source = source
@@ -104,6 +105,20 @@ class Pipeline:
             )
             if drift_monitor.sink is not None:
                 self._drift_sink = new_sink_from_conf(drift_monitor.sink, spark)
+        # heavy-hitters leg (config pipeline.heavy_hitters): MG state
+        # folded per micro-batch, certain hitters logged at WARNING.
+        self._heavy_hitters = None
+        if heavy_hitters is not None:
+            from sql_flow_spark.streaming.heavy_hitters import (
+                StreamingHeavyHitters,
+            )
+
+            self._heavy_hitters = StreamingHeavyHitters(
+                spark,
+                state_dir=heavy_hitters.state_dir,
+                key_col=heavy_hitters.key_column,
+                k=heavy_hitters.k,
+            )
 
     def _apply_dedupe(self, df: DataFrame, streaming: bool) -> DataFrame:
         """Source-side exactly-once per key (config ``pipeline.dedupe``,
@@ -152,7 +167,21 @@ class Pipeline:
             # one-shot invoke scores as batch 0 (same idempotent slot
             # every run — `dev invoke` is a test harness, not ingest)
             self.ingest_dedup.process(df, 0)
+        if self._heavy_hitters is not None:
+            self._report_heavy_hitters(df, 0)
         return result
+
+    def _report_heavy_hitters(self, df: DataFrame, batch_id: int) -> None:
+        result = self._heavy_hitters.fold_batch(df, batch_id)
+        for key, rep in sorted(result["hitters"].items()):
+            log = logger.warning if rep["certain"] else logger.info
+            log(
+                "heavy_hitters: key %r count in [%s, %s] (share >= %.3f%s) "
+                "after batch %s of n=%s",
+                key, rep["count_lo"], rep["count_hi"],
+                rep["share_lo"], ", certain" if rep["certain"] else "",
+                batch_id, result["n"],
+            )
 
     def _score_drift(self, df: DataFrame, batch_id: int) -> None:
         """Score one (micro-)batch's value distribution against the
@@ -258,6 +287,17 @@ class Pipeline:
                     if self.error_policy == cfg.Policy.DLQ:
                         self.dlq.write_error(
                             str(e), f"micro-batch {batch_id}", "ingest_dedup"
+                        )
+            if self._heavy_hitters is not None:
+                try:
+                    self._report_heavy_hitters(batch_df, batch_id)
+                except Exception as e:
+                    self.stats.num_errors += 1
+                    if self.error_policy == cfg.Policy.RAISE:
+                        raise
+                    if self.error_policy == cfg.Policy.DLQ:
+                        self.dlq.write_error(
+                            str(e), f"micro-batch {batch_id}", "heavy_hitters"
                         )
         finally:
             if stateful:
@@ -395,6 +435,7 @@ def new_pipeline_from_conf(
         dedupe=p.dedupe,
         ingest_dedup=p.ingest_dedup,
         drift_monitor=p.drift_monitor,
+        heavy_hitters=p.heavy_hitters,
     )
 
 

@@ -121,3 +121,48 @@ def test_mg_compact_bound():
     d = dict(out)
     assert d["big"] >= 100 - 10  # undercount bounded by the cut value
     assert all(c > 0 for _, c in out)
+
+
+def test_heavy_hitters_config_pipeline_e2e(spark, tmp_path):
+    """pipeline.heavy_hitters config wiring: the leg folds per
+    micro-batch off the same source read, certain hitters logged."""
+    from sql_flow_spark import config as cfg
+    from sql_flow_spark.handlers import InferredBatch
+    from sql_flow_spark.pipeline import Pipeline
+    from sql_flow_spark.sinks import MemorySink
+
+    in_dir = str(tmp_path / "in")
+    _write_jsonl(in_dir, "f1.jsonl", ["hot"] * 30 + [f"t{i}" for i in range(10)],
+                 mtime=1_700_000_000)
+    _write_jsonl(in_dir, "f2.jsonl", ["hot"] * 30 + [f"u{i}" for i in range(10)],
+                 mtime=1_700_000_100)
+    pipe = Pipeline(
+        spark=spark,
+        source=FileSource(in_dir, format="json", max_files_per_trigger=1),
+        handler=InferredBatch("SELECT count(*) AS n FROM batch"),
+        sink=MemorySink(),
+        heavy_hitters=cfg.HeavyHittersConf(
+            state_dir=str(tmp_path / "state"), key_column="k", k=K
+        ),
+    )
+    q = pipe.start(available_now=True, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    # final state on disk: hot dominates, n accumulated across batches
+    final = pipe._heavy_hitters.fold_batch(
+        spark.createDataFrame([("hot",)], "k string"), 99
+    )
+    assert final["n"] == 81
+    assert "hot" in final["hitters"] and final["hitters"]["hot"]["certain"]
+    assert final["hitters"]["hot"]["count_lo"] <= 61 <= final["hitters"]["hot"]["count_hi"]
+
+
+def test_heavy_hitters_example_config_parses():
+    from sql_flow_spark import config as cfg
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "streaming.heavy.hitters.yml"
+    )
+    conf = cfg.new_from_path(path)
+    hh = conf.pipeline.heavy_hitters
+    assert hh is not None and hh.key_column == "user_id" and hh.k == 63
+    assert cfg.validate_dict(cfg.render_config(path)) == []
