@@ -1,0 +1,287 @@
+"""Lexical + hybrid retrieval over the documents corpus.
+
+Two operators, SURVEY.md §2:
+
+- ``bm25_topk`` — Okapi BM25 scoring of every document against a fixed
+  query-term set, top-20. The lexical half of every retrieval stack
+  (and of retrieval-based decontamination: "which training docs score
+  highest against an eval query" is exactly this shape).
+- ``rrf_fusion`` — reciprocal-rank fusion (Cormack et al., the
+  industry-standard hybrid merge) of the BM25 ranking with an
+  embedding-cosine ranking: score = Σ 1/(60 + rank). No score
+  calibration between the two systems is needed — that is the point
+  of RRF.
+
+The reference (sql-flow) has no retrieval surface; these extend the
+LLM-training-data family (SURVEY.md §2 rows 22+) the brief asks for.
+
+Cross-engine determinism: per-term BM25 contributions are pure IEEE
+double expressions on exact-integer inputs, fixed-pointed to 9dp
+(``scaled_int``) and summed as DECIMAL — exact and order-insensitive
+under any partitioning; ln() ulp drift between engines is absorbed by
+the fixed-point rounding. RRF scores are one or two IEEE divisions on
+exact integer ranks — bit-identical by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_flow_spark.functions.dedup import ws_tokens
+from sql_flow_spark.functions.similarity import (
+    O_NORMS_CTE,
+    dot_dec,
+    sq_norm_dec,
+)
+from sql_flow_spark.registry import query, scaled_int
+from sql_flow_spark.tables import load_tables
+
+# Fixed query: terms exist at every scale factor (the corpus vocabulary
+# is closed), selective enough that tf/dl variation drives the ranking.
+QUERY_TERMS = ("hash", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+RRF_DEPTH = 50  # fuse the top-50 of each ranking
+RRF_K = 60.0  # the canonical RRF constant
+RRF_TOP = 10
+_BM_SCALE = 1_000_000_000.0  # 9dp fixed point for per-term scores
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+# Shared oracle CTE chain producing bm25(doc_id, score). Expression
+# structure mirrors the Spark builder token for token so both engines
+# evaluate the identical IEEE expression tree before the fixed-point.
+O_BM25_CTES = f"""
+  toks AS (
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+  ),
+  tf AS (
+    SELECT doc_id, term, MAX(dl) AS dl,
+           CAST(COUNT(*) AS DOUBLE) AS tf
+    FROM toks WHERE term IN ({_TERMS_SQL})
+    GROUP BY doc_id, term
+  ),
+  df AS (
+    SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+  ),
+  stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+    FROM documents
+  ),
+  term_scores AS (
+    SELECT tf.doc_id,
+           CAST(floor(
+             ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * {BM25_K1 + 1.0}
+                / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                   * (CAST(tf.dl AS DOUBLE) / s.avgdl))))
+             * {_BM_SCALE} + 0.5) AS DECIMAL(30,0)) AS ts
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
+  ),
+  bm25 AS (
+    SELECT doc_id, CAST(SUM(ts) AS DOUBLE) / {_BM_SCALE} AS score
+    FROM term_scores GROUP BY doc_id
+  )
+"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25(doc_id, score) for the fixed query over `documents`.
+
+    Scale shape: dl is computed at the scan and carried through the
+    explode, so tf needs NO join back to the fact table — one shuffle
+    on (doc_id, term) restricted to query-term rows (the WHERE prunes
+    before the exchange). df (|Q| rows) and the corpus stats (1 row)
+    are broadcast. Per-doc score is an exact DECIMAL sum of
+    fixed-pointed per-term contributions."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    with_dl = docs.select(
+        "doc_id",
+        F.size(ws_tokens("text")).alias("dl"),
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = (
+        with_dl.where(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.max("dl").alias("dl"),
+            F.count("*").cast("double").alias("tf"),
+        )
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum(F.size(ws_tokens("text"))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    term_score = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    ) * (
+        F.col("tf")
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", scaled_int(term_score, 9).alias("ts"))
+    )
+    return scored.groupBy("doc_id").agg(
+        (F.sum("ts").cast("double") / F.lit(_BM_SCALE)).alias("score")
+    )
+
+
+def _ranked_head(scored: DataFrame, score_col: str, id_col: str, n: int,
+                 rank_name: str) -> DataFrame:
+    """Top-n by (score desc, id) with a dense 1..n rank column — sort
+    + limit FIRST (distributed take-ordered), then row_number over the
+    n surviving rows. Never a global single-partition window over the
+    full scored set (that is the gini_revenue lesson: an empty
+    partition spec moves every row into one task)."""
+    head = scored.orderBy(F.col(score_col).desc(), F.col(id_col)).limit(n)
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return head.withColumn(rank_name, F.row_number().over(w).cast("int"))
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH {O_BM25_CTES}
+    SELECT doc_id, score, rank
+    FROM (
+      SELECT doc_id, score, CAST(ROW_NUMBER() OVER (
+        ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      FROM bm25
+    )
+    WHERE rank <= {BM25_TOP}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the fixed query ({hash, join, stream}):
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation k1=1.2,
+    length normalization b=0.75 against the corpus mean doc length.
+
+    Scale shape: see _bm25_scores (one pruned shuffle + broadcasts);
+    the top-20 is a distributed sort-limit, with row_number assigned
+    only over the 20 survivors."""
+    return _ranked_head(
+        _bm25_scores(spark, sf_dir), "score", "doc_id", BM25_TOP, "rank"
+    ).select("doc_id", "score", "rank")
+
+
+@query(
+    "rrf_fusion",
+    oracle=f"""
+    WITH {O_BM25_CTES},
+    lex AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        ORDER BY score DESC, doc_id) AS INTEGER) AS rank_lex
+      FROM bm25
+      QUALIFY rank_lex <= {RRF_DEPTH}
+    ),
+    norms AS ({O_NORMS_CTE}),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT c.vec_id AS doc_id,
+             (CAST(list_sum(list_transform(generate_series(1, len(c.embedding)),
+               i -> CAST(floor(CAST(c.embedding[i] AS DOUBLE)
+                 * CAST(q.qe[i] AS DOUBLE) * 1000000000000.0 + 0.5)
+                 AS DECIMAL(30,0)))) AS DOUBLE) / 1000000000000.0)
+             / (cn.nrm * qn.nrm) AS cosine
+      FROM embeddings c CROSS JOIN qv q
+      JOIN norms cn ON cn.vec_id = c.vec_id
+      JOIN norms qn ON qn.vec_id = 0
+      WHERE c.vec_id <> 0
+    ),
+    vec AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        ORDER BY cosine DESC, doc_id) AS INTEGER) AS rank_vec
+      FROM cos
+      QUALIFY rank_vec <= {RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             lex.rank_lex, vec.rank_vec,
+             COALESCE(1.0 / ({RRF_K} + CAST(lex.rank_lex AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + CAST(vec.rank_vec AS DOUBLE)), 0.0)
+               AS rrf_score
+      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_vec, rrf_score, rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+      FROM fused
+    )
+    WHERE rank <= {RRF_TOP}
+    """,
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 ranking with an embedding-cosine
+    ranking (query vector = vec_id 0, the convention ann_cosine_topk
+    established for "a query against the corpus") via reciprocal-rank
+    fusion, score = Σ 1/(60 + rank) over the rankings that retrieved
+    the doc. Documents and embeddings are id-aligned (doc_id = vec_id).
+
+    Scale shape: each ranking is a distributed sort-limit to depth 50
+    (row_number only over the survivors — no global window); the fuse
+    is a 50x50-row broadcast outer join; cosine reuses the broadcast
+    query + exact-decimal dot product from similarity.py."""
+    lex = _ranked_head(
+        _bm25_scores(spark, sf_dir), "score", "doc_id", RRF_DEPTH, "rank_lex"
+    ).select("doc_id", "rank_lex")
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].withColumn(
+        "nrm", F.sqrt(sq_norm_dec(F.col("embedding")))
+    )
+    qv = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    cos = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                dot_dec(F.col("embedding"), F.col("qe"))
+                / (F.col("nrm") * F.col("qnrm"))
+            ).alias("cosine"),
+        )
+    )
+    vec = _ranked_head(cos, "cosine", "doc_id", RRF_DEPTH, "rank_vec").select(
+        "doc_id", "rank_vec"
+    )
+
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_vec").cast("double")),
+        F.lit(0.0),
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select("doc_id", "rank_lex", "rank_vec", rrf.alias("rrf_score"))
+    )
+    return _ranked_head(fused, "rrf_score", "doc_id", RRF_TOP, "rank").select(
+        "doc_id", "rank_lex", "rank_vec", "rrf_score", "rank"
+    )

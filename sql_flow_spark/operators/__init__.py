@@ -26,5 +26,6 @@ from sql_flow_spark.functions import similarity  # noqa: F401
 from sql_flow_spark.functions import multimodal  # noqa: F401
 from sql_flow_spark.functions import curation  # noqa: F401
 from sql_flow_spark.functions import bpe  # noqa: F401
+from sql_flow_spark.functions import retrieval  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]
