@@ -880,3 +880,101 @@ def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("conv_2_3"),
     )
+
+
+_NEP_SCALE = 1_000_000_000_000.0  # 12dp fixed point for entropy terms
+
+
+@query(
+    "next_event_prediction",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS nxt
+      FROM events
+    ),
+    counts AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, SUM(n) AS tot FROM counts GROUP BY cur),
+    terms AS (
+      SELECT c.cur, c.nxt, c.n, t.tot,
+             CAST(floor((CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+               * log2(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+               * {_NEP_SCALE} + 0.5) AS DECIMAL(30,0)) AS hterm
+      FROM counts c JOIN tot t ON c.cur = t.cur
+    ),
+    ent AS (
+      SELECT cur, CAST(tot AS BIGINT) AS n_obs,
+             -(CAST(SUM(hterm) AS DOUBLE) / {_NEP_SCALE}) AS entropy_bits
+      FROM terms GROUP BY cur, tot
+    ),
+    best AS (
+      SELECT cur, nxt, n, tot FROM (
+        SELECT c.*, t.tot, ROW_NUMBER() OVER (
+          PARTITION BY c.cur ORDER BY c.n DESC, c.nxt) AS rn
+        FROM counts c JOIN tot t ON c.cur = t.cur
+      ) WHERE rn = 1
+    )
+    SELECT b.cur, b.nxt AS predicted_next,
+           CAST(b.n AS DOUBLE) / CAST(b.tot AS DOUBLE) AS p_next,
+           e.n_obs, e.entropy_bits
+    FROM best b JOIN ent e ON b.cur = e.cur
+    """,
+)
+def next_event_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction table from the first-order Markov model:
+    for each conditioning event type, the argmax next event with its
+    probability AND the conditional entropy H(next | cur) in bits —
+    prediction plus uncertainty in one row (a high-entropy state means
+    the argmax is a coin flip; sequence-model evaluation needs both).
+    Complements event_transition_matrix (the full distribution) and
+    user_behavior_entropy (per-user entropy).
+
+    Exactness: transition counts are exact BIGINTs over the same total
+    (time, event_id) order as event_transition_matrix; each p·log2(p)
+    entropy term is fixed-pointed to 12dp (log2 ulp drift absorbed)
+    and DECIMAL-summed, so the per-state sum is fold-order-free.
+
+    Scale shape: one user-partitioned window (the sequence pairing),
+    one shuffle onto the types×types key space (tiny from map-side
+    combine); everything after runs on the Markov matrix itself."""
+    t = load_tables(spark, sf_dir, ("events",))
+    wseq = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    seq = t["events"].select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wseq).alias("nxt"),
+    )
+    counts = (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = counts.groupBy("cur").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    hterm = F.floor(p * F.log2(p) * F.lit(_NEP_SCALE) + F.lit(0.5)).cast(
+        "decimal(30,0)"
+    )
+    terms = counts.join(F.broadcast(tot), "cur").select(
+        "cur", "nxt", "n", "tot", hterm.alias("hterm")
+    )
+    ent = terms.groupBy("cur", "tot").agg(
+        (-(F.sum("hterm").cast("double") / F.lit(_NEP_SCALE))).alias(
+            "entropy_bits"
+        )
+    ).select("cur", F.col("tot").cast("long").alias("n_obs"), "entropy_bits")
+    wbest = Window.partitionBy("cur").orderBy(F.col("n").desc(), "nxt")
+    best = (
+        terms.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("predicted_next"), p.alias("p_next"))
+    )
+    return best.join(ent, "cur").select(
+        "cur", "predicted_next", "p_next", "n_obs", "entropy_bits"
+    )

@@ -1711,3 +1711,99 @@ def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask6(cov / varx).alias("elasticity"),
         mask6(cov * cov / (varx * vary)).alias("r2"),
     )
+
+
+_HHI_SCALE = 1_000_000_000_000.0  # 12dp fixed point for share^2 terms
+
+
+@query(
+    "hhi_concentration",
+    oracle=f"""
+    WITH cust_rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             SUM(CAST(floor(o.o_totalprice * 10000.0 + 0.5)
+                 AS DECIMAL(30,0))) AS rev_dec
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    nat AS (
+      SELECT c_nationkey, SUM(rev_dec) AS tot_dec,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM cust_rev GROUP BY c_nationkey
+    ),
+    shares AS (
+      SELECT r.c_nationkey, t.n_customers,
+             CAST(r.rev_dec AS DOUBLE) / CAST(t.tot_dec AS DOUBLE) AS share
+      FROM cust_rev r JOIN nat t ON r.c_nationkey = t.c_nationkey
+    )
+    SELECT n.n_name AS nation, s.n_customers,
+           CAST(SUM(CAST(floor(s.share * s.share * {_HHI_SCALE} + 0.5)
+                AS DECIMAL(30,0))) AS DOUBLE) / {_HHI_SCALE} * 10000.0
+             AS hhi,
+           MAX(s.share) AS top_share
+    FROM shares s JOIN nation n ON s.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, s.n_customers
+    """,
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue-concentration index per nation:
+    hhi = Σ_customers share² × 10000 (the antitrust scale: 10000 =
+    monopoly, < 1500 ≈ unconcentrated) plus the single largest
+    customer share — the "is this market one whale or many minnows"
+    panel that complements gini_revenue (inequality of the same
+    distribution) and key_skew_report (the partitioning view).
+
+    Exactness: per-customer revenue is a DECIMAL fixed-point sum;
+    shares divide two exact decimals cast to DOUBLE (bit-identical);
+    each share² term is re-fixed-pointed to 12dp and DECIMAL-summed so
+    the per-nation fold order cannot matter.
+
+    Scale shape: aggregate-then-join twice — orders collapse onto
+    o_custkey (one fact shuffle), join the customer dim co-keyed on
+    custkey for the nation key, then collapse onto the 25-key nation
+    space (map-side partial sums make the tiny-key shuffle move only
+    partials, so nation-level skew never concentrates raw rows);
+    nation names broadcast at the end."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    cust_rev = (
+        t["orders"]
+        .join(
+            t["customer"],
+            t["orders"]["o_custkey"] == t["customer"]["c_custkey"],
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("o_totalprice") * F.lit(10000.0) + F.lit(0.5)
+                ).cast("decimal(30,0)")
+            ).alias("rev_dec")
+        )
+    )
+    nat = cust_rev.groupBy("c_nationkey").agg(
+        F.sum("rev_dec").alias("tot_dec"),
+        F.count("*").cast("long").alias("n_customers"),
+    )
+    shares = cust_rev.join(F.broadcast(nat), "c_nationkey").select(
+        "c_nationkey",
+        "n_customers",
+        (
+            F.col("rev_dec").cast("double") / F.col("tot_dec").cast("double")
+        ).alias("share"),
+    )
+    sq = F.floor(
+        F.col("share") * F.col("share") * F.lit(_HHI_SCALE) + F.lit(0.5)
+    ).cast("decimal(30,0)")
+    return (
+        shares.join(
+            F.broadcast(t["nation"]),
+            shares["c_nationkey"] == t["nation"]["n_nationkey"],
+        )
+        .groupBy(F.col("n_name").alias("nation"), "n_customers")
+        .agg(
+            (
+                F.sum(sq).cast("double") / F.lit(_HHI_SCALE) * F.lit(10000.0)
+            ).alias("hhi"),
+            F.max("share").alias("top_share"),
+        )
+    )

@@ -1063,3 +1063,173 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("none")
         .alias("trend"),
     )
+
+
+_KM_DAY_US = 86_400_000_000.0  # epoch-µs per day (float: both engines
+# do the identical IEEE division; day numbers ≪ 2^53 so floor is exact)
+_KM_LN_SCALE = 1_000_000_000_000.0  # 12dp fixed point for ln factors
+_KM_OUT_SCALE = 1_000_000_000.0  # 9dp rounding of the final survival
+
+
+@query(
+    "kaplan_meier_retention",
+    oracle=f"""
+    WITH od AS (
+      SELECT o_custkey,
+             CAST(floor(CAST(epoch_us(o_orderdate) AS DOUBLE)
+                        / {_KM_DAY_US}) AS BIGINT) AS day
+      FROM orders
+    ),
+    cust AS (
+      SELECT o_custkey, list_sort(list(DISTINCT day)) AS ds
+      FROM od GROUP BY o_custkey
+    ),
+    g AS (SELECT MAX(day) AS gmax FROM od),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+    obs AS (
+      SELECT CASE WHEN len(ds) >= 2 THEN ds[2] - ds[1]
+                  ELSE g.gmax - ds[1] END AS t,
+             CASE WHEN len(ds) >= 2 THEN 1 ELSE 0 END AS e
+      FROM cust CROSS JOIN g
+    ),
+    times AS (
+      SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+             CAST(SUM(1 - e) AS BIGINT) AS c
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d, c,
+             tot.n - COALESCE(SUM(d + c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_risk
+      FROM times CROSS JOIN tot
+    ),
+    lns AS (
+      SELECT t, d, c, n_risk,
+             CASE WHEN d < n_risk THEN
+               CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                          * {_KM_LN_SCALE} + 0.5) AS DECIMAL(30,0))
+             ELSE CAST(0 AS DECIMAL(30,0)) END AS lnterm,
+             CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS ext
+      FROM risk
+    )
+    SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored,
+           CASE WHEN MAX(ext) OVER (
+                  ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE floor(exp(CAST(SUM(lnterm) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS DOUBLE) / {_KM_LN_SCALE})
+                     * {_KM_OUT_SCALE} + 0.5) / {_KM_OUT_SCALE}
+           END AS survival
+    FROM lns
+    QUALIFY d > 0
+    """,
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier repeat-purchase curve: per customer the event is
+    the SECOND distinct order day (time-to-repeat, in days from the
+    first order); customers who never reorder are right-censored at
+    the corpus's last order day. S(t) = Π_{{t_i ≤ t}} (1 - d_i/n_i)
+    with the standard convention that same-day censorings stay in the
+    risk set for that day's events — the churn/retention estimator a
+    subscription or repeat-purchase analysis starts from, robust to
+    the fact that recent first-time customers simply haven't had time
+    to reorder yet (censoring, not churn).
+
+    Exactness: order days are integer (identical IEEE floor-division
+    from epoch-µs), per-customer first/second days come from a sorted
+    distinct-day array, and all d/n counts are exact BIGINTs. The
+    survival product runs in log space: each ln(1 - d/n) factor is
+    fixed-pointed to 12dp (absorbing ln() ulp drift between engines)
+    and cumulative-summed as DECIMAL — exact in any fold order — then
+    a single exp() is rounded to 9dp. Censor-only days contribute
+    ln(1) = 0, so they flow through the same sum unfiltered. The
+    d = n_risk extinction edge (survival exactly 0, ln undefined) is
+    flagged and short-circuited identically in both engines.
+
+    Scale shape: one shuffle onto o_custkey (per-customer distinct
+    days; baskets are small so collect_set is bounded), then every
+    later stage operates on DISTINCT time values — bounded by the
+    study horizon in days (a few thousand) regardless of row count,
+    so the unpartitioned cumulative windows run over a calendar-sized
+    table, not the fact table (the gini_revenue lesson does not apply:
+    this window's input cannot grow with data volume)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    od = t["orders"].select(
+        "o_custkey",
+        F.floor(
+            F.unix_micros("o_orderdate").cast("double") / F.lit(_KM_DAY_US)
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    cust = od.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set("day")).alias("ds")
+    )
+    g = od.agg(F.max("day").alias("gmax"))
+    tot = cust.agg(F.count("*").cast("long").alias("n"))
+    second = F.element_at("ds", 2) - F.element_at("ds", 1)
+    censored = F.col("gmax") - F.element_at("ds", 1)
+    obs = cust.crossJoin(F.broadcast(g)).select(
+        F.when(F.size("ds") >= 2, second).otherwise(censored).alias("t"),
+        F.when(F.size("ds") >= 2, 1).otherwise(0).alias("e"),
+    )
+    times = obs.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("e")).cast("long").alias("c"),
+    )
+    w_prior = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = times.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    lnterm = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            )
+            * F.lit(_KM_LN_SCALE)
+            + F.lit(0.5)
+        ).cast("decimal(30,0)"),
+    ).otherwise(F.lit(0).cast("decimal(30,0)"))
+    ext = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    lns = risk.select(
+        "t", "d", "c", "n_risk", lnterm.alias("lnterm"), ext.alias("ext")
+    )
+    survival = F.when(F.max("ext").over(w_cum) == 1, F.lit(0.0)).otherwise(
+        F.floor(
+            F.exp(
+                F.sum("lnterm").over(w_cum).cast("double")
+                / F.lit(_KM_LN_SCALE)
+            )
+            * F.lit(_KM_OUT_SCALE)
+            + F.lit(0.5)
+        )
+        / F.lit(_KM_OUT_SCALE)
+    )
+    return (
+        lns.select(
+            F.col("t").alias("t_days"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            survival.alias("survival"),
+        )
+        .where(F.col("n_events") > 0)
+    )

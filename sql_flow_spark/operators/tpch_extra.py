@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql_flow_spark.registry import dsum, o_dsum, query
+from sql_flow_spark.registry import davg, dsum, o_davg, o_dsum, query
 from sql_flow_spark.tables import load_tables
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -1020,4 +1020,84 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
         )
         .limit(100)
+    )
+
+
+@query(
+    "supplier_scorecard",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_suppkey,
+             {o_dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS return_rate,
+             {o_davg('l_discount')} AS avg_discount,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation, m.revenue, m.n_lines,
+           m.return_rate, m.avg_discount, m.n_parts,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY n.n_name ORDER BY m.revenue DESC, s.s_suppkey
+           ) AS INTEGER) AS rev_rank_in_nation
+    FROM m
+    JOIN supplier s ON m.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier KPI panel — the vendor-management dashboard query:
+    revenue, line volume, return rate, mean discount, distinct-part
+    breadth, and the supplier's revenue rank within its nation, one
+    row per active supplier. The multi-metric sibling of
+    q15_top_supplier (which picks only the single max-revenue
+    supplier).
+
+    Exactness: revenue/discount go through the DECIMAL fixed-point
+    sum (order-insensitive), return rate divides exact integer
+    counts; the within-nation rank has a total (revenue DESC,
+    suppkey) order so ties cannot flip between engines.
+
+    Scale shape: aggregate-then-join — the fact table collapses onto
+    l_suppkey FIRST (one shuffle with map-side partial aggregation,
+    count_distinct expanding to (suppkey, partkey) internally), and
+    only the supplier-sized aggregate joins the supplier dim
+    (co-keyed) and the 25-row nation dim (broadcast). The rank window
+    partitions by nation over supplier-sized input."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    m = t["lineitem"].groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+        (
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).cast("double")
+            / F.count("*").cast("double")
+        ).alias("return_rate"),
+        davg("l_discount").alias("avg_discount"),
+        F.count_distinct("l_partkey").cast("long").alias("n_parts"),
+    )
+    joined = m.join(
+        t["supplier"], m["l_suppkey"] == t["supplier"]["s_suppkey"]
+    ).join(
+        F.broadcast(t["nation"]),
+        t["supplier"]["s_nationkey"] == t["nation"]["n_nationkey"],
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("s_suppkey")
+    )
+    return joined.select(
+        "s_suppkey",
+        "s_name",
+        F.col("n_name").alias("nation"),
+        "revenue",
+        "n_lines",
+        "return_rate",
+        "avg_discount",
+        "n_parts",
+        F.row_number().over(w).cast("int").alias("rev_rank_in_nation"),
     )
