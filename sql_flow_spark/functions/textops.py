@@ -557,3 +557,49 @@ def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flesch"
         ),
     )
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+             AS BIGINT) AS n_ws_words,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS DOUBLE)
+             / CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                    AS DOUBLE) AS fertility
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens emitted per
+    whitespace word — THE cross-lingual tokenizer-efficiency metric
+    (a fertility of 2 means that language pays twice the sequence
+    length per word; drives both training cost and context-window
+    fairness audits). Uses the same BPE_RE pre-tokenizer as
+    token_count, aggregated per lang instead of per doc.
+
+    Exactness: both token counts are exact integers from identical
+    regexes; fertility is one IEEE division of exact BIGINT sums.
+
+    Scale shape: narrow map over the corpus scan (two regex counts
+    per doc), then a languages-sized groupBy of map-side partials —
+    no join, no window, one tiny shuffle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "lang",
+        ws_token_count("text").alias("nw"),
+        bpe_token_count("text").alias("nb"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nb").cast("long").alias("n_bpe_tokens"),
+        F.sum("nw").cast("long").alias("n_ws_words"),
+        (
+            F.sum("nb").cast("double") / F.sum("nw").cast("double")
+        ).alias("fertility"),
+    )

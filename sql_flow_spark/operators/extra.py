@@ -1807,3 +1807,128 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("share").alias("top_share"),
         )
     )
+
+
+@query(
+    "abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+                 + 0.5) AS DECIMAL(30,0))) AS xs
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(xs) AS tot FROM rev),
+    cum AS (
+      SELECT l_partkey, xs,
+             SUM(xs) OVER (ORDER BY xs DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rev
+    ),
+    cls AS (
+      SELECT xs,
+             CASE WHEN CAST(cum AS DOUBLE) / CAST(t.tot AS DOUBLE) <= 0.80
+                    THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(t.tot AS DOUBLE) <= 0.95
+                    THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             t.tot
+      FROM cum CROSS JOIN tot t
+    )
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(xs) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(SUM(xs) AS DOUBLE) / CAST(tot AS DOUBLE) AS revenue_share
+    FROM cls GROUP BY abc_class, tot
+    """,
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts sorted by revenue
+    descending, class A = items inside the first 80% of cumulative
+    revenue, B = to 95%, C = the long tail; output is the per-class
+    summary (count, revenue, share) — the classic "20% of SKUs are
+    80% of revenue" working-capital cut.
+
+    Exactness: revenues are DECIMAL fixed-point sums; the cumulative
+    sum is DECIMAL (exact, so class boundaries depend only on the
+    (revenue DESC, partkey) total order, identical in both engines);
+    boundary shares divide exact decimals as DOUBLE.
+
+    Scale shape: the global cumulative sum uses the gini_revenue
+    pattern — a bare Window.orderBy would drag every part into ONE
+    task, so instead: range-partition on the sort order, cumulative
+    sums WITHIN each physical partition (parallel WindowExec), and a
+    per-partition revenue offset from a n_partitions-row side table;
+    the only unpartitioned window runs over n_partitions rows. The
+    class summary is a 3-key groupBy of map-side partials."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    rev = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                ).cast("decimal(30,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("xs")
+        )
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = materialize_once(
+        rev.repartitionByRange(
+            n_part, F.col("xs").desc(), F.col("l_partkey")
+        ).withColumn("pid", F.spark_partition_id())
+    )
+    offs = (
+        tagged.groupBy("pid")
+        .agg(F.sum("xs").cast("decimal(38,0)").alias("psum"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("psum").over(
+                    # n_partitions rows only — trivially single-task
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("off"),
+        )
+    )
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("xs").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = rev.agg(F.sum("xs").cast("decimal(38,0)").alias("tot"))
+    cum = (
+        tagged.withColumn("cin", F.sum("xs").over(wp))
+        .join(F.broadcast(offs), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "xs",
+            "tot",
+            (
+                (F.col("off") + F.col("cin")).cast("double")
+                / F.col("tot").cast("double")
+            ).alias("cshare"),
+        )
+    )
+    cls = F.when(F.col("cshare") <= 0.80, "A").when(
+        F.col("cshare") <= 0.95, "B"
+    ).otherwise("C")
+    return (
+        cum.groupBy(cls.alias("abc_class"), "tot")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            (F.sum("xs").cast("double") / F.lit(10000.0)).alias("revenue"),
+            (
+                F.sum("xs").cast("double") / F.col("tot").cast("double")
+            ).alias("revenue_share"),
+        )
+        .select("abc_class", "n_parts", "revenue", "revenue_share")
+    )

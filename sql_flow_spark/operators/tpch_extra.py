@@ -1101,3 +1101,74 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts",
         F.row_number().over(w).cast("int").alias("rev_rank_in_nation"),
     )
+
+
+_DAY_US_F = 86_400_000_000.0
+
+
+@query(
+    "fulfillment_latency",
+    oracle=f"""
+    WITH lag AS (
+      SELECT o.o_orderpriority,
+             MIN(CAST(floor(CAST(epoch_us(l.l_shipdate) AS DOUBLE)
+                 / {_DAY_US_F}) AS BIGINT))
+             - CAST(floor(CAST(epoch_us(o.o_orderdate) AS DOUBLE)
+                 / {_DAY_US_F}) AS BIGINT) AS lag_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(lag_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_lag_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_lag_days,
+           CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS pct_within_30d
+    FROM lag GROUP BY o_orderpriority
+    """,
+)
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment latency panel per order priority: days
+    from order date to the FIRST line shipped, with the 30-day SLA
+    attainment share — the operational "are urgent orders actually
+    shipped faster" question (q12_late_shipments checks line-level
+    lateness; this measures order-level first response).
+
+    Exactness: order/ship days are integer IEEE floor-divisions of
+    epoch-µs; lags are exact BIGINTs; the two ratios divide exact
+    integer sums.
+
+    Scale shape: the orders-lineitem join is the canonical
+    co-partitioned fact-fact join on orderkey (both sides shuffle
+    once onto the same key; the groupBy on o_orderkey reuses that
+    partitioning so the per-order MIN adds no exchange), then a
+    5-key priority groupBy of map-side partials."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    day = lambda c: F.floor(
+        F.unix_micros(c).cast("double") / F.lit(_DAY_US_F)
+    ).cast("long")
+    lag = (
+        t["orders"]
+        .select("o_orderkey", "o_orderpriority", day("o_orderdate").alias("od"))
+        .join(
+            t["lineitem"].select(
+                "l_orderkey", day("l_shipdate").alias("sd")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority", "od")
+        .agg((F.min("sd") - F.first("od")).alias("lag_days"))
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        (
+            F.sum("lag_days").cast("double") / F.count("*").cast("double")
+        ).alias("avg_lag_days"),
+        F.max("lag_days").cast("long").alias("max_lag_days"),
+        (
+            F.sum(
+                F.when(F.col("lag_days") <= 30, 1).otherwise(0)
+            ).cast("double")
+            / F.count("*").cast("double")
+        ).alias("pct_within_30d"),
+    )
