@@ -978,3 +978,177 @@ def next_event_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.join(ent, "cur").select(
         "cur", "predicted_next", "p_next", "n_obs", "entropy_bits"
     )
+
+
+_SESSION_GAP_US = 1_800_000_000  # 30 min, same as events_sessionize
+_PATH_TOP = 10
+
+
+@query(
+    "session_path_topk",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, tus, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM seq
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+      FROM sess GROUP BY user_id, sid
+    ),
+    counts AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions, rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY n_sessions DESC, path) AS INTEGER) AS rank
+      FROM counts
+    )
+    WHERE rank <= {_PATH_TOP}
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session paths: the ordered event-type sequence of each
+    30-minute-gap session, ranked by how many sessions follow it —
+    the "what do users actually do" navigation-pattern query (the
+    sequence-level view that event_transition_matrix's one-step
+    probabilities can't give).
+
+    Exactness: sessions use the same gap/total-order convention as
+    events_sessionize; the path string is built over the total
+    (time, event_id) order in both engines (array_sort over structs
+    here, ORDER BY inside string_agg there); counts are exact and
+    the top-10 carries a path tiebreak.
+
+    Scale shape: one shuffle onto user_id (session window) whose
+    partitioning the per-session groupBy reuses, then a path-keyed
+    count with map-side combine; top-10 is a distributed sort-limit
+    with row_number only over the survivors."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+    )
+    wseq = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    is_new = F.when(
+        F.lag("tus").over(wseq).isNull()
+        | ((F.col("tus") - F.lag("tus").over(wseq)) > _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sid",
+        F.sum(is_new).over(
+            wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("tus", "event_id", "event_type"))
+                ),
+                lambda x: x.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    head = counts.orderBy(F.col("n_sessions").desc(), "path").limit(_PATH_TOP)
+    w = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return head.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@query(
+    "dau_mau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT strftime(ts, '%Y-%m') AS month,
+             CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                  AS BIGINT) AS day,
+             user_id
+      FROM events GROUP BY 1, 2, 3
+    ),
+    daily AS (
+      SELECT month, day, CAST(COUNT(*) AS BIGINT) AS dau
+      FROM du GROUP BY month, day
+    ),
+    monthly AS (
+      SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM du GROUP BY month
+    ),
+    d2 AS (
+      SELECT month, CAST(COUNT(*) AS BIGINT) AS n_active_days,
+             CAST(SUM(dau) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_dau
+      FROM daily GROUP BY month
+    )
+    SELECT m.month, d2.n_active_days, d2.avg_dau, m.mau,
+           d2.avg_dau / CAST(m.mau AS DOUBLE) AS stickiness
+    FROM monthly m JOIN d2 ON m.month = d2.month
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month: average daily active
+    users over monthly active users — the canonical product-health
+    ratio (1.0 = every monthly user shows up every day). Also returns
+    the raw n_active_days/avg_dau/mau panel.
+
+    Exactness: the (month, day, user) activity set is deduplicated
+    with exact keys (integer day floor-division, strftime month);
+    avg_dau divides exact BIGINT sums; stickiness divides that result
+    by an exact BIGINT — identical expression trees both sides.
+
+    Scale shape: one shuffle to the distinct (month, day, user)
+    activity set (map-side partial dedup), then two small aggs —
+    daily counts reuse the activity set's partitioning prefix, the
+    monthly distinct-user count is months×users-sized — joined on a
+    months-sized key."""
+    t = load_tables(spark, sf_dir, ("events",))
+    du = (
+        t["events"]
+        .select(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.floor(
+                F.unix_micros("ts").cast("double") / F.lit(86400000000.0)
+            )
+            .cast("long")
+            .alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    daily = du.groupBy("month", "day").agg(
+        F.count("*").cast("long").alias("dau")
+    )
+    monthly = du.groupBy("month").agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    )
+    d2 = daily.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_active_days"),
+        (F.sum("dau").cast("double") / F.count("*").cast("double")).alias(
+            "avg_dau"
+        ),
+    )
+    return monthly.join(d2, "month").select(
+        "month",
+        "n_active_days",
+        "avg_dau",
+        "mau",
+        (F.col("avg_dau") / F.col("mau").cast("double")).alias("stickiness"),
+    )

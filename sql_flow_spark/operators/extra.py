@@ -1932,3 +1932,145 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("abc_class", "n_parts", "revenue", "revenue_share")
     )
+
+
+@query(
+    "lorenz_curve_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT o.o_custkey,
+             SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                 * 10000.0 + 0.5) AS DECIMAL(30,0))) AS xs
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey
+    ),
+    tot AS (
+      SELECT SUM(xs) AS tot, CAST(COUNT(*) AS BIGINT) AS n FROM rev
+    ),
+    ranked AS (
+      SELECT xs, ROW_NUMBER() OVER (ORDER BY xs, o_custkey) AS rk
+      FROM rev
+    ),
+    dec AS (
+      SELECT xs,
+             CAST(floor(CAST((rk - 1) * 10 AS DOUBLE)
+                  / CAST(t.n AS DOUBLE)) AS INTEGER) + 1 AS decile,
+             t.tot
+      FROM ranked CROSS JOIN tot t
+    ),
+    per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(xs) AS DOUBLE) / 10000.0 AS revenue,
+             CAST(SUM(xs) AS DOUBLE) / CAST(tot AS DOUBLE) AS revenue_share
+      FROM dec GROUP BY decile, tot
+    )
+    SELECT decile, n_customers, revenue, revenue_share,
+           SUM(revenue_share) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_share
+    FROM per
+    """,
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile resolution: customers sorted by revenue
+    ascending, split into 10 equal-population deciles, each with its
+    revenue share and the cumulative share — the PLOTTABLE companion
+    to gini_revenue's single coefficient (gini is twice the area
+    between this curve and the diagonal) and hhi_concentration's
+    market view.
+
+    Exactness: per-customer revenue is the same DECIMAL fixed-point
+    sum as gini_revenue; decile assignment uses only the exact global
+    rank (the (xs, custkey) total order) and integer/IEEE arithmetic
+    identical in both engines; shares divide exact decimals. The
+    cum_share window sums 10 doubles in decile order — sequential and
+    identical both sides.
+
+    Scale shape: the global rank reuses gini_revenue's distributed
+    pattern — range-partition on the sort order, row_number within
+    each physical partition (parallel), per-partition count offsets
+    from an n_partitions-row table; the only unpartitioned windows
+    run over n_partitions and 10 rows respectively."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    rev = (
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                ).cast("decimal(30,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("xs")
+        )
+    )
+    tot = rev.agg(
+        F.sum("xs").cast("decimal(38,0)").alias("tot"),
+        F.count("*").cast("long").alias("n"),
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = materialize_once(
+        rev.repartitionByRange(n_part, "xs", "o_custkey").withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    offs = (
+        tagged.groupBy("pid")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("c").over(
+                    # n_partitions rows only — trivially single-task
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("off"),
+        )
+    )
+    wp = Window.partitionBy("pid").orderBy("xs", "o_custkey")
+    decile = (
+        F.floor(
+            ((F.col("off") + F.col("j") - F.lit(1)) * F.lit(10)).cast("double")
+            / F.col("n").cast("double")
+        ).cast("int")
+        + F.lit(1)
+    )
+    dec = (
+        tagged.withColumn("j", F.row_number().over(wp).cast("long"))
+        .join(F.broadcast(offs), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select("xs", "tot", decile.alias("decile"))
+    )
+    per = dec.groupBy("decile", "tot").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        (F.sum("xs").cast("double") / F.lit(10000.0)).alias("revenue"),
+        (F.sum("xs").cast("double") / F.col("tot").cast("double")).alias(
+            "revenue_share"
+        ),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "decile",
+        "n_customers",
+        "revenue",
+        "revenue_share",
+        F.sum("revenue_share").over(wc).alias("cum_share"),
+    )
