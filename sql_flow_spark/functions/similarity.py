@@ -1105,3 +1105,123 @@ def farthest_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "pick_order INT, vec_id BIGINT, mindist DOUBLE"
     )
+
+
+# ------------------------------------------------ scalar quantization
+
+_SQ_LEVELS = 255.0  # int8-style 256-level scalar quantization
+_SQ_ERRSCALE = 1_000_000_000_000.0  # 12dp fixed point for error terms
+
+
+@query(
+    "embedding_quantization",
+    oracle=f"""
+    WITH per_vec AS (
+      SELECT label,
+             len(embedding) AS dim,
+             list_min(embedding) AS mn,
+             list_max(embedding) AS mx,
+             embedding
+      FROM embeddings
+    ),
+    errs AS (
+      SELECT label, dim,
+             CASE WHEN mx = mn THEN 0.0 ELSE
+               list_max(list_transform(embedding, x ->
+                 abs(CAST(x AS DOUBLE) - (CAST(mn AS DOUBLE)
+                   + floor((CAST(x AS DOUBLE) - CAST(mn AS DOUBLE))
+                       / ((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))
+                          / {_SQ_LEVELS}) + 0.5)
+                     * ((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))
+                        / {_SQ_LEVELS})))))
+             END AS max_err,
+             CASE WHEN mx = mn THEN CAST(0 AS DECIMAL(38,0)) ELSE
+               list_sum(list_transform(embedding, x ->
+                 CAST(floor(
+                   (CAST(x AS DOUBLE) - (CAST(mn AS DOUBLE)
+                     + floor((CAST(x AS DOUBLE) - CAST(mn AS DOUBLE))
+                         / ((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))
+                            / {_SQ_LEVELS}) + 0.5)
+                       * ((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))
+                          / {_SQ_LEVELS})))
+                   * (CAST(x AS DOUBLE) - (CAST(mn AS DOUBLE)
+                     + floor((CAST(x AS DOUBLE) - CAST(mn AS DOUBLE))
+                         / ((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))
+                            / {_SQ_LEVELS}) + 0.5)
+                       * ((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))
+                          / {_SQ_LEVELS})))
+                   * {_SQ_ERRSCALE} + 0.5) AS DECIMAL(30,0))))
+             END AS sq_dec
+      FROM per_vec
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(sq_dec) AS DOUBLE) / {_SQ_ERRSCALE}
+             / CAST(SUM(dim) AS DOUBLE) AS mse,
+           MAX(max_err) AS max_abs_err
+    FROM errs GROUP BY label
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style scalar quantization audit: quantize every embedding
+    to 256 levels on its own [min, max] range (the storage layout
+    vector stores actually ship — 4x smaller than float32), then
+    report the reconstruction error per label: mean squared error per
+    dimension and the worst absolute element error. The
+    decide-before-you-compress panel for an embedding pipeline.
+
+    Quantization uses floor(u + 0.5), not round() — round() is
+    half-even in one engine and half-away in the other, so the house
+    fixed-point idiom is the only cross-engine-safe rounding. Squared
+    errors are fixed-pointed to 12dp and DECIMAL-summed (exact in any
+    fold order); the flat-vector edge (max = min, zero scale) is
+    short-circuited to zero error identically in both engines.
+
+    Scale shape: a narrow map over the embeddings scan (two array
+    folds per row, no explode), then a labels-sized groupBy of
+    map-side partials — no join, no window, one tiny shuffle."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"].select(
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.array_min("embedding").alias("mn"),
+        F.array_max("embedding").alias("mx"),
+        "embedding",
+    )
+    mn = F.col("mn").cast("double")
+    step = (F.col("mx").cast("double") - mn) / F.lit(_SQ_LEVELS)
+
+    def _err(x):
+        xd = x.cast("double")
+        dq = mn + F.floor((xd - mn) / step + F.lit(0.5)) * step
+        return xd - dq
+
+    max_err = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        F.array_max(F.transform("embedding", lambda x: F.abs(_err(x))))
+    )
+    sq_dec = F.when(
+        F.col("mx") == F.col("mn"), F.lit(0).cast("decimal(38,0)")
+    ).otherwise(
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    _err(x) * _err(x) * F.lit(_SQ_ERRSCALE) + F.lit(0.5)
+                ).cast("decimal(30,0)"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, v: acc + v,
+        )
+    )
+    errs = e.select(
+        "label", "dim", max_err.alias("max_err"), sq_dec.alias("sq_dec")
+    )
+    return errs.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        (
+            F.sum("sq_dec").cast("double")
+            / F.lit(_SQ_ERRSCALE)
+            / F.sum("dim").cast("double")
+        ).alias("mse"),
+        F.max("max_err").alias("max_abs_err"),
+    )

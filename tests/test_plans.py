@@ -285,3 +285,44 @@ def test_r8_operators_plan_hygiene(spark, sf_dir):
     assert "CartesianProduct" not in ps
     assert ps.count("SortMergeJoin") == pe.count("SortMergeJoin")
     assert ps.count("Exchange") == pe.count("Exchange")
+
+
+def test_r8b_operators_plan_hygiene(spark, sf_dir):
+    """Plan pins for the second r8 batch (retrieval + panels): global
+    no-cartesian/no-python invariants everywhere; the retrieval and
+    path top-ks materialize as distributed TakeOrderedAndProject (the
+    rank window only ever sees the survivors); the Pareto/Lorenz pair
+    must show the rangepartitioning exchange of the distributed-rank
+    pattern (a bare global window would be a one-task sort)."""
+    keys = (
+        "bm25_topk", "rrf_fusion", "kaplan_meier_retention",
+        "next_event_prediction", "supplier_scorecard",
+        "hhi_concentration", "abc_classification", "tokenizer_fertility",
+        "fulfillment_latency", "session_path_topk", "dau_mau_stickiness",
+        "lorenz_curve_deciles",
+    )
+    plans = {}
+    for name in keys:
+        p = plans[name] = plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name} degraded to cartesian"
+        assert "EvalPython" not in p, f"{name} fell back to python"
+
+    # top-k via sort-limit, not a full-set global rank window
+    for name in ("bm25_topk", "rrf_fusion", "session_path_topk"):
+        assert "TakeOrderedAndProject" in plans[name], name
+
+    # distributed global rank/cumsum: range partition on the sort
+    # order (materialize_once checkpoints eagerly, so audit the
+    # pre-materialization plan via the lazy_plans escape hatch)
+    from sql_flow_spark.functions.mat import lazy_plans
+
+    with lazy_plans():
+        for name in ("abc_classification", "lorenz_curve_deciles"):
+            assert "rangepartitioning" in plan(spark, sf_dir, name), name
+
+    # aggregate-then-join: the scorecard broadcasts nation, and the
+    # fertility panel is a narrow map + one tiny agg exchange (no join)
+    assert "BroadcastHashJoin" in plans["supplier_scorecard"]
+    p = plans["tokenizer_fertility"]
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2  # map-side partials
