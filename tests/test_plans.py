@@ -299,7 +299,7 @@ def test_r8b_operators_plan_hygiene(spark, sf_dir):
         "next_event_prediction", "supplier_scorecard",
         "hhi_concentration", "abc_classification", "tokenizer_fertility",
         "fulfillment_latency", "session_path_topk", "dau_mau_stickiness",
-        "lorenz_curve_deciles",
+        "lorenz_curve_deciles", "embedding_quantization",
     )
     plans = {}
     for name in keys:
