@@ -1152,3 +1152,131 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         (F.col("avg_dau") / F.col("mau").cast("double")).alias("stickiness"),
     )
+
+
+@query(
+    "growth_accounting",
+    oracle="""
+    WITH mu AS (
+      SELECT DISTINCT o_custkey,
+             (EXTRACT(year FROM o_orderdate) - 1970) * 12
+               + EXTRACT(month FROM o_orderdate) - 1 AS m
+      FROM orders
+    ),
+    firsts AS (SELECT o_custkey, MIN(m) AS fm FROM mu GROUP BY o_custkey),
+    cur AS (
+      SELECT mu.o_custkey, mu.m, f.fm,
+             (p.o_custkey IS NOT NULL) AS was_active
+      FROM mu
+      JOIN firsts f ON mu.o_custkey = f.o_custkey
+      LEFT JOIN mu p ON p.o_custkey = mu.o_custkey AND p.m = mu.m - 1
+    ),
+    stats AS (
+      SELECT m,
+             CAST(SUM(CASE WHEN m = fm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(SUM(CASE WHEN was_active THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+             CAST(SUM(CASE WHEN m > fm AND NOT was_active THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_resurrected
+      FROM cur GROUP BY m
+    ),
+    churn AS (
+      SELECT a.m + 1 AS m, CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM mu a LEFT JOIN mu b
+        ON b.o_custkey = a.o_custkey AND b.m = a.m + 1
+      WHERE b.o_custkey IS NULL
+      GROUP BY a.m + 1
+    )
+    SELECT s.m AS month_idx, s.n_new, s.n_retained, s.n_resurrected,
+           COALESCE(c.n_churned, 0) AS n_churned,
+           CASE WHEN COALESCE(c.n_churned, 0) > 0 THEN
+             CAST(s.n_new + s.n_resurrected AS DOUBLE)
+               / CAST(c.n_churned AS DOUBLE)
+           ELSE NULL END AS quick_ratio
+    FROM stats s LEFT JOIN churn c ON c.m = s.m
+    """,
+)
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting: every customer active (ordering) in a month classified as NEW
+    (first-ever month), RETAINED (also active the month before) or
+    RESURRECTED (returning after a gap), plus CHURNED (active last
+    month, gone this month) and the quick ratio (new + resurrected)
+    / churned — the canonical active-base decomposition growth teams run
+    before anything else (gross "MAU grew 5%" hides churn exactly the
+    way this table exposes).
+
+    Exactness: activity is an exact DISTINCT (user, month-index) set
+    (integer month arithmetic — no calendar strings in the logic);
+    all four states are exact integer counts from equality joins;
+    the quick ratio is one guarded IEEE division.
+
+    Scale shape: the activity set is one dedup shuffle onto
+    (o_custkey, m); firsts, the m-1 self-join and the m+1 churn
+    anti-join all re-shuffle user-keyed tables co-partitioned on
+    o_custkey (months/user is bounded, so each is months×users rows);
+    the final stats collapse onto a months-sized key."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    mu = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            ((F.year("o_orderdate") - 1970) * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("m"),
+        )
+        .distinct()
+    )
+    firsts = mu.groupBy("o_custkey").agg(F.min("m").alias("fm"))
+    prev = mu.select(F.col("o_custkey").alias("pu"), (F.col("m") + 1).alias("pm"))
+    cur = (
+        mu.join(firsts, "o_custkey")
+        .join(
+            prev,
+            (F.col("o_custkey") == F.col("pu")) & (F.col("m") == F.col("pm")),
+            "left",
+        )
+        .select(
+            "m",
+            "fm",
+            F.col("pu").isNotNull().alias("was_active"),
+        )
+    )
+    stats = cur.groupBy("m").agg(
+        F.sum(F.when(F.col("m") == F.col("fm"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("was_active"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when((F.col("m") > F.col("fm")) & ~F.col("was_active"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    nxt = mu.select(F.col("o_custkey").alias("nu"), (F.col("m") - 1).alias("nm"))
+    churn = (
+        mu.join(
+            nxt,
+            (F.col("o_custkey") == F.col("nu")) & (F.col("m") == F.col("nm")),
+            "left_anti",
+        )
+        .groupBy((F.col("m") + 1).alias("cm"))
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    joined = stats.join(churn, stats["m"] == churn["cm"], "left")
+    n_churned = F.coalesce(F.col("n_churned"), F.lit(0))
+    return joined.select(
+        F.col("m").alias("month_idx"),
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        n_churned.cast("long").alias("n_churned"),
+        F.when(
+            n_churned > 0,
+            (F.col("n_new") + F.col("n_resurrected")).cast("double")
+            / n_churned.cast("double"),
+        ).alias("quick_ratio"),
+    )

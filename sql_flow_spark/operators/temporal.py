@@ -554,3 +554,115 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resid"
         ),
     )
+
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_OUT = 1_000_000.0  # 6dp output rounding
+
+
+@query(
+    "holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE months AS (
+      SELECT (EXTRACT(year FROM o_orderdate) - 1970) * 12
+               + EXTRACT(month FROM o_orderdate) - 1 AS m,
+             CAST(SUM(CAST(floor(o_totalprice * 10000.0 + 0.5)
+                  AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (SELECT m, y, ROW_NUMBER() OVER (ORDER BY m) AS i FROM months),
+    rec AS (
+      SELECT i, m, y, y AS l,
+             COALESCE((SELECT y FROM idx WHERE i = 2), y) - y AS b
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT idx.i, idx.m, idx.y,
+             0.5 * idx.y + 0.5 * (rec.l + rec.b) AS l,
+             0.3 * ((0.5 * idx.y + 0.5 * (rec.l + rec.b)) - rec.l)
+               + 0.7 * rec.b AS b
+      FROM rec JOIN idx ON idx.i = rec.i + 1
+    )
+    SELECT m AS month_idx, y,
+           floor(l * 1000000.0 + 0.5) / 1000000.0 AS level,
+           floor(b * 1000000.0 + 0.5) / 1000000.0 AS trend,
+           floor((l + b) * 1000000.0 + 0.5) / 1000000.0 AS forecast_next
+    FROM rec
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) over the
+    monthly revenue series, α=0.5 β=0.3, standard init (l₁=y₁,
+    b₁=y₂−y₁): per month the smoothed level, trend, and the one-step
+    forecast l+b — the forecasting layer above ewma_daily (no trend
+    term) and seasonal_decompose (descriptive, not predictive).
+
+    The recurrence is inherently sequential, so it runs where the
+    series lives: ONE applyInPandas task over the months-sized
+    aggregate — bounded by the calendar (a century is 1200 rows), not
+    by data volume; the fact table has already collapsed to months in
+    a normal distributed agg. The oracle is a DuckDB RECURSIVE CTE
+    unrolling the identical IEEE expression sequence (literal 0.7,
+    not 1−0.3, on both sides — those differ in the last ulp); inputs
+    are exact-DECIMAL monthly sums and outputs are 6dp-rounded, so
+    every level/trend matches bit-for-bit.
+    """
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    months = (
+        t["orders"]
+        .groupBy(
+            ((F.year("o_orderdate") - 1970) * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("m")
+        )
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("o_totalprice") * F.lit(10000.0) + F.lit(0.5)
+                    ).cast("decimal(30,0)")
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("y")
+        )
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("m").reset_index(drop=True)
+        ys = [float(v) for v in pdf["y"]]
+        l = ys[0]
+        b = (ys[1] - ys[0]) if len(ys) > 1 else 0.0
+        levels, trends = [l], [b]
+        for y in ys[1:]:
+            l_new = 0.5 * y + 0.5 * (l + b)
+            b = 0.3 * (l_new - l) + 0.7 * b
+            l = l_new
+            levels.append(l)
+            trends.append(b)
+
+        def r6(x: float) -> float:
+            import math
+
+            return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+        return pd.DataFrame(
+            {
+                "month_idx": pdf["m"],
+                "y": pdf["y"],
+                "level": [r6(v) for v in levels],
+                "trend": [r6(v) for v in trends],
+                "forecast_next": [
+                    r6(lv + tr) for lv, tr in zip(levels, trends)
+                ],
+            }
+        )
+
+    return months.groupBy(F.lit(1).alias("g")).applyInPandas(
+        _holt,
+        schema=(
+            "month_idx long, y double, level double, trend double,"
+            " forecast_next double"
+        ),
+    )
