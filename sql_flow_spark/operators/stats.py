@@ -1233,3 +1233,200 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_events") > 0)
     )
+
+
+@query(
+    "skyline_parts",
+    oracle="""
+    WITH s AS (
+      SELECT p_size, MIN(p_retailprice) AS bp FROM part GROUP BY p_size
+    ),
+    best AS (
+      SELECT p.p_size, s.bp, CAST(COUNT(*) AS BIGINT) AS n_at_best,
+             MIN(p.p_partkey) AS example_partkey
+      FROM part p JOIN s ON p.p_size = s.p_size AND p.p_retailprice = s.bp
+      GROUP BY p.p_size, s.bp
+    )
+    SELECT p_size, bp AS best_price, n_at_best, example_partkey
+    FROM best b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s WHERE s.p_size < b.p_size AND s.bp <= b.bp
+    )
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: the parts not dominated on
+    (size ↓, price ↓) — no other part is both no-larger AND no-pricier
+    with at least one strict improvement. The multi-criteria
+    shortlist shape ("show me the efficient frontier") that no
+    single ORDER BY can answer; classic operator from the skyline
+    literature (Börzsönyi et al.).
+
+    The oracle states the DEFINITION (quadratic NOT EXISTS
+    domination); the Spark plan exploits 2D structure instead: reduce
+    to the per-size minimum price (one bounded-key shuffle with
+    map-side partials — domination within a size class is just MIN),
+    then a point survives iff its price is strictly below the running
+    minimum over all smaller sizes. Equality comparisons are on raw
+    parquet doubles (identical bits both engines), so the frontier
+    membership cannot diverge.
+
+    Scale shape: one groupBy onto the ~50-value size domain, a
+    broadcast join back for the tie census, and a window over ≤50
+    rows (bounded by the size DOMAIN, not the part count — the
+    frontier reduction is what makes skyline tractable at 100 TB)."""
+    t = load_tables(spark, sf_dir, ("part",))
+    p = t["part"].select("p_partkey", "p_size", "p_retailprice")
+    s = (
+        p.groupBy("p_size")
+        .agg(F.min("p_retailprice").alias("bp"))
+        .select(F.col("p_size").alias("s_size"), "bp")
+    )
+    best = (
+        p.join(
+            F.broadcast(s),
+            (F.col("p_size") == F.col("s_size"))
+            & (F.col("p_retailprice") == F.col("bp")),
+        )
+        .groupBy(F.col("p_size").alias("sz"), "bp")
+        .agg(
+            F.count("*").cast("long").alias("n_at_best"),
+            F.min("p_partkey").alias("example_partkey"),
+        )
+    )
+    # strict running min over smaller sizes: ≤ size-domain rows
+    w = Window.orderBy("sz").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        best.withColumn("prior_min", F.min("bp").over(w))
+        .where(F.col("prior_min").isNull() | (F.col("bp") < F.col("prior_min")))
+        .select(
+            F.col("sz").alias("p_size"),
+            F.col("bp").alias("best_price"),
+            "n_at_best",
+            "example_partkey",
+        )
+    )
+
+
+_AB_Z_CRIT = 1.959964  # two-sided 5%, same literal as mann_kendall
+
+
+@query(
+    "conversion_ab_test",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events
+      GROUP BY user_id
+    ),
+    arms AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT)
+          AS c_a,
+        CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT)
+          AS c_b
+      FROM assign
+    )
+    SELECT n_a, n_b,
+           CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS conv_a,
+           CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS conv_b,
+           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0 ELSE
+             floor((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+               * 1000000.0 + 0.5) / 1000000.0
+           END AS z_score,
+           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN FALSE ELSE
+             abs((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+               > {_AB_Z_CRIT}
+           END AS significant
+    FROM arms
+    """,
+)
+def conversion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion between a
+    deterministic 50/50 user split (user_id parity — the stable
+    assignment train_val_split established; a real experiment hashes
+    the unit id) — the experimentation primitive: pooled-variance z
+    and a two-sided 5% verdict, same 1.959964 critical literal as
+    mann_kendall_trend so verdicts can't flip between engines.
+
+    Exactness: per-arm user and converter counts are exact BIGINTs
+    from one per-user collapse; the z statistic is a single IEEE
+    expression over those integers, 6dp-rounded.
+
+    Scale shape: one shuffle onto user_id (per-user converted flag
+    with map-side partial MAX), then a single-row global aggregate of
+    map-side partials. Nothing downstream grows with data."""
+    t = load_tables(spark, sf_dir, ("events",))
+    assign = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+            "converted",
+        )
+    )
+    arms = assign.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    conv_a = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    conv_b = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    # degenerate experiment (everyone or no one converts): se = 0, the
+    # z statistic is undefined -> report 0 / not significant, exactly
+    # as the oracle does (ANSI mode would otherwise hard-fail the
+    # division; DuckDB would return inf/nan -- both wrong answers)
+    degen = (F.col("c_a") + F.col("c_b") == 0) | (
+        F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")
+    )
+    z = F.when(degen, F.lit(0.0)).otherwise((conv_a - conv_b) / se)
+    return arms.select(
+        "n_a",
+        "n_b",
+        conv_a.alias("conv_a"),
+        conv_b.alias("conv_b"),
+        (F.floor(z * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "z_score"
+        ),
+        (~degen & (F.abs(z) > F.lit(_AB_Z_CRIT))).alias("significant"),
+    )
