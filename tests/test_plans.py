@@ -300,6 +300,7 @@ def test_r8b_operators_plan_hygiene(spark, sf_dir):
         "hhi_concentration", "abc_classification", "tokenizer_fertility",
         "fulfillment_latency", "session_path_topk", "dau_mau_stickiness",
         "lorenz_curve_deciles", "embedding_quantization",
+        "growth_accounting", "skyline_parts", "conversion_ab_test",
     )
     plans = {}
     for name in keys:
@@ -319,6 +320,13 @@ def test_r8b_operators_plan_hygiene(spark, sf_dir):
     with lazy_plans():
         for name in ("abc_classification", "lorenz_curve_deciles"):
             assert "rangepartitioning" in plan(spark, sf_dir, name), name
+
+    # holt's sequential recurrence is the sanctioned grouped-map
+    # escape hatch — but it must sit ABOVE the month aggregation
+    # (calendar-bounded input), never on raw orders
+    p = plan(spark, sf_dir, "holt_linear_forecast")
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("HashAggregate") >= 2  # months collapse first
 
     # aggregate-then-join: the scorecard broadcasts nation, and the
     # fertility panel is a narrow map + one tiny agg exchange (no join)
