@@ -603,3 +603,55 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nb").cast("double") / F.sum("nw").cast("double")
         ).alias("fertility"),
     )
+
+
+@query(
+    "lang_confusion",
+    oracle=None,  # bound below once lang_id's oracle string exists
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the lang_id classifier against the
+    labeled lang column: per (true, predicted) cell the document
+    count and the within-true-language share (row-normalized recall
+    view) — the standard classifier-evaluation table, run at corpus
+    scale (note the honest failure surface: 'zh' has no stopword
+    model, so its row shows exactly where the heuristic sprays).
+
+    Exactness: composes lang_id's already-oracled scoring (exact
+    integer stopword hits, deterministic argmax cascade), then exact
+    counts and a BIGINT-window share division.
+
+    Scale shape: lang_id's narrow map, one shuffle onto the
+    languages² cell space with map-side partials, and a window over
+    that tiny matrix."""
+    from pyspark.sql import Window
+
+    preds = lang_id(spark, sf_dir)
+    conf = preds.groupBy("lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return conf.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("recall_share"),
+    )
+
+
+from sql_flow_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["lang_confusion"] = f"""
+    WITH preds AS ({_ORACLES["lang_id"]})
+    SELECT lang, predicted_lang, n_docs,
+           CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+             AS recall_share
+    FROM (
+      SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM preds GROUP BY lang, predicted_lang
+    )
+"""
