@@ -2074,3 +2074,86 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_share",
         F.sum("revenue_share").over(wc).alias("cum_share"),
     )
+
+
+_TRIPLE_TOP = 20
+
+
+@query(
+    "frequent_triples",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT p1, p2, p3, support, rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY support DESC, p1, p2, p3) AS INTEGER) AS rank
+      FROM (
+        SELECT b1.l_partkey AS p1, b2.l_partkey AS p2,
+               b3.l_partkey AS p3, CAST(COUNT(*) AS BIGINT) AS support
+        FROM b b1
+        JOIN b b2 ON b1.l_orderkey = b2.l_orderkey
+                 AND b1.l_partkey < b2.l_partkey
+        JOIN b b3 ON b2.l_orderkey = b3.l_orderkey
+                 AND b2.l_partkey < b3.l_partkey
+        GROUP BY p1, p2, p3
+      )
+    )
+    WHERE rank <= {_TRIPLE_TOP}
+    """,
+)
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 frequent 3-itemsets by basket support — the next rung of
+    market-basket mining above part_copurchase_topk/copurchase_lift
+    (pairs): which part TRIPLES co-occur in orders.
+
+    The oracle states the definition as the classic triple self-join;
+    the Spark plan instead collapses each order to its sorted distinct
+    part array (the self-joins' co-partitioned shuffles collapse into
+    ONE orderkey shuffle) and generates i<j<k combinations with nested
+    array transforms — a narrow map emitting C(basket,3) rows per
+    order, bounded because baskets are bounded (~7 parts), then one
+    triple-keyed count with map-side combine. Identical exact counts,
+    structurally different algorithm — the strongest kind of oracle.
+
+    Scale shape: two orderkey-partitioned stages (distinct, collect)
+    + one shuffle onto the triple key space; top-20 is a distributed
+    sort-limit with rank over the survivors. At 100 TB the triple
+    space is the pressure point — map-side partial aggregation and
+    the bounded-basket guarantee keep it a counting problem, and a
+    support-threshold HAVING slots in before the sort for true
+    Apriori-style pruning."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    b = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    arr = b.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("a")
+    ).where(F.size("a") >= 3)
+    n = F.size("a")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.flatten(
+                F.transform(
+                    F.sequence(i + 1, n - 2),
+                    lambda j: F.transform(
+                        F.sequence(j + 1, n - 1),
+                        lambda k: F.struct(
+                            F.element_at("a", i + 1).alias("p1"),
+                            F.element_at("a", j + 1).alias("p2"),
+                            F.element_at("a", k + 1).alias("p3"),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    triples = (
+        arr.select(F.explode(combos).alias("t"))
+        .select("t.p1", "t.p2", "t.p3")
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    head = triples.orderBy(
+        F.col("support").desc(), "p1", "p2", "p3"
+    ).limit(_TRIPLE_TOP)
+    w = Window.orderBy(F.col("support").desc(), "p1", "p2", "p3")
+    return head.withColumn("rank", F.row_number().over(w).cast("int"))
