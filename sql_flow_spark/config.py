@@ -13,7 +13,7 @@ from __future__ import annotations
 import copy
 import os
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Dict, List, Optional
 
 from jinja2 import Template
 from yaml import safe_load
@@ -226,6 +226,19 @@ class HeavyHittersConf:
 
 
 @dataclass
+class RollupConf:
+    """``pipeline.rollup:`` — maintained per-key aggregate table
+    across micro-batches (streaming/rollup.py): mergeable partials to
+    batch-keyed ``b=<id>`` overwrite partitions (replay-idempotent),
+    merge-on-read, marker-protocol ``compact()``. ``aggs`` maps input
+    column -> sum|count|min|max|avg."""
+
+    table_dir: str
+    keys: List[str]
+    aggs: Dict[str, str]
+
+
+@dataclass
 class PipelineConf:
     source: SourceConf
     handler: HandlerConf
@@ -237,6 +250,7 @@ class PipelineConf:
     ingest_dedup: Optional[IngestDedupConf] = None
     drift_monitor: Optional[DriftMonitorConf] = None
     heavy_hitters: Optional[HeavyHittersConf] = None
+    rollup: Optional[RollupConf] = None
 
 
 @dataclass
@@ -378,6 +392,9 @@ def new_from_dict(conf: dict) -> Conf:
                 HeavyHittersConf(**p["heavy_hitters"])
                 if p.get("heavy_hitters")
                 else None
+            ),
+            rollup=(
+                RollupConf(**p["rollup"]) if p.get("rollup") else None
             ),
         ),
     )

@@ -60,6 +60,7 @@ class Pipeline:
         ingest_dedup: Optional[cfg.IngestDedupConf] = None,
         drift_monitor: Optional[cfg.DriftMonitorConf] = None,
         heavy_hitters: Optional[cfg.HeavyHittersConf] = None,
+        rollup: Optional[cfg.RollupConf] = None,
     ):
         self.spark = spark
         self.source = source
@@ -119,6 +120,18 @@ class Pipeline:
                 key_col=heavy_hitters.key_column,
                 k=heavy_hitters.k,
             )
+        # rollup leg (config pipeline.rollup): maintained per-key
+        # aggregate table, partials per micro-batch (streaming/rollup.py)
+        self._rollup = None
+        if rollup is not None:
+            from sql_flow_spark.streaming.rollup import StreamingRollup
+
+            self._rollup = StreamingRollup(
+                spark,
+                table_dir=rollup.table_dir,
+                keys=rollup.keys,
+                aggs=rollup.aggs,
+            )
 
     def _apply_dedupe(self, df: DataFrame, streaming: bool) -> DataFrame:
         """Source-side exactly-once per key (config ``pipeline.dedupe``,
@@ -169,6 +182,8 @@ class Pipeline:
             self.ingest_dedup.process(df, 0)
         if self._heavy_hitters is not None:
             self._report_heavy_hitters(df, 0)
+        if self._rollup is not None:
+            self._rollup.process_batch(df, 0)
         return result
 
     def _report_heavy_hitters(self, df: DataFrame, batch_id: int) -> None:
@@ -298,6 +313,17 @@ class Pipeline:
                     if self.error_policy == cfg.Policy.DLQ:
                         self.dlq.write_error(
                             str(e), f"micro-batch {batch_id}", "heavy_hitters"
+                        )
+            if self._rollup is not None:
+                try:
+                    self._rollup.process_batch(batch_df, batch_id)
+                except Exception as e:
+                    self.stats.num_errors += 1
+                    if self.error_policy == cfg.Policy.RAISE:
+                        raise
+                    if self.error_policy == cfg.Policy.DLQ:
+                        self.dlq.write_error(
+                            str(e), f"micro-batch {batch_id}", "rollup"
                         )
         finally:
             if stateful:
@@ -436,6 +462,7 @@ def new_pipeline_from_conf(
         ingest_dedup=p.ingest_dedup,
         drift_monitor=p.drift_monitor,
         heavy_hitters=p.heavy_hitters,
+        rollup=p.rollup,
     )
 
 
