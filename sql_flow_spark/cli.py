@@ -110,6 +110,23 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("query")
     p_sql.add_argument("--limit", type=int, default=20)
 
+    p_exp = sub.add_parser(
+        "explain",
+        help="print the physical plan of a registry query "
+        "(plan review without executing)",
+    )
+    p_exp.add_argument("key")
+    p_exp.add_argument("sf_dir")
+    p_exp.add_argument("--mode", default="formatted",
+                       choices=("simple", "extended", "formatted", "cost"))
+
+    p_cpt = sub.add_parser(
+        "compact",
+        help="fold a pipeline.rollup table's batch partitions into the "
+        "seed partition (maintenance; crash-safe watermark protocol)",
+    )
+    p_cpt.add_argument("config")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "example":
@@ -142,6 +159,34 @@ def main(argv: list[str] | None = None) -> int:
         load_tables(spark, args.sf_dir)
         for row in spark.sql(args.query).limit(args.limit).collect():
             print(row.asDict(recursive=True))
+        return 0
+
+    if args.cmd == "explain":
+        from sql_flow_spark.functions.mat import lazy_plans
+        from sql_flow_spark.operators import QUERIES
+
+        if args.key not in QUERIES:
+            print(f"unknown registry key {args.key!r}; "
+                  f"{len(QUERIES)} keys available", file=sys.stderr)
+            return 1
+        # lazy_plans: plan-only — operators that checkpoint internal
+        # stages must not execute jobs under an EXPLAIN
+        with lazy_plans():
+            QUERIES[args.key](spark, args.sf_dir).explain(mode=args.mode)
+        return 0
+
+    if args.cmd == "compact":
+        conf = cfg.new_from_path(args.config)
+        ru = conf.pipeline.rollup
+        if ru is None:
+            print("config has no pipeline.rollup block", file=sys.stderr)
+            return 1
+        from sql_flow_spark.streaming.rollup import StreamingRollup
+
+        folded = StreamingRollup(
+            spark, table_dir=ru.table_dir, keys=ru.keys, aggs=ru.aggs
+        ).compact()
+        print(f"compacted {folded} batch partition(s) into the seed")
         return 0
 
     if args.cmd == "invoke":

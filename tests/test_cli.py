@@ -97,3 +97,46 @@ def test_init_logging_invalid_level_falls_back():
         else:
             os.environ["SQLFLOW_LOG_LEVEL"] = old
         root.setLevel(old_level)
+
+
+def test_cli_explain_subprocess():
+    """`cli explain` prints a physical plan without executing the
+    query (lazy_plans gates the eager checkpoint operators)."""
+    r = _run_cli("explain", "basic_agg", "/root/testdata/sf0.001")
+    assert r.returncode == 0, r.stderr
+    assert "Physical Plan" in r.stdout
+    r2 = _run_cli("explain", "not_a_key", "/root/testdata/sf0.001")
+    assert r2.returncode == 1
+    assert "unknown registry key" in r2.stderr
+
+
+def test_cli_compact_subprocess(tmp_path):
+    """`cli compact` folds a rollup table's batch partitions; totals
+    survive (checked in-process after the subprocess compaction)."""
+    import json as _json
+
+    table = tmp_path / "table"
+    config = tmp_path / "rollup.yml"
+    config.write_text(f"""
+pipeline:
+  source: {{type: memory, name: unused}}
+  rollup:
+    table_dir: {table}
+    keys: [k]
+    aggs: {{v: sum}}
+  handler: {{type: handlers.InferredBatch, sql: SELECT * FROM batch}}
+  sink: {{type: noop}}
+""")
+    # seed two batch partitions via the library, compact via the CLI
+    from sql_flow_spark.session import get_spark
+    from sql_flow_spark.streaming.rollup import StreamingRollup
+
+    spark = get_spark()
+    r = StreamingRollup(spark, str(table), ["k"], {"v": "sum"})
+    r.process_batch(spark.createDataFrame([("a", 1)], "k string, v long"), 0)
+    r.process_batch(spark.createDataFrame([("a", 2)], "k string, v long"), 1)
+    out = _run_cli("compact", str(config))
+    assert out.returncode == 0, out.stderr
+    assert "compacted 2 batch partition(s)" in out.stdout
+    rows = {row["k"]: row["v_sum"] for row in r.read().collect()}
+    assert rows == {"a": 3}
