@@ -1280,3 +1280,64 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n_churned.cast("double"),
         ).alias("quick_ratio"),
     )
+
+
+@query(
+    "transition_latency",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER w AS nxt,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000.0 AS avg_gap_s,
+           CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY cur, nxt
+    """,
+)
+def transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timing for the Markov transition matrix: per (cur -> next)
+    transition the count, mean and max inter-event gap — WHERE users
+    go (event_transition_matrix / next_event_prediction) plus HOW LONG
+    they linger before going (the dwell-time layer a UX or
+    bot-detection analysis needs: a 50 ms view->purchase is not a
+    human).
+
+    Exactness: gaps are exact integer epoch-µs differences over the
+    same total (time, event_id) order as the transition family; the
+    mean divides exact BIGINT sums, converted to seconds by one IEEE
+    division.
+
+    Scale shape: identical to event_transition_matrix — one
+    user-partitioned window, one shuffle onto the types×types key
+    space with map-side partials."""
+    t = load_tables(spark, sf_dir, ("events",))
+    wseq = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    tus = F.unix_micros("ts")
+    seq = t["events"].select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wseq).alias("nxt"),
+        (F.lead(tus).over(wseq) - tus).alias("gap_us"),
+    )
+    return (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (
+                F.sum("gap_us").cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1000000.0)
+            ).alias("avg_gap_s"),
+            (F.max("gap_us").cast("double") / F.lit(1000000.0)).alias(
+                "max_gap_s"
+            ),
+        )
+    )

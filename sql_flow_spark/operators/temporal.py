@@ -666,3 +666,86 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             " forecast_next double"
         ),
     )
+
+
+@query(
+    "daily_peaks",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                  AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    scored AS (
+      SELECT day, n_events,
+        COALESCE(MAX(n_events) OVER (ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS mx_before,
+        COALESCE(MAX(n_events) OVER (ORDER BY day
+          ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING), 0) AS mx_after,
+        SUM(n_events) OVER (ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nsum,
+        COUNT(*) OVER (ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nn
+      FROM daily
+    )
+    SELECT day AS day_idx, n_events,
+           CAST(mx_before AS BIGINT) AS max_before,
+           CAST(mx_after AS BIGINT) AS max_after
+    FROM scored
+    WHERE n_events > mx_before AND n_events > mx_after
+      AND n_events * nn * 20 > nsum * 21
+    """,
+)
+def daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection on the daily event-count series: days that are
+    STRICT local maxima over the ±3 active-day neighborhood AND at
+    least 1.05× the neighborhood mean (a prominence gate, so a flat
+    series never reports its every wiggle) — the launch-day /
+    incident-day detector that complements events_anomaly (global
+    z-score) with locality.
+
+    Exactness: entirely integer arithmetic — counts, window maxima,
+    and the prominence test cnt·nn·20 > nsum·21 (the 1.05× ratio as a
+    cross-multiplied integer inequality, so no float ever enters).
+
+    Scale shape: one shuffle to the daily series (map-side partials),
+    then unpartitioned ROWS windows over the calendar-bounded series
+    — same bounded-window argument as kaplan_meier_retention (a
+    century is ~36.5k rows)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    daily = (
+        t["events"]
+        .groupBy(
+            F.floor(
+                F.unix_micros("ts").cast("double") / F.lit(86400000000.0)
+            )
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    wb = Window.orderBy("day").rowsBetween(-3, -1)
+    wa = Window.orderBy("day").rowsBetween(1, 3)
+    wn = Window.orderBy("day").rowsBetween(-3, 3)
+    scored = daily.select(
+        "day",
+        "n_events",
+        F.coalesce(F.max("n_events").over(wb), F.lit(0)).alias("mx_before"),
+        F.coalesce(F.max("n_events").over(wa), F.lit(0)).alias("mx_after"),
+        F.sum("n_events").over(wn).alias("nsum"),
+        F.count("*").over(wn).alias("nn"),
+    )
+    return (
+        scored.where(
+            (F.col("n_events") > F.col("mx_before"))
+            & (F.col("n_events") > F.col("mx_after"))
+            & (F.col("n_events") * F.col("nn") * 20 > F.col("nsum") * 21)
+        )
+        .select(
+            F.col("day").alias("day_idx"),
+            "n_events",
+            F.col("mx_before").cast("long").alias("max_before"),
+            F.col("mx_after").cast("long").alias("max_after"),
+        )
+    )
