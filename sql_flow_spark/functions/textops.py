@@ -655,3 +655,93 @@ _ORACLES["lang_confusion"] = f"""
       FROM preds GROUP BY lang, predicted_lang
     )
 """
+
+
+_PURITY_MIN_HITS = 4  # below this the doc is 'undetermined', not mixed
+
+
+@query(
+    "doc_language_purity",
+    oracle=f"""
+    WITH hits AS (
+      SELECT lang,
+        {_o_hits('en')} AS h_en, {_o_hits('es')} AS h_es,
+        {_o_hits('fr')} AS h_fr, {_o_hits('de')} AS h_de,
+        {_o_hits('it')} AS h_it
+      FROM documents
+    ),
+    scored AS (
+      SELECT lang,
+             h_en + h_es + h_fr + h_de + h_it AS tot,
+             greatest(h_en, h_es, h_fr, h_de, h_it) AS top
+      FROM hits
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN tot < {_PURITY_MIN_HITS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_undetermined,
+           CAST(SUM(CASE WHEN tot >= {_PURITY_MIN_HITS}
+                          AND top * 5 < tot * 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mixed,
+           CAST(SUM(CASE WHEN tot >= {_PURITY_MIN_HITS} THEN
+             CAST(floor(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE)
+                  * 1000000.0 + 0.5) AS DECIMAL(30,0))
+             ELSE CAST(0 AS DECIMAL(30,0)) END) AS DOUBLE) / 1000000.0
+             / CAST(SUM(CASE WHEN tot >= {_PURITY_MIN_HITS} THEN 1 ELSE 0
+                       END) AS DOUBLE) AS avg_purity
+    FROM scored GROUP BY lang
+    """,
+)
+def doc_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching / mixed-language detection panel per labeled
+    language: each doc's stopword hits across ALL language models, a
+    purity score top-hits/total-hits, and per-lang counts of mixed
+    (purity < 0.6 with enough evidence) and undetermined (< 4 total
+    hits) docs — the curation gate that catches documents a single
+    argmax language id silently mislabels (lang_id picks a winner
+    even at 50/50).
+
+    Exactness: hit counts are exact integers from the shared stopword
+    regexes; the mixed test is the cross-multiplied integer
+    inequality top·5 < tot·3; per-doc purity is fixed-pointed to 6dp
+    and DECIMAL-summed before the average.
+
+    Scale shape: one narrow map over the corpus scan (5 regex counts
+    per doc), one languages-sized groupBy of map-side partials."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    low = F.lower(F.col("text"))
+    hits = [
+        F.size(F.regexp_extract_all(low, F.lit(_stop_re(lang)), 0))
+        for lang in STOPWORDS
+    ]
+    tot = hits[0] + hits[1] + hits[2] + hits[3] + hits[4]
+    top = F.greatest(*hits)
+    scored = t["documents"].select(
+        "lang", tot.alias("tot"), top.alias("top")
+    )
+    enough = F.col("tot") >= _PURITY_MIN_HITS
+    purity_fp = F.when(
+        enough,
+        F.floor(
+            F.col("top").cast("double") / F.col("tot").cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("decimal(30,0)"),
+    ).otherwise(F.lit(0).cast("decimal(30,0)"))
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(~enough, 1).otherwise(0)).cast("long").alias(
+            "n_undetermined"
+        ),
+        F.sum(
+            F.when(enough & (F.col("top") * 5 < F.col("tot") * 3), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mixed"),
+        (
+            F.sum(purity_fp).cast("double")
+            / F.lit(1000000.0)
+            / F.sum(F.when(enough, 1).otherwise(0)).cast("double")
+        ).alias("avg_purity"),
+    )

@@ -2157,3 +2157,125 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_TRIPLE_TOP)
     w = Window.orderBy(F.col("support").desc(), "p1", "p2", "p3")
     return head.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_partkey,
+             SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                 * 10000.0 + 0.5) AS DECIMAL(30,0))) AS wt
+      FROM lineitem GROUP BY l_partkey
+    ),
+    pts AS (
+      SELECT p.p_partkey, p.p_retailprice AS price, w.wt
+      FROM w JOIN part p ON p.p_partkey = w.l_partkey
+    ),
+    tot AS (SELECT SUM(wt) AS tot, CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+    cum AS (
+      SELECT price, wt,
+             SUM(wt) OVER (ORDER BY price, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM pts
+    )
+    SELECT t.n AS n_parts,
+           CAST(t.tot AS DOUBLE) / 10000.0 AS total_weight,
+           MIN(c.price) AS weighted_median_price
+    FROM cum c CROSS JOIN tot t
+    WHERE c.cw * 2 >= t.tot
+    GROUP BY t.n, t.tot
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median part price: the price point splitting
+    total revenue in half — "half our revenue comes from parts priced
+    at or below X", which the unweighted median (value_quartiles'
+    family) gets wrong whenever expensive parts dominate revenue. The
+    weighted-quantile shape: sort by value, accumulate weights, take
+    the first crossing.
+
+    Exactness: weights are DECIMAL fixed-point revenue sums, the
+    cumulative weight is DECIMAL (exact under the (price, partkey)
+    total order), and the crossing test cw·2 ≥ tot is an exact
+    integer inequality — no float enters until the output cast.
+
+    Scale shape: third use of the distributed range-partition cumsum
+    (gini/abc/lorenz lineage): per-partition DECIMAL cumsums in
+    parallel plus an n_partitions-row offset table; the crossing
+    filter + single-row MIN aggregate replace any global sort."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    w = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                ).cast("decimal(30,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("wt")
+        )
+    )
+    pts = w.join(
+        t["part"].select("p_partkey", "p_retailprice"),
+        w["l_partkey"] == F.col("p_partkey"),
+    ).select("p_partkey", F.col("p_retailprice").alias("price"), "wt")
+    tot = pts.agg(
+        F.sum("wt").cast("decimal(38,0)").alias("tot"),
+        F.count("*").cast("long").alias("n"),
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = materialize_once(
+        pts.repartitionByRange(n_part, "price", "p_partkey").withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    offs = (
+        tagged.groupBy("pid")
+        .agg(F.sum("wt").cast("decimal(38,0)").alias("psum"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("psum").over(
+                    # n_partitions rows only — trivially single-task
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("off"),
+        )
+    )
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy("price", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        tagged.withColumn("cin", F.sum("wt").over(wp))
+        .join(F.broadcast(offs), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "price",
+            "n",
+            "tot",
+            (F.col("off") + F.col("cin")).alias("cw"),
+        )
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tot"))
+        .groupBy(F.col("n").alias("n_parts"), "tot")
+        .agg(F.min("price").alias("weighted_median_price"))
+        .select(
+            "n_parts",
+            (F.col("tot").cast("double") / F.lit(10000.0)).alias(
+                "total_weight"
+            ),
+            "weighted_median_price",
+        )
+    )
