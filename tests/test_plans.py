@@ -301,6 +301,8 @@ def test_r8b_operators_plan_hygiene(spark, sf_dir):
         "fulfillment_latency", "session_path_topk", "dau_mau_stickiness",
         "lorenz_curve_deciles", "embedding_quantization",
         "growth_accounting", "skyline_parts", "conversion_ab_test",
+        "lang_confusion", "frequent_triples", "transition_latency",
+        "daily_peaks", "doc_language_purity", "weighted_median_price",
     )
     plans = {}
     for name in keys:
