@@ -950,3 +950,52 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+@query(
+    "dup_rate_by_source",
+    oracle=f"""
+    WITH fp AS (
+      SELECT source, md5({{norm}}) AS f FROM documents
+    ),
+    fam AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY f)
+    SELECT fp.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN fam.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(CASE WHEN fam.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM fp JOIN fam ON fp.f = fam.f
+    GROUP BY fp.source
+    """.format(norm=O_NORMALIZE.format(expr="text")),
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate contamination per source: the share of each source's
+    documents whose exact fingerprint appears more than once ANYWHERE
+    in the corpus — the "which feed is poisoning the corpus" triage
+    panel that turns dedup_exact's family list into a per-provenance
+    health metric (cross-source duplication counts against BOTH
+    sources, which is the point: either copy dropping fixes it).
+
+    Exactness: same md5 fingerprint as the whole dedup family; exact
+    counts; one ratio of exact BIGINTs.
+
+    Scale shape: one shuffle onto the fingerprint (family sizes with
+    map-side partial counts), the fingerprint-keyed join back rides
+    the same partitioning, then a sources-sized groupBy of
+    partials."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    fp = t["documents"].select("source", fingerprint("text").alias("f"))
+    fam = fp.groupBy("f").agg(F.count("*").cast("long").alias("n"))
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        fp.join(fam, "f")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(dup).cast("long").alias("n_dup_docs"),
+            (
+                F.sum(dup).cast("double") / F.count("*").cast("double")
+            ).alias("dup_rate"),
+        )
+    )

@@ -285,3 +285,180 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_head(fused, "rrf_score", "doc_id", RRF_TOP, "rank").select(
         "doc_id", "rank_lex", "rank_vec", "rrf_score", "rank"
     )
+
+
+N_MRR_QUERIES = 8  # same query-set convention as ann_cosine_topk
+MRR_QTERMS = 3
+
+
+@query(
+    "bm25_self_retrieval_mrr",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS dl,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    qterms AS (
+      SELECT doc_id AS qid, term FROM (
+        SELECT doc_id, term, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY COUNT(*) DESC, term) AS rn
+        FROM toks WHERE doc_id < {N_MRR_QUERIES}
+        GROUP BY doc_id, term
+      ) WHERE rn <= {MRR_QTERMS}
+    ),
+    tf AS (
+      SELECT doc_id, term, MAX(dl) AS dl,
+             CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks WHERE term IN (SELECT term FROM qterms)
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM documents
+    ),
+    scores AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(SUM(CAST(floor(
+               ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * {BM25_K1 + 1.0}
+                  / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                     * (CAST(tf.dl AS DOUBLE) / s.avgdl))))
+               * {_BM_SCALE} + 0.5) AS DECIMAL(30,0))) AS DOUBLE)
+               / {_BM_SCALE} AS score
+      FROM tf
+      JOIN qterms q ON tf.term = q.term
+      JOIN df ON tf.term = df.term
+      CROSS JOIN stats s
+      GROUP BY q.qid, tf.doc_id
+    ),
+    self AS (
+      SELECT qid, score AS s FROM scores WHERE doc_id = qid
+    )
+    SELECT self.qid,
+           CAST(1 + SUM(CASE WHEN sc.doc_id <> self.qid
+                              AND (sc.score > self.s
+                                   OR (sc.score = self.s
+                                       AND sc.doc_id < self.qid))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS self_rank,
+           1.0 / CAST(1 + SUM(CASE WHEN sc.doc_id <> self.qid
+                              AND (sc.score > self.s
+                                   OR (sc.score = self.s
+                                       AND sc.doc_id < self.qid))
+                        THEN 1 ELSE 0 END) AS DOUBLE) AS reciprocal_rank
+    FROM self JOIN scores sc ON sc.qid = self.qid
+    GROUP BY self.qid, self.s
+    """,
+)
+def bm25_self_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-retrieval evaluation of the BM25 ranker: for each of the 8
+    query docs, issue its own top-3 tf terms as the query and report
+    the rank of the source document among ALL docs (plus the
+    reciprocal rank — averaging the rr column gives MRR). The
+    standard retrieval sanity eval: if a doc can't retrieve itself
+    from its own salient terms, the ranker or the analyzer is broken.
+
+    The rank is computed WITHOUT any per-query global sort: rank(q) =
+    1 + |{{docs scoring strictly better (or tied with a lower id)}}|,
+    a count aggregate over the scored set — the scale-correct
+    formulation when only a target's rank is needed (a
+    Window.partitionBy(qid) would drag the whole corpus into 8
+    tasks).
+
+    Exactness: same fixed-point per-term BM25 contributions as
+    bm25_topk (DECIMAL-summed, ln ulps absorbed), so the count-better
+    comparison is over engine-identical doubles.
+
+    Scale shape: one exploded pass filtered by the ≤24 broadcast
+    query terms, score shuffle on (qid, doc), then a qid-sized count
+    aggregate against the 8-row broadcast self-score table."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.size(ws_tokens("text")).alias("dl"),
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("tf").desc(), "term")
+    qterms = (
+        toks.where(F.col("doc_id") < N_MRR_QUERIES)
+        .groupBy(F.col("doc_id").alias("qid"), "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= MRR_QTERMS)
+        .select("qid", "term")
+    )
+    tf = (
+        toks.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("doc_id", "term")
+        .agg(
+            F.max("dl").alias("dl"),
+            F.count("*").cast("double").alias("tf"),
+        )
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum(F.size(ws_tokens("text"))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    term_score = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    ) * (
+        F.col("tf")
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+    )
+    scores = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(
+            (
+                F.sum(scaled_int(term_score, 9)).cast("double")
+                / F.lit(_BM_SCALE)
+            ).alias("score")
+        )
+    )
+    self_ = scores.where(F.col("doc_id") == F.col("qid")).select(
+        F.col("qid").alias("sqid"), F.col("score").alias("s")
+    )
+    better = F.when(
+        (F.col("doc_id") != F.col("sqid"))
+        & (
+            (F.col("score") > F.col("s"))
+            | ((F.col("score") == F.col("s")) & (F.col("doc_id") < F.col("sqid")))
+        ),
+        1,
+    ).otherwise(0)
+    ranked = (
+        scores.join(F.broadcast(self_), scores["qid"] == self_["sqid"])
+        .groupBy(F.col("qid"))
+        .agg((F.lit(1) + F.sum(better)).cast("long").alias("self_rank"))
+    )
+    return ranked.select(
+        "qid",
+        "self_rank",
+        (F.lit(1.0) / F.col("self_rank").cast("double")).alias(
+            "reciprocal_rank"
+        ),
+    )
