@@ -296,8 +296,8 @@ MRR_QTERMS = 3
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             len(regexp_split_to_array(trim(text), '\s+')) AS dl,
-             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             len(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
       FROM documents
     ),
     qterms AS (
@@ -319,7 +319,7 @@ MRR_QTERMS = 3
     ),
     stats AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
       FROM documents
     ),
