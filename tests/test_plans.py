@@ -303,6 +303,7 @@ def test_r8b_operators_plan_hygiene(spark, sf_dir):
         "growth_accounting", "skyline_parts", "conversion_ab_test",
         "lang_confusion", "frequent_triples", "transition_latency",
         "daily_peaks", "doc_language_purity", "weighted_median_price",
+        "bm25_self_retrieval_mrr", "dup_rate_by_source",
     )
     plans = {}
     for name in keys:
