@@ -1006,3 +1006,63 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
         ).alias("novelty"),
     )
+
+
+@query(
+    "pii_density_by_source",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_pii) AS BIGINT) AS n_pii_hits,
+           CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_pii,
+           CAST(SUM(n_pii) AS DOUBLE) * 1000.0
+             / CAST(SUM(n_toks) AS DOUBLE) AS pii_per_1k_tokens
+    FROM (
+      SELECT source,
+             len(regexp_extract_all(text, '{PII_PATTERNS['email']}'))
+             + len(regexp_extract_all(text, '{PII_PATTERNS['ipv4']}'))
+             + len(regexp_extract_all(text, '{PII_PATTERNS['phone']}'))
+               AS n_pii,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
+      FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII triage panel per source: total email/IP/phone hits, docs
+    affected, and hits per 1k whitespace tokens — the
+    which-feed-needs-scrubbing-first view that pii_scrub's per-doc
+    counts roll up to (run this BEFORE deciding where to spend the
+    scrubbing pass; a source at 10 hits/1k tokens is a different
+    problem from one stray address).
+
+    Exactness: identical regexes to pii_scrub on both engines; exact
+    integer counts; one scaled ratio of exact BIGINTs.
+
+    Scale shape: narrow map over the corpus scan (three regex counts
+    + token count per doc), one sources-sized groupBy of map-side
+    partials."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    n_pii = (
+        F.size(F.regexp_extract_all("text", F.lit(PII_PATTERNS["email"]), 0))
+        + F.size(F.regexp_extract_all("text", F.lit(PII_PATTERNS["ipv4"]), 0))
+        + F.size(F.regexp_extract_all("text", F.lit(PII_PATTERNS["phone"]), 0))
+    )
+    n_toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = t["documents"].select(
+        "source", n_pii.alias("n_pii"), n_toks.alias("n_toks")
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_pii").cast("long").alias("n_pii_hits"),
+        F.sum(F.when(F.col("n_pii") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_with_pii"),
+        (
+            F.sum("n_pii").cast("double")
+            * F.lit(1000.0)
+            / F.sum("n_toks").cast("double")
+        ).alias("pii_per_1k_tokens"),
+    )

@@ -999,3 +999,76 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+@query(
+    "shingle_novelty_curve",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+    sh AS (
+      SELECT DISTINCT
+        least(CAST(floor(CAST(doc_id * 10 AS DOUBLE)
+              / CAST(mx.mid + 1 AS DOUBLE)) AS BIGINT), 9) AS tranche,
+        unnest({O_NGRAMS.format(t=O_TOKENS)}) AS shingle
+      FROM documents CROSS JOIN mx
+    ),
+    firsts AS (
+      SELECT shingle, MIN(tranche) AS first_tranche FROM sh GROUP BY shingle
+    )
+    SELECT sh.tranche,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_tranche = sh.tranche THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN f.first_tranche = sh.tranche THEN 1 ELSE 0
+                    END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS novelty_rate
+    FROM sh JOIN firsts f ON sh.shingle = f.shingle
+    GROUP BY sh.tranche
+    """,
+)
+def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty curve: corpus split into 10 doc-id tranches,
+    each reporting how many of its distinct 3-gram shingles are seen
+    there FIRST — the "does tranche 8 still add new content or just
+    repeat tranches 1-7" curve that prices additional data before you
+    pay to process it (the dataset-scaling twin of ngram_novelty's
+    split-contamination view; a flat high curve says keep ingesting,
+    a collapsing one says dedup harder instead).
+
+    Exactness: tranche assignment is one IEEE floor-division on exact
+    integers (identical both engines); everything else is exact
+    DISTINCT counting.
+
+    Scale shape: shingles are built with the shared array transform
+    (no explode before distinct-ing per doc is needed — the
+    (tranche, shingle) dedup shuffle is the one big exchange), firsts
+    is a second shingle-keyed agg riding the same partitioning, and
+    the join back is same-key; output is 10 rows."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    mx = docs.agg(F.max("doc_id").alias("mid"))
+    toks = docs.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.floor(
+                (F.col("doc_id") * 10).cast("double")
+                / (F.col("mid") + 1).cast("double")
+            ).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("tranche"),
+        ws_tokens("text").alias("t"),
+    )
+    sh = toks.select(
+        "tranche", F.explode(token_ngrams(F.col("t"))).alias("shingle")
+    ).distinct()
+    firsts = sh.groupBy("shingle").agg(F.min("tranche").alias("first_tranche"))
+    is_new = F.when(F.col("first_tranche") == F.col("tranche"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("tranche")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(is_new).cast("long").alias("n_new"),
+            (
+                F.sum(is_new).cast("double") / F.count("*").cast("double")
+            ).alias("novelty_rate"),
+        )
+    )

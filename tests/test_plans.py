@@ -304,6 +304,7 @@ def test_r8b_operators_plan_hygiene(spark, sf_dir):
         "lang_confusion", "frequent_triples", "transition_latency",
         "daily_peaks", "doc_language_purity", "weighted_median_price",
         "bm25_self_retrieval_mrr", "dup_rate_by_source",
+        "pii_density_by_source", "shingle_novelty_curve",
     )
     plans = {}
     for name in keys:
