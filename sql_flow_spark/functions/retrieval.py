@@ -20,7 +20,11 @@ double expressions on exact-integer inputs, fixed-pointed to 9dp
 (``scaled_int``) and summed as DECIMAL — exact and order-insensitive
 under any partitioning; ln() ulp drift between engines is absorbed by
 the fixed-point rounding. RRF scores are one or two IEEE divisions on
-exact integer ranks — bit-identical by construction.
+exact integer ranks — bit-identical by construction. One known
+tokenizer edge: Java's \\s matches vertical tab (\\x0B), RE2's does
+not, so a document containing \\x0B would tokenize differently in the
+two engines — absent from this corpus, and fixable by spelling the
+class explicitly ([ \\t\\n\\f\\r]) on both sides if real data needs it.
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sql_flow_spark.functions.dedup import ws_tokens
+from sql_flow_spark.functions.mat import materialize_once
 from sql_flow_spark.functions.similarity import (
     O_NORMS_CTE,
     dot_dec,
@@ -195,7 +200,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex AS (
       SELECT doc_id, CAST(ROW_NUMBER() OVER (
         ORDER BY score DESC, doc_id) AS INTEGER) AS rank_lex
-      FROM bm25
+      FROM bm25 WHERE doc_id <> 0
       QUALIFY rank_lex <= {RRF_DEPTH}
     ),
     norms AS ({O_NORMS_CTE}),
@@ -246,8 +251,12 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row_number only over the survivors — no global window); the fuse
     is a 50x50-row broadcast outer join; cosine reuses the broadcast
     query + exact-decimal dot product from similarity.py."""
+    # both rankings must cover the SAME candidate universe (corpus
+    # minus the query doc) or the fuse compares incommensurable ranks
+    # and the query doc itself can occupy a fused slot
     lex = _ranked_head(
-        _bm25_scores(spark, sf_dir), "score", "doc_id", RRF_DEPTH, "rank_lex"
+        _bm25_scores(spark, sf_dir).where(F.col("doc_id") != 0),
+        "score", "doc_id", RRF_DEPTH, "rank_lex",
     ).select("doc_id", "rank_lex")
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].withColumn(
@@ -427,7 +436,11 @@ def bm25_self_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    scores = (
+    # scores feeds TWO consumers (the self-score lookup and the
+    # count-better aggregate); unmaterialized, Catalyst re-expands the
+    # whole explode/score subtree per consumer (measured: 24 parquet
+    # scans in the duplicated plan) — checkpoint it once
+    scores = materialize_once(
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(stats))

@@ -12,12 +12,27 @@ without transactions, the same protocol the dedup index proved.
 
 Read = merge-on-read: one groupBy over the partials (partials are
 key-cardinality × batches, not row-cardinality — the fact rows were
-collapsed before the write). ``compact()`` bounds the partition count:
-it folds every batch partition into the seed partition ``b=-1`` with a
-``_COMPACTED_UPTO`` watermark INSIDE the seed data (a column, so it
-rides the same atomic parquet overwrite), and readers drop any batch
-partition ≤ the watermark — so a crash between the fold and the
-best-effort deletion of stale partitions cannot double-count.
+collapsed before the write). ``compact()`` bounds the partition count
+with a MARKER-COMMIT protocol:
+
+- two seed slots (``b=-1`` / ``b=-2``); a fold writes the merged
+  history into the INACTIVE slot, never overwriting the slot readers
+  are using;
+- the commit point is an atomic rename of ``_watermark.json``
+  (watermark + active slot). A crash anywhere before the rename
+  leaves the old marker — readers keep the old, complete state; a
+  crash after it leaves only stale directories, which the NEXT
+  compact removes (cleanup deletes every on-disk batch partition at
+  or below the watermark, not just the ones it folded);
+- the newest live batch is never folded: under a (serial) streaming
+  writer only the latest batch can be replayed after a restart, so
+  keeping it out of the fold makes replay and compaction commute.
+  compact() still must not run concurrently with a writer — run it
+  between triggers or from the `cli compact` maintenance verb while
+  the stream is stopped;
+- ``process_batch`` re-reads the marker on every call (one local
+  file read, no Spark job) and refuses a batch id at or below the
+  watermark — a write readers would silently ignore.
 
 Scale shape: per batch one shuffle onto the rollup keys with map-side
 partials (the classic combiner); the maintained table grows with KEY
@@ -32,7 +47,9 @@ maintained aggregate is a first-class queryable parquet table.
 
 from __future__ import annotations
 
+import json
 import logging
+import os
 import shutil
 from typing import Optional
 
@@ -42,9 +59,11 @@ from pyspark.sql.utils import AnalysisException
 
 logger = logging.getLogger(__name__)
 
-SEED_BATCH = -1  # compaction target partition; never a real batch id
+SEED_SLOTS = (-1, -2)  # the two fold targets; never real batch ids
 _SUPPORTED = ("sum", "count", "min", "max", "avg")
-_WM_COL = "_compacted_upto"
+_WM_COL = "_compacted_upto"  # informational copy inside the seed rows
+_MARKER = "_watermark.json"  # the commit point: {"wm": int, "slot": int}
+_RESERVED = ("b", _WM_COL)
 
 
 class StreamingRollup:
@@ -65,16 +84,43 @@ class StreamingRollup:
             )
         if not keys or not aggs:
             raise ValueError("rollup needs at least one key and one agg")
+        clash = [c for c in (*keys, *aggs) if c in _RESERVED]
+        if clash:
+            raise ValueError(
+                f"rollup columns {clash} collide with the reserved "
+                f"partition/metadata columns {_RESERVED}"
+            )
         self.spark = spark
         self.table_dir = table_dir
         self.keys = list(keys)
         self.aggs = dict(aggs)
 
+    # ------------------------------------------------------- marker
+
+    def _marker(self) -> tuple[Optional[int], Optional[int]]:
+        """(watermark, active seed slot) from the atomic marker file —
+        re-read every call; a plain local read, no Spark job."""
+        try:
+            with open(os.path.join(self.table_dir, _MARKER)) as f:
+                m = json.load(f)
+            return int(m["wm"]), int(m["slot"])
+        except (OSError, ValueError, KeyError):
+            return None, None
+
+    def _write_marker(self, wm: int, slot: int) -> None:
+        path = os.path.join(self.table_dir, _MARKER)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"wm": wm, "slot": slot}, f)
+        os.rename(tmp, path)  # the atomic commit point
+
     # ------------------------------------------------------ partials
 
     def _partial_cols(self):
         """(partial column name, source column, partial op) triples —
-        avg stores sum+count partials, everything else stores itself."""
+        avg stores sum+count partials, everything else stores itself.
+        One op per input column (dict semantics), so names are unique
+        by construction."""
         out = []
         for col, op in sorted(self.aggs.items()):
             if op == "avg":
@@ -82,13 +128,7 @@ class StreamingRollup:
                 out.append((f"{col}__count", col, "count"))
             else:
                 out.append((f"{col}__{op}", col, op))
-        # dedupe (sum+avg on the same column share the sum partial)
-        seen, uniq = set(), []
-        for name, col, op in out:
-            if name not in seen:
-                seen.add(name)
-                uniq.append((name, col, op))
-        return uniq
+        return out
 
     def _partial_agg(self, df: DataFrame) -> DataFrame:
         exprs = []
@@ -107,10 +147,11 @@ class StreamingRollup:
         """Fold one micro-batch: per-key partials overwrite
         ``b=<batch_id>`` (replay-idempotent). Refuses a batch id at or
         below the compaction watermark — readers would silently ignore
-        it (the one way the marker protocol could lose data; streaming
-        batch ids only grow, so this only bites a one-shot ``invoke``
-        (fixed slot 0) against a previously compacted table)."""
-        wm = self._watermark()
+        it (streaming batch ids only grow, so this only bites a
+        one-shot ``invoke`` (fixed slot 0) against a previously
+        compacted table). The marker is re-read from disk on every
+        call, so a compaction by another process is seen immediately."""
+        wm, _slot = self._marker()
         if wm is not None and batch_id <= wm:
             raise ValueError(
                 f"rollup batch id {batch_id} is at/below the compaction "
@@ -125,19 +166,6 @@ class StreamingRollup:
             f"{self.table_dir}/b={batch_id}"
         )
 
-    def _watermark(self) -> Optional[int]:
-        """Cached compaction watermark (batch ids only grow within a
-        run; compact() refreshes the cache)."""
-        if not hasattr(self, "_wm_cache"):
-            try:
-                seed = self.spark.read.parquet(
-                    f"{self.table_dir}/b={SEED_BATCH}"
-                )
-                self._wm_cache = seed.agg(F.max(_WM_COL)).first()[0]
-            except AnalysisException:
-                self._wm_cache = None
-        return self._wm_cache
-
     # --------------------------------------------------------- reads
 
     def _read_partials(self) -> Optional[DataFrame]:
@@ -149,19 +177,14 @@ class StreamingRollup:
             return None
         if not set(self.keys).issubset(df.columns):
             return None
-        # compaction watermark: the seed partition carries the max
-        # folded batch id; any surviving stale partition <= it is a
-        # leftover of a crashed cleanup and must be ignored.
-        wm = (
-            df.where(F.col("b") == SEED_BATCH)
-            .agg(F.max(_WM_COL))
-            .first()[0]
+        wm, slot = self._marker()
+        if wm is None:
+            # no compaction yet: live batch partitions only (a crashed
+            # first fold may have left an uncommitted seed slot)
+            return df.where(F.col("b") >= 0)
+        return df.where(
+            (F.col("b") == slot) | ((F.col("b") >= 0) & (F.col("b") > wm))
         )
-        if wm is not None:
-            df = df.where(
-                (F.col("b") == SEED_BATCH) | (F.col("b") > F.lit(wm))
-            )
-        return df
 
     def _merge_exprs(self):
         exprs = []
@@ -198,36 +221,67 @@ class StreamingRollup:
 
     # ---------------------------------------------------- compaction
 
+    def _disk_batch_ids(self) -> list[int]:
+        try:
+            names = os.listdir(self.table_dir)
+        except OSError:
+            return []
+        ids = []
+        for n in names:
+            if n.startswith("b="):
+                try:
+                    v = int(n[2:])
+                except ValueError:
+                    continue
+                if v >= 0:
+                    ids.append(v)
+        return sorted(ids)
+
     def compact(self) -> int:
-        """Fold every live batch partition into ``b=-1``. Returns the
-        number of partitions folded. Crash-safe: the fold lands first
-        (with the watermark column set), stale-partition deletion is
-        best-effort afterwards — readers honor the watermark either
-        way. Run from maintenance, not from the hot path."""
+        """Fold committed batch partitions into the inactive seed slot
+        and commit via the atomic marker rename. The NEWEST live batch
+        is never folded (it is the only one a restarted stream can
+        replay). Cleanup afterwards removes the old seed slot and
+        EVERY on-disk batch partition at/below the new watermark —
+        including leftovers of a previously crashed cleanup. Returns
+        the number of batch partitions folded. Must not run
+        concurrently with a writer (see module docstring)."""
+        wm, slot = self._marker()
+        live = [b for b in self._disk_batch_ids() if wm is None or b > wm]
+        if len(live) < 2:
+            return 0  # nothing foldable without touching the newest batch
+        fold_ids = live[:-1]
+        upto = fold_ids[-1]
         partials = self._read_partials()
-        if partials is None:
+        if partials is None:  # pragma: no cover - dirs vanished underneath
             return 0
-        live = partials.where(F.col("b") != SEED_BATCH)
-        ids = [r[0] for r in live.select("b").distinct().collect()]
-        if not ids:
-            return 0
-        upto = max(ids)
+        to_fold = partials.where(
+            (F.col("b") == (slot if slot is not None else SEED_SLOTS[0]))
+            | F.col("b").isin(fold_ids)
+        )
+        target = SEED_SLOTS[1] if slot == SEED_SLOTS[0] else SEED_SLOTS[0]
         folded = (
-            partials.drop("b")
+            to_fold.drop("b")
             .groupBy(*self.keys)
             .agg(*self._merge_exprs())
             .withColumn(_WM_COL, F.lit(upto).cast("long"))
         )
-        # localCheckpoint: the fold READS b=-1 and then OVERWRITES it —
-        # materialize before the self-referential write
-        folded = folded.localCheckpoint(eager=True)
+        # fold reads the OLD slot and writes the OTHER one — no
+        # self-referential overwrite, so no checkpoint needed; a crash
+        # during this write leaves the marker (and readers) on the old
+        # complete state
         folded.write.mode("overwrite").parquet(
-            f"{self.table_dir}/b={SEED_BATCH}"
+            f"{self.table_dir}/b={target}"
         )
-        for b in ids:
+        self._write_marker(upto, target)  # COMMIT
+        # best-effort cleanup; a crash here is repaired by the next
+        # compact (anything <= the committed watermark is dead)
+        stale_dirs = [f"b={b}" for b in self._disk_batch_ids() if b <= upto]
+        if slot is not None and slot != target:
+            stale_dirs.append(f"b={slot}")
+        for d in stale_dirs:
             try:
-                shutil.rmtree(f"{self.table_dir}/b={b}")
+                shutil.rmtree(os.path.join(self.table_dir, d))
             except OSError as e:  # pragma: no cover - best-effort
-                logger.warning("rollup compact: could not remove b=%s: %s", b, e)
-        self._wm_cache = upto
-        return len(ids)
+                logger.warning("rollup compact: could not remove %s: %s", d, e)
+        return len(fold_ids)

@@ -137,6 +137,8 @@ pipeline:
     r.process_batch(spark.createDataFrame([("a", 2)], "k string, v long"), 1)
     out = _run_cli("compact", str(config))
     assert out.returncode == 0, out.stderr
-    assert "compacted 2 batch partition(s)" in out.stdout
+    # the newest live batch is never folded (replay safety), so two
+    # batches compact to one folded + one live
+    assert "compacted 1 batch partition(s)" in out.stdout
     rows = {row["k"]: row["v_sum"] for row in r.read().collect()}
     assert rows == {"a": 3}

@@ -1,13 +1,14 @@
 """Streaming incremental rollup (streaming/rollup.py): mergeable
-per-key partials per micro-batch, replay idempotency, marker-protocol
-compaction, and the config-pipeline leg."""
+per-key partials per micro-batch, replay idempotency, marker-commit
+compaction (two seed slots, atomic rename), and the config-pipeline
+leg."""
 
 import json
 import os
 
 import pytest
 
-from sql_flow_spark.streaming.rollup import SEED_BATCH, StreamingRollup
+from sql_flow_spark.streaming.rollup import SEED_SLOTS, StreamingRollup
 
 
 def _rollup(spark, tmp_path, aggs=None):
@@ -48,12 +49,13 @@ def test_rollup_compact_preserves_totals_and_honors_watermark(spark, tmp_path):
     for b in range(3):
         r.process_batch(_df(spark, [("a", b, float(b)), ("b", 1, 5.0)]), b)
     before = sorted(map(tuple, r.read().collect()))
-    assert r.compact() == 3
+    # folds b=0,1 — the newest batch (b=2) is never folded (it is the
+    # only one a restarted stream can replay)
+    assert r.compact() == 2
     after = sorted(map(tuple, r.read().collect()))
     assert before == after
-    # only the seed partition remains on disk
-    parts = sorted(os.listdir(r.table_dir))
-    assert parts == [f"b={SEED_BATCH}"]
+    parts = sorted(p for p in os.listdir(r.table_dir) if p.startswith("b="))
+    assert parts == [f"b={SEED_SLOTS[0]}", "b=2"]
     # a stale partition surviving a crashed cleanup is ignored: write
     # one below the watermark manually and confirm totals don't move
     stale = _df(spark, [("a", 999, 0.0)])
@@ -62,22 +64,64 @@ def test_rollup_compact_preserves_totals_and_honors_watermark(spark, tmp_path):
     )
     again = sorted(map(tuple, r.read().collect()))
     assert again == after
-    # new batches above the watermark still fold in
+    # ...and the NEXT compact removes it (cleanup covers everything
+    # at/below the watermark, not just what it folded)
     r.process_batch(_df(spark, [("a", 100, 0.0)]), 3)
+    assert r.compact() == 1  # folds b=2; second slot becomes active
+    parts = sorted(p for p in os.listdir(r.table_dir) if p.startswith("b="))
+    assert parts == [f"b={SEED_SLOTS[1]}", "b=3"]
     out = {row["k"]: row.asDict() for row in r.read().collect()}
     assert out["a"]["v_sum"] == 0 + 1 + 2 + 100
+
+
+def test_rollup_compact_crash_before_marker_is_invisible(spark, tmp_path):
+    """The marker rename is the commit point: a fold that wrote its
+    target slot but died before the rename leaves readers on the old,
+    complete state."""
+    r = _rollup(spark, tmp_path)
+    for b in range(3):
+        r.process_batch(_df(spark, [("a", 1, 1.0)]), b)
+    before = sorted(map(tuple, r.read().collect()))
+    # simulate the crash: perform the fold write WITHOUT the marker
+    partials = r._read_partials()
+    from pyspark.sql import functions as F
+
+    folded = (
+        partials.where(F.col("b").isin([0, 1]))
+        .drop("b")
+        .groupBy("k")
+        .agg(*r._merge_exprs())
+        .withColumn("_compacted_upto", F.lit(1).cast("long"))
+    )
+    folded.write.mode("overwrite").parquet(f"{r.table_dir}/b={SEED_SLOTS[0]}")
+    # no marker -> the orphan slot is ignored, totals unchanged
+    assert sorted(map(tuple, r.read().collect())) == before
+    # a real compact afterwards repairs everything
+    assert r.compact() == 2
+    assert sorted(map(tuple, r.read().collect())) == before
 
 
 def test_rollup_refuses_write_below_watermark(spark, tmp_path):
     r = _rollup(spark, tmp_path)
     r.process_batch(_df(spark, [("a", 1, 1.0)]), 0)
-    r.compact()
+    r.process_batch(_df(spark, [("a", 1, 1.0)]), 1)
+    assert r.compact() == 1  # watermark 0
     with pytest.raises(ValueError, match="watermark"):
         r.process_batch(_df(spark, [("a", 1, 1.0)]), 0)
-    # a fresh instance reads the watermark from disk too
+    # the guard re-reads the marker per call, so OTHER instances (and
+    # out-of-process compactions) are seen immediately — no stale cache
     r2 = _rollup(spark, tmp_path)
     with pytest.raises(ValueError, match="watermark"):
         r2.process_batch(_df(spark, [("a", 1, 1.0)]), 0)
+    marker = json.load(open(os.path.join(r.table_dir, "_watermark.json")))
+    assert marker["wm"] == 0 and marker["slot"] in SEED_SLOTS
+
+
+def test_rollup_compact_noop_cases(spark, tmp_path):
+    r = _rollup(spark, tmp_path)
+    assert r.compact() == 0  # empty table
+    r.process_batch(_df(spark, [("a", 1, 1.0)]), 0)
+    assert r.compact() == 0  # single live batch: nothing safely foldable
 
 
 def test_rollup_rejects_bad_config(spark, tmp_path):
@@ -85,6 +129,11 @@ def test_rollup_rejects_bad_config(spark, tmp_path):
         StreamingRollup(spark, str(tmp_path), ["k"], {"v": "median"})
     with pytest.raises(ValueError, match="at least one"):
         StreamingRollup(spark, str(tmp_path), [], {"v": "sum"})
+    # reserved partition/metadata column names are refused up front
+    with pytest.raises(ValueError, match="reserved"):
+        StreamingRollup(spark, str(tmp_path), ["b"], {"v": "sum"})
+    with pytest.raises(ValueError, match="reserved"):
+        StreamingRollup(spark, str(tmp_path), ["k"], {"_compacted_upto": "sum"})
 
 
 def _write_jsonl(dirpath, name, rows, mtime=None):
