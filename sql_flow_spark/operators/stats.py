@@ -1068,7 +1068,13 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_DAY_US = 86_400_000_000.0  # epoch-µs per day (float: both engines
 # do the identical IEEE division; day numbers ≪ 2^53 so floor is exact)
 _KM_LN_SCALE = 1_000_000_000_000.0  # 12dp fixed point for ln factors
-_KM_OUT_SCALE = 1_000_000_000.0  # 9dp rounding of the final survival
+# 6dp rounding of the convenience survival double. r8 post-mortem: at
+# 9dp the tightest sf0.01 row sat 1.5e-4 fixed-point units from the
+# floor boundary and a different-libm DuckDB build crossed it (the one
+# driver hash FAIL of r8). 6dp buys ~1000x margin; the exact value now
+# travels in ln_survival_fp (pure DECIMAL -> BIGINT, no libm at all),
+# so the hashable contract no longer depends on exp() agreement.
+_KM_OUT_SCALE = 1_000_000.0
 
 
 @query(
@@ -1117,6 +1123,14 @@ _KM_OUT_SCALE = 1_000_000_000.0  # 9dp rounding of the final survival
            CASE WHEN MAX(ext) OVER (
                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                   AND CURRENT ROW) = 1
+                THEN CAST(NULL AS BIGINT)
+                ELSE CAST(SUM(lnterm) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT)
+           END AS ln_survival_fp,
+           CASE WHEN MAX(ext) OVER (
+                  ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) = 1
                 THEN 0.0
                 ELSE floor(exp(CAST(SUM(lnterm) OVER (
                        ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
@@ -1143,8 +1157,13 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-day array, and all d/n counts are exact BIGINTs. The
     survival product runs in log space: each ln(1 - d/n) factor is
     fixed-pointed to 12dp (absorbing ln() ulp drift between engines)
-    and cumulative-summed as DECIMAL — exact in any fold order — then
-    a single exp() is rounded to 9dp. Censor-only days contribute
+    and cumulative-summed as DECIMAL — exact in any fold order. The
+    exact sum itself is emitted (ln_survival_fp, BIGINT at 1e-12
+    scale: ln S(t) with zero libm in the hashed path — the r8 driver
+    FAIL was a cross-libm exp() boundary at 9dp); the convenience
+    survival double is a single exp() rounded at a coarse 6dp whose
+    boundary margins are audited by scripts/margin_audit.py.
+    Censor-only days contribute
     ln(1) = 0, so they flow through the same sum unfiltered. The
     d = n_risk extinction edge (survival exactly 0, ln undefined) is
     flagged and short-circuited identically in both engines.
@@ -1212,7 +1231,11 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     lns = risk.select(
         "t", "d", "c", "n_risk", lnterm.alias("lnterm"), ext.alias("ext")
     )
-    survival = F.when(F.max("ext").over(w_cum) == 1, F.lit(0.0)).otherwise(
+    extinct = F.max("ext").over(w_cum) == 1
+    ln_fp = F.when(extinct, F.lit(None).cast("long")).otherwise(
+        F.sum("lnterm").over(w_cum).cast("long")
+    )
+    survival = F.when(extinct, F.lit(0.0)).otherwise(
         F.floor(
             F.exp(
                 F.sum("lnterm").over(w_cum).cast("double")
@@ -1229,6 +1252,7 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_risk",
             F.col("d").alias("n_events"),
             F.col("c").alias("n_censored"),
+            ln_fp.alias("ln_survival_fp"),
             survival.alias("survival"),
         )
         .where(F.col("n_events") > 0)
