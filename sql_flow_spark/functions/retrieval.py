@@ -16,9 +16,10 @@ The reference (sql-flow) has no retrieval surface; these extend the
 LLM-training-data family (SURVEY.md §2 rows 22+) the brief asks for.
 
 Cross-engine determinism: per-term BM25 contributions are pure IEEE
-double expressions on exact-integer inputs, fixed-pointed to 9dp
-(``scaled_int``) and summed as DECIMAL — exact and order-insensitive
-under any partitioning; ln() ulp drift between engines is absorbed by
+double expressions on exact-integer inputs, fixed-pointed to 6dp
+(``scaled_int``; see _BM_SCALE for the margin-audit rationale) and
+summed as DECIMAL — exact and order-insensitive under any
+partitioning; ln() ulp drift between engines is absorbed by
 the fixed-point rounding. RRF scores are one or two IEEE divisions on
 exact integer ranks — bit-identical by construction. One known
 tokenizer edge: Java's \\s matches vertical tab (\\x0B), RE2's does
@@ -52,7 +53,15 @@ BM25_TOP = 20
 RRF_DEPTH = 50  # fuse the top-50 of each ranking
 RRF_K = 60.0  # the canonical RRF constant
 RRF_TOP = 10
-_BM_SCALE = 1_000_000_000.0  # 9dp fixed point for per-term scores
+# 6dp fixed point for per-term scores. Deliberately coarse: the term
+# score has a RAW ln() in its dataflow, and the margin audit
+# (scripts/margin_audit.py) measured the 9dp mask's tightest boundary
+# at ~1.7e3 ulps of the argument across the MRR query set — the same
+# order as the observed r8 cross-libm flip (~1.4e3 ulps). At 6dp the
+# same data clears 1e6+ ulps. Ranking ties the coarser score could
+# introduce are already broken deterministically by doc_id.
+_BM_SCALE = 1_000_000.0
+_BM_DP = 6  # must match _BM_SCALE for the Spark-side scaled_int calls
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
@@ -148,7 +157,7 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", scaled_int(term_score, 9).alias("ts"))
+        .select("doc_id", scaled_int(term_score, _BM_DP).alias("ts"))
     )
     return scored.groupBy("doc_id").agg(
         (F.sum("ts").cast("double") / F.lit(_BM_SCALE)).alias("score")
@@ -447,7 +456,7 @@ def bm25_self_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "doc_id")
         .agg(
             (
-                F.sum(scaled_int(term_score, 9)).cast("double")
+                F.sum(scaled_int(term_score, _BM_DP)).cast("double")
                 / F.lit(_BM_SCALE)
             ).alias("score")
         )

@@ -882,7 +882,13 @@ def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEP_SCALE = 1_000_000_000_000.0  # 12dp fixed point for entropy terms
+# 6dp fixed point for entropy terms. The p*log2(p) term carries a RAW
+# log2() and the margin audit measured the old 12dp mask's tightest
+# boundary at 77 ulps of the argument — one sloppy cross-build log2
+# from a driver hash FAIL (the r8 kaplan_meier class). 6dp puts the
+# same data at ~1e8 ulps; the entropy column loses nothing an
+# uncertainty readout cares about (error ~1e-5 bits).
+_NEP_SCALE = 1_000_000.0
 
 
 @query(
