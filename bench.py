@@ -205,7 +205,10 @@ def main():
     # Graph family first, in its own subprocess = genuinely fresh JVM
     # (stopping a SparkContext does not reset the gateway JVM's codegen
     # cache; a child process does).
-    graph_out = tempfile.mktemp(prefix="sfs-bench-graph-", suffix=".json")
+    fd, graph_out = tempfile.mkstemp(
+        prefix="sfs-bench-graph-", suffix=".json"
+    )
+    os.close(fd)  # the subprocess writes the path; mkstemp owns the name
     subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--phase", "graph",
          "--out", graph_out],

@@ -122,10 +122,24 @@ def main(argv: list[str] | None = None) -> int:
 
     p_cpt = sub.add_parser(
         "compact",
-        help="fold a pipeline.rollup table's batch partitions into the "
-        "seed partition (maintenance; crash-safe watermark protocol)",
+        help="fold batch partitions of every incremental state table "
+        "the config maintains (pipeline.rollup and/or "
+        "pipeline.ingest_dedup) into its seed slot — or a standalone "
+        "IVF index dir via --ann-index. Crash-safe marker-commit "
+        "protocol; refuses while a foreign writer lease is fresh.",
     )
-    p_cpt.add_argument("config")
+    p_cpt.add_argument("config", nargs="?")
+    p_cpt.add_argument(
+        "--ann-index",
+        help="compact an IncrementalIVF index directory directly",
+    )
+    p_cpt.add_argument(
+        "--force",
+        action="store_true",
+        help="skip the writer-lease check (only when you KNOW the "
+        "stream is stopped; a recent lease otherwise refuses for its "
+        "120s ttl)",
+    )
 
     args = parser.parse_args(argv)
 
@@ -176,17 +190,46 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "compact":
-        conf = cfg.new_from_path(args.config)
-        ru = conf.pipeline.rollup
-        if ru is None:
-            print("config has no pipeline.rollup block", file=sys.stderr)
-            return 1
-        from sql_flow_spark.streaming.rollup import StreamingRollup
+        did_any = False
+        if args.ann_index:
+            from sql_flow_spark.streaming.ann_index import IncrementalIVF
 
-        folded = StreamingRollup(
-            spark, table_dir=ru.table_dir, keys=ru.keys, aggs=ru.aggs
-        ).compact()
-        print(f"compacted {folded} batch partition(s) into the seed")
+            folded = IncrementalIVF.load(spark, args.ann_index).compact(
+                force=args.force
+            )
+            print(f"ann-index: compacted {folded} batch partition(s)")
+            did_any = True
+        if args.config:
+            conf = cfg.new_from_path(args.config)
+            ru = conf.pipeline.rollup
+            if ru is not None:
+                from sql_flow_spark.streaming.rollup import StreamingRollup
+
+                folded = StreamingRollup(
+                    spark, table_dir=ru.table_dir, keys=ru.keys, aggs=ru.aggs
+                ).compact(force=args.force)
+                print(f"rollup: compacted {folded} batch partition(s)")
+                did_any = True
+            dd = conf.pipeline.ingest_dedup
+            if dd is not None:
+                from sql_flow_spark.streaming.ingest_dedup import (
+                    FingerprintIndex,
+                )
+
+                folded = FingerprintIndex(
+                    spark, dd.index_dir
+                ).compact(force=args.force)
+                print(
+                    f"dedup-index: compacted {folded} batch partition(s)"
+                )
+                did_any = True
+        if not did_any:
+            print(
+                "nothing to compact: config has no pipeline.rollup / "
+                "pipeline.ingest_dedup block and no --ann-index given",
+                file=sys.stderr,
+            )
+            return 1
         return 0
 
     if args.cmd == "invoke":

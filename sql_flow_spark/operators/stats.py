@@ -1067,7 +1067,17 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_DAY_US = 86_400_000_000.0  # epoch-µs per day (float: both engines
 # do the identical IEEE division; day numbers ≪ 2^53 so floor is exact)
-_KM_LN_SCALE = 1_000_000_000_000.0  # 12dp fixed point for ln factors
+# 6dp fixed point for the ln factors. Deliberately coarse: the DECIMAL
+# sum of these terms is now the hash-bearing column (ln_survival_fp),
+# so every term must round identically under a libm whose ln() differs
+# by ulps. At 6dp a multi-ulp wobble moves the scaled argument by
+# ~4e-10 lattice units vs measured boundary margins ~1e-4
+# (scripts/margin_audit.py) — 10^5x headroom; at the old 12dp the
+# tightest term sat ~2 ulps from the midpoint. Accuracy cost on the
+# survival curve is sqrt(n_terms)*5e-7 ~ 2e-5: invisible at the 6dp
+# output lattice's purpose (a retention curve), and both engines
+# compute the SAME quantized curve, which is the actual contract.
+_KM_LN_SCALE = 1_000_000.0
 # 6dp rounding of the convenience survival double. r8 post-mortem: at
 # 9dp the tightest sf0.01 row sat 1.5e-4 fixed-point units from the
 # floor boundary and a different-libm DuckDB build crossed it (the one
@@ -1156,9 +1166,10 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from epoch-µs), per-customer first/second days come from a sorted
     distinct-day array, and all d/n counts are exact BIGINTs. The
     survival product runs in log space: each ln(1 - d/n) factor is
-    fixed-pointed to 12dp (absorbing ln() ulp drift between engines)
-    and cumulative-summed as DECIMAL — exact in any fold order. The
-    exact sum itself is emitted (ln_survival_fp, BIGINT at 1e-12
+    fixed-pointed to a deliberately coarse 6dp (absorbing far more
+    than any cross-build ln() drift — see _KM_LN_SCALE) and
+    cumulative-summed as DECIMAL — exact in any fold order. The
+    exact sum itself is emitted (ln_survival_fp, BIGINT at 1e-6
     scale: ln S(t) with zero libm in the hashed path — the r8 driver
     FAIL was a cross-libm exp() boundary at 9dp); the convenience
     survival double is a single exp() rounded at a coarse 6dp whose

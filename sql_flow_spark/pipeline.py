@@ -174,16 +174,29 @@ class Pipeline:
             self.sink.flush()
             self.stats.num_batches += 1
         self._run_legs(df, "batch")
+        # one-shot invoke scores as batch 0 (same idempotent slot
+        # every run — `dev invoke` is a test harness, not ingest);
+        # every monitoring leg runs under the same error policy as the
+        # micro-batch path (ADVICE r8: invoke used to abort on a leg
+        # failure even under IGNORE/DLQ)
         if self.drift_monitor is not None:
-            self._score_drift(df, 0)
+            self._guarded_leg(
+                "batch", "drift_monitor", lambda: self._score_drift(df, 0)
+            )
         if self.ingest_dedup is not None:
-            # one-shot invoke scores as batch 0 (same idempotent slot
-            # every run — `dev invoke` is a test harness, not ingest)
-            self.ingest_dedup.process(df, 0)
+            self._guarded_leg(
+                "batch", "ingest_dedup",
+                lambda: self.ingest_dedup.process(df, 0),
+            )
         if self._heavy_hitters is not None:
-            self._report_heavy_hitters(df, 0)
+            self._guarded_leg(
+                "batch", "heavy_hitters",
+                lambda: self._report_heavy_hitters(df, 0),
+            )
         if self._rollup is not None:
-            self._rollup.process_batch(df, 0)
+            self._guarded_leg(
+                "batch", "rollup", lambda: self._rollup.process_batch(df, 0)
+            )
         return result
 
     def _report_heavy_hitters(self, df: DataFrame, batch_id: int) -> None:
@@ -231,6 +244,20 @@ class Pipeline:
                 self.spark.createDataFrame(rows, scored.schema)
             )
             self._drift_sink.flush()
+
+    def _guarded_leg(self, ctx: str, leg: str, fn) -> None:
+        """Run one monitoring leg (drift / ingest_dedup / heavy_hitters
+        / rollup) under the pipeline error policy — shared by the
+        one-shot invoke() and the foreachBatch path so both have the
+        SAME error semantics (IGNORE/DLQ continue; RAISE propagates)."""
+        try:
+            fn()
+        except Exception as e:
+            self.stats.num_errors += 1
+            if self.error_policy == cfg.Policy.RAISE:
+                raise
+            if self.error_policy == cfg.Policy.DLQ:
+                self.dlq.write_error(str(e), ctx, leg)
 
     def _run_legs(self, df: DataFrame, ctx: str):
         """Each leg is error-isolated under the pipeline policy: one
@@ -281,50 +308,27 @@ class Pipeline:
                 self.sink.flush()
                 self.stats.num_batches += 1
             self._run_legs(batch_df, f"micro-batch {batch_id}")
+            ctx = f"micro-batch {batch_id}"
             if self.drift_monitor is not None:
-                try:
-                    self._score_drift(batch_df, batch_id)
-                except Exception as e:
-                    self.stats.num_errors += 1
-                    if self.error_policy == cfg.Policy.RAISE:
-                        raise
-                    if self.error_policy == cfg.Policy.DLQ:
-                        self.dlq.write_error(
-                            str(e), f"micro-batch {batch_id}", "drift_monitor"
-                        )
+                self._guarded_leg(
+                    ctx, "drift_monitor",
+                    lambda: self._score_drift(batch_df, batch_id),
+                )
             if self.ingest_dedup is not None:
-                try:
-                    self.ingest_dedup.process(batch_df, batch_id)
-                except Exception as e:
-                    self.stats.num_errors += 1
-                    if self.error_policy == cfg.Policy.RAISE:
-                        raise
-                    if self.error_policy == cfg.Policy.DLQ:
-                        self.dlq.write_error(
-                            str(e), f"micro-batch {batch_id}", "ingest_dedup"
-                        )
+                self._guarded_leg(
+                    ctx, "ingest_dedup",
+                    lambda: self.ingest_dedup.process(batch_df, batch_id),
+                )
             if self._heavy_hitters is not None:
-                try:
-                    self._report_heavy_hitters(batch_df, batch_id)
-                except Exception as e:
-                    self.stats.num_errors += 1
-                    if self.error_policy == cfg.Policy.RAISE:
-                        raise
-                    if self.error_policy == cfg.Policy.DLQ:
-                        self.dlq.write_error(
-                            str(e), f"micro-batch {batch_id}", "heavy_hitters"
-                        )
+                self._guarded_leg(
+                    ctx, "heavy_hitters",
+                    lambda: self._report_heavy_hitters(batch_df, batch_id),
+                )
             if self._rollup is not None:
-                try:
-                    self._rollup.process_batch(batch_df, batch_id)
-                except Exception as e:
-                    self.stats.num_errors += 1
-                    if self.error_policy == cfg.Policy.RAISE:
-                        raise
-                    if self.error_policy == cfg.Policy.DLQ:
-                        self.dlq.write_error(
-                            str(e), f"micro-batch {batch_id}", "rollup"
-                        )
+                self._guarded_leg(
+                    ctx, "rollup",
+                    lambda: self._rollup.process_batch(batch_df, batch_id),
+                )
         finally:
             if stateful:
                 batch_df.unpersist()

@@ -24,6 +24,10 @@ own ``b=`` directory (the ingest-dedup exactly-once contract), and
 at the scan (PartitionFilters, no data read). Centroids + the
 reference occupancy live in ``_meta.json`` beside the data — the
 index is self-describing and reload-able after restart.
+``compact()`` (the marker-commit protocol shared with the rollup and
+the fingerprint index — streaming/compaction.py) folds batch
+partitions into a cell-partitioned slot, so the directory count stays
+bounded by k cells + the live tail regardless of stream lifetime.
 
 Scale shape: append is a narrow map (assign UDF) + one partitioned
 write — no shuffle, no driver traffic beyond the k-sized occupancy
@@ -50,6 +54,11 @@ from sql_flow_spark.functions.similarity import (
     ivf_centroids,
     sq_norm_dec,
 )
+from sql_flow_spark.streaming.compaction import (
+    MarkerCommit,
+    assert_no_live_writer,
+    touch_writer_lease,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -59,6 +68,9 @@ RETRAIN_PSI = 0.25
 
 _META = "_meta.json"
 SEED_BATCH = -1
+# Marker-commit fold slots (streaming/compaction.py); distinct from
+# SEED_BATCH, which is the build()-time corpus partition.
+FOLD_SLOTS = (-101, -102)
 
 
 def occupancy_psi(
@@ -101,6 +113,7 @@ class IncrementalIVF:
         self.id_col = id_col
         self.emb_col = emb_col
         self.nprobe = nprobe
+        self._mc = MarkerCommit(index_dir, FOLD_SLOTS)
 
     @property
     def k(self) -> int:
@@ -175,7 +188,19 @@ class IncrementalIVF:
     def _write_batch(self, df: DataFrame, batch_id: int) -> dict[int, int]:
         """Assign + write one batch to ``b=<id>`` (idempotent overwrite,
         cell-partitioned). Returns the batch's cell occupancy (k-sized
-        driver transfer — the only collect on this path)."""
+        driver transfer — the only collect on this path). Refuses a
+        batch id at/below the compaction watermark and heartbeats the
+        writer lease (streaming/compaction.py)."""
+        if batch_id >= 0:
+            self._mc.check_batch_writable(batch_id)
+        elif self._mc.marker()[0] is not None:
+            raise ValueError(
+                f"index {self.index_dir} already has a compaction "
+                "watermark; a build()-time seed partition would be "
+                "invisible to marker-filtered readers. Build into a "
+                "fresh index dir."
+            )
+        touch_writer_lease(self.index_dir)
         assigned = self._assigned(df)
         (
             assigned.write.mode("overwrite")
@@ -239,10 +264,58 @@ class IncrementalIVF:
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
 
+    # ---------------------------------------------------- compaction
+
+    def compact(self, force: bool = False) -> int:
+        """Fold committed batch partitions (and the build()-time seed,
+        if any) into the inactive slot, preserving the ``cell``
+        partitioning so search keeps its partition-pruned scans. Commit
+        = atomic marker rename; the newest live batch is never folded
+        (replay protection); dead directories are removed best-effort
+        (streaming/compaction.py). Returns the number of batch
+        partitions folded. Rows are concatenated as-is — a vec_id
+        re-inserted in a later batch stays duplicated, exactly as it is
+        across live ``b=`` partitions (search dropDuplicates on
+        (qid, vec_id) already handles it)."""
+        if not force:
+            assert_no_live_writer(self.index_dir)
+        fold_ids, upto = self._mc.foldable()
+        if not fold_ids:
+            return 0
+        wm, slot = self._mc.marker()
+        df = self.spark.read.parquet(self.index_dir)
+        cond = F.col("b").isin(fold_ids)
+        if slot is not None:
+            cond = cond | (F.col("b") == slot)
+        if wm is None and self._mc.has_dir(SEED_BATCH):
+            cond = cond | (F.col("b") == SEED_BATCH)
+        target = self._mc.inactive_slot(slot)
+        (
+            df.where(cond)
+            .select("vec_id", "embedding", "nrm", "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{self.index_dir}/b={target}")
+        )
+        self._mc.write_marker(upto, target)  # COMMIT
+        self._mc.cleanup(
+            upto,
+            slot if slot != target else None,
+            extra=[SEED_BATCH] if self._mc.has_dir(SEED_BATCH) else [],
+        )
+        return len(fold_ids)
+
     # -------------------------------------------------------- search
 
     def index_df(self) -> DataFrame:
-        return self.spark.read.parquet(self.index_dir)
+        df = self.spark.read.parquet(self.index_dir)
+        wm, slot = self._mc.marker()
+        if wm is not None:
+            df = df.where(
+                (F.col("b") == slot)
+                | ((F.col("b") >= 0) & (F.col("b") > wm))
+            )
+        return df
 
     def search(self, queries: DataFrame, topk: int = 5) -> DataFrame:
         """Probe nprobe cells per query, exact-cosine rerank inside

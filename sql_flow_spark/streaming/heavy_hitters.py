@@ -26,14 +26,16 @@ streaming substitute.)
 
 Scale shape: per batch, one narrow mapInPandas (≤ K rows per
 partition) + a merge groupBy over ≤ K x partitions + prior-candidates
-keys. State on disk is ≤ O(K x batches) rows before compaction and is
-re-compacted to ≤ 2K rows on every fold (MG reduction applied to the
-merged table), so it never grows.
+keys. Each ``b=`` directory is a FULL ≤ K-row snapshot; after every
+successful write, snapshots older than the immediate predecessor are
+pruned (the predecessor survives for crash-replay), so BOTH the row
+count and the directory count stay bounded for the stream's lifetime.
 """
 
 from __future__ import annotations
 
 import logging
+import os
 from typing import Callable, Optional
 
 import pandas as pd
@@ -68,7 +70,10 @@ def mg_partition_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
                 {"key": list(counters), "c": list(counters.values())}
             )
 
-    return df.select(F.col(key_col).alias(key_col)).mapInPandas(
+    # cast to string BEFORE the Arrow boundary: the declared output
+    # schema is `key string`, and a bigint key column (e.g. a user_id
+    # stream) would otherwise raise an Arrow type error inside the UDF
+    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
         _mg, "key string, c long"
     )
 
@@ -121,6 +126,36 @@ class StreamingHeavyHitters:
         n = rows[0]["n"] if rows else 0
         return head, [(r["key"], r["c"]) for r in rows], n
 
+    def _prune(self, batch_id: int) -> None:
+        """Drop state snapshots older than the immediate predecessor.
+
+        Each ``b=<batch>`` directory is a FULL snapshot, so only the
+        newest matters for reads — but the predecessor must survive so
+        a crash-replay of ``batch_id`` (which reads state strictly
+        older than itself) still finds its input. Without this, the
+        per-batch listing cost of _latest grows linearly with stream
+        lifetime even though the row count never does."""
+        import shutil
+
+        try:
+            names = os.listdir(self.state_dir)
+        except OSError:  # pragma: no cover - dir vanished
+            return
+        for nm in names:
+            if not nm.startswith("b="):
+                continue
+            try:
+                b = int(nm[2:])
+            except ValueError:
+                continue
+            if b < batch_id - 1:
+                try:
+                    shutil.rmtree(os.path.join(self.state_dir, nm))
+                except OSError as e:  # pragma: no cover - best-effort
+                    logger.warning(
+                        "heavy-hitters prune: could not remove %s: %s", nm, e
+                    )
+
     def fold_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
         """Fold one micro-batch; returns the current heavy-hitter
         report {key: {count_lo, count_hi, share_lo}} plus totals."""
@@ -144,6 +179,7 @@ class StreamingHeavyHitters:
         state.coalesce(1).write.mode("overwrite").parquet(
             f"{self.state_dir}/b={batch_id}"
         )
+        self._prune(batch_id)
         slack = n // (self.k + 1)
         # No false negatives: true(w) <= count_hi, so every key whose
         # true share exceeds 1/(K+1) has count_hi past the threshold

@@ -30,8 +30,10 @@ column (16 bytes/doc); the probe is one equi-join on ``f`` per batch —
 O(batch + index-probe), never O(corpus). At 100 TB the index is a
 bucketed table on ``f`` (plans/bucketing.py) so the probe join is
 exchange-free on the index side; the per-batch partition layout here
-keeps writes idempotent and lets retention jobs drop old batches by
-directory.
+keeps writes idempotent, and ``FingerprintIndex.compact()`` (the
+marker-commit protocol shared with the rollup —
+streaming/compaction.py) folds history into one DISTINCT slot so the
+directory count stays bounded regardless of stream lifetime.
 """
 
 from __future__ import annotations
@@ -45,12 +47,21 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
 from sql_flow_spark.functions.textops import fingerprint
+from sql_flow_spark.streaming.compaction import (
+    MarkerCommit,
+    assert_no_live_writer,
+    touch_writer_lease,
+)
 
 logger = logging.getLogger(__name__)
 
 # Partition key for index rows seeded from a pre-existing corpus
 # (never excluded by replay protection: -1 is not a valid batch id).
 SEED_BATCH = -1
+# Marker-commit fold slots (streaming/compaction.py). Distinct from
+# SEED_BATCH: b=-1 is the bootstrap corpus partition, the slots are
+# where compact() folds history (bootstrap included) into.
+FOLD_SLOTS = (-101, -102)
 
 
 class FingerprintIndex:
@@ -62,24 +73,42 @@ class FingerprintIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        self._mc = MarkerCommit(index_dir, FOLD_SLOTS)
 
     def read(self, exclude_batch: Optional[int] = None) -> Optional[DataFrame]:
         """The index as of 'before batch ``exclude_batch``' (replay
         protection: a crashed attempt of the same batch id must not
-        count as corpus). None when the index is empty."""
+        count as corpus). None when the index is empty.
+
+        Marker-aware: once a compaction has committed, the folded
+        history lives in the active slot and every partition at or
+        below the watermark (including the bootstrap b=-1) is dead —
+        reading them would double-count crash leftovers the best-effort
+        cleanup missed."""
         try:
             df = self.spark.read.parquet(self.index_dir)
         except AnalysisException:
             return None  # nothing ingested yet
         if "f" not in df.columns:  # empty dir discovered with no schema
             return None
+        wm, slot = self._mc.marker()
+        if wm is not None:
+            df = df.where(
+                (F.col("b") == slot)
+                | ((F.col("b") >= 0) & (F.col("b") > wm))
+            )
         if exclude_batch is not None:
             df = df.where(F.col("b") != F.lit(exclude_batch))
         return df.select("f")
 
     def append(self, new_fps: DataFrame, batch_id: int) -> None:
         """Overwrite partition ``b=batch_id`` with the batch's new
-        DISTINCT fingerprints (idempotent under replay)."""
+        DISTINCT fingerprints (idempotent under replay). Refuses a
+        batch id at/below the compaction watermark and heartbeats the
+        writer lease (streaming/compaction.py)."""
+        if batch_id >= 0:
+            self._mc.check_batch_writable(batch_id)
+        touch_writer_lease(self.index_dir)
         (
             new_fps.select("f")
             .distinct()
@@ -90,8 +119,57 @@ class FingerprintIndex:
     def seed(self, corpus: DataFrame, text_col: str = "text") -> None:
         """Bootstrap from an existing corpus (the batch world's
         dedup_exact output feeding the streaming world's index)."""
+        wm, _slot = self._mc.marker()
+        if wm is not None:
+            raise ValueError(
+                f"index {self.index_dir} already has a compaction "
+                "watermark; the bootstrap partition b=-1 would be "
+                "invisible to marker-filtered readers. Seed a fresh "
+                "index dir."
+            )
         fps = corpus.select(fingerprint(text_col).alias("f"))
         self.append(fps, SEED_BATCH)
+
+    def compact(self, force: bool = False) -> int:
+        """Fold committed batch partitions (and the bootstrap, if any)
+        into the inactive slot; commit by atomic marker rename; remove
+        dead directories best-effort. The newest live batch is never
+        folded (replay protection — see streaming/compaction.py).
+        Returns the number of batch partitions folded. The fold is a
+        DISTINCT over fingerprints, so the folded slot is no bigger
+        than the unique corpus."""
+        if not force:
+            assert_no_live_writer(self.index_dir)
+        fold_ids, upto = self._mc.foldable()
+        if not fold_ids:
+            return 0
+        wm, slot = self._mc.marker()
+        try:
+            df = self.spark.read.parquet(self.index_dir)
+        except AnalysisException:  # pragma: no cover - dirs vanished
+            return 0
+        sources = [F.col("b").isin(fold_ids)]
+        if slot is not None:
+            sources.append(F.col("b") == slot)
+        seed_present = wm is None and self._mc.has_dir(SEED_BATCH)
+        if seed_present:
+            sources.append(F.col("b") == SEED_BATCH)
+        cond = sources[0]
+        for c in sources[1:]:
+            cond = cond | c
+        target = self._mc.inactive_slot(slot)
+        folded = df.where(cond).select("f").distinct()
+        folded.write.mode("overwrite").parquet(f"{self.index_dir}/b={target}")
+        self._mc.write_marker(upto, target)  # COMMIT
+        # the bootstrap dir is dead once ANY marker exists (first fold
+        # absorbed it) — clean it even if it is a crash leftover from a
+        # previous compact's interrupted cleanup
+        self._mc.cleanup(
+            upto,
+            slot if slot != target else None,
+            extra=[SEED_BATCH] if self._mc.has_dir(SEED_BATCH) else [],
+        )
+        return len(fold_ids)
 
 
 def score_batch(

@@ -27,9 +27,11 @@ with a MARKER-COMMIT protocol:
 - the newest live batch is never folded: under a (serial) streaming
   writer only the latest batch can be replayed after a restart, so
   keeping it out of the fold makes replay and compaction commute.
-  compact() still must not run concurrently with a writer — run it
-  between triggers or from the `cli compact` maintenance verb while
-  the stream is stopped;
+  compact() must not run concurrently with a writer — run it between
+  triggers or from the `cli compact` maintenance verb while the
+  stream is stopped; this is now ENFORCED advisorily: process_batch
+  heartbeats a writer lease and compact() refuses while a different
+  process's lease is fresh (streaming/compaction.py);
 - ``process_batch`` re-reads the marker on every call (one local
   file read, no Spark job) and refuses a batch id at or below the
   watermark — a write readers would silently ignore.
@@ -47,22 +49,24 @@ maintained aggregate is a first-class queryable parquet table.
 
 from __future__ import annotations
 
-import json
 import logging
-import os
-import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from sql_flow_spark.streaming.compaction import (
+    MarkerCommit,
+    assert_no_live_writer,
+    touch_writer_lease,
+)
+
 logger = logging.getLogger(__name__)
 
 SEED_SLOTS = (-1, -2)  # the two fold targets; never real batch ids
 _SUPPORTED = ("sum", "count", "min", "max", "avg")
 _WM_COL = "_compacted_upto"  # informational copy inside the seed rows
-_MARKER = "_watermark.json"  # the commit point: {"wm": int, "slot": int}
 _RESERVED = ("b", _WM_COL)
 
 
@@ -94,25 +98,12 @@ class StreamingRollup:
         self.table_dir = table_dir
         self.keys = list(keys)
         self.aggs = dict(aggs)
-
-    # ------------------------------------------------------- marker
+        # marker/slot/lease bookkeeping shared with the other
+        # incremental state engines (streaming/compaction.py)
+        self._mc = MarkerCommit(table_dir, SEED_SLOTS)
 
     def _marker(self) -> tuple[Optional[int], Optional[int]]:
-        """(watermark, active seed slot) from the atomic marker file —
-        re-read every call; a plain local read, no Spark job."""
-        try:
-            with open(os.path.join(self.table_dir, _MARKER)) as f:
-                m = json.load(f)
-            return int(m["wm"]), int(m["slot"])
-        except (OSError, ValueError, KeyError):
-            return None, None
-
-    def _write_marker(self, wm: int, slot: int) -> None:
-        path = os.path.join(self.table_dir, _MARKER)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"wm": wm, "slot": slot}, f)
-        os.rename(tmp, path)  # the atomic commit point
+        return self._mc.marker()
 
     # ------------------------------------------------------ partials
 
@@ -150,15 +141,11 @@ class StreamingRollup:
         it (streaming batch ids only grow, so this only bites a
         one-shot ``invoke`` (fixed slot 0) against a previously
         compacted table). The marker is re-read from disk on every
-        call, so a compaction by another process is seen immediately."""
-        wm, _slot = self._marker()
-        if wm is not None and batch_id <= wm:
-            raise ValueError(
-                f"rollup batch id {batch_id} is at/below the compaction "
-                f"watermark {wm}; readers would ignore its partition. "
-                "Use a fresh table_dir (or larger batch ids) after "
-                "compacting a table fed by one-shot invokes."
-            )
+        call, so a compaction by another process is seen immediately.
+        Also heartbeats the advisory writer lease that makes a
+        concurrent `cli compact` refuse (compaction.py)."""
+        self._mc.check_batch_writable(batch_id)
+        touch_writer_lease(self.table_dir)
         part = self._partial_agg(df).withColumn(
             _WM_COL, F.lit(None).cast("long")
         )
@@ -221,37 +208,21 @@ class StreamingRollup:
 
     # ---------------------------------------------------- compaction
 
-    def _disk_batch_ids(self) -> list[int]:
-        try:
-            names = os.listdir(self.table_dir)
-        except OSError:
-            return []
-        ids = []
-        for n in names:
-            if n.startswith("b="):
-                try:
-                    v = int(n[2:])
-                except ValueError:
-                    continue
-                if v >= 0:
-                    ids.append(v)
-        return sorted(ids)
-
-    def compact(self) -> int:
+    def compact(self, force: bool = False) -> int:
         """Fold committed batch partitions into the inactive seed slot
         and commit via the atomic marker rename. The NEWEST live batch
         is never folded (it is the only one a restarted stream can
         replay). Cleanup afterwards removes the old seed slot and
         EVERY on-disk batch partition at/below the new watermark —
         including leftovers of a previously crashed cleanup. Returns
-        the number of batch partitions folded. Must not run
-        concurrently with a writer (see module docstring)."""
+        the number of batch partitions folded. Refuses while another
+        process's writer lease is fresh (compaction.py)."""
+        if not force:
+            assert_no_live_writer(self.table_dir)
         wm, slot = self._marker()
-        live = [b for b in self._disk_batch_ids() if wm is None or b > wm]
-        if len(live) < 2:
+        fold_ids, upto = self._mc.foldable()
+        if not fold_ids:
             return 0  # nothing foldable without touching the newest batch
-        fold_ids = live[:-1]
-        upto = fold_ids[-1]
         partials = self._read_partials()
         if partials is None:  # pragma: no cover - dirs vanished underneath
             return 0
@@ -259,7 +230,7 @@ class StreamingRollup:
             (F.col("b") == (slot if slot is not None else SEED_SLOTS[0]))
             | F.col("b").isin(fold_ids)
         )
-        target = SEED_SLOTS[1] if slot == SEED_SLOTS[0] else SEED_SLOTS[0]
+        target = self._mc.inactive_slot(slot)
         folded = (
             to_fold.drop("b")
             .groupBy(*self.keys)
@@ -273,15 +244,8 @@ class StreamingRollup:
         folded.write.mode("overwrite").parquet(
             f"{self.table_dir}/b={target}"
         )
-        self._write_marker(upto, target)  # COMMIT
+        self._mc.write_marker(upto, target)  # COMMIT
         # best-effort cleanup; a crash here is repaired by the next
         # compact (anything <= the committed watermark is dead)
-        stale_dirs = [f"b={b}" for b in self._disk_batch_ids() if b <= upto]
-        if slot is not None and slot != target:
-            stale_dirs.append(f"b={slot}")
-        for d in stale_dirs:
-            try:
-                shutil.rmtree(os.path.join(self.table_dir, d))
-            except OSError as e:  # pragma: no cover - best-effort
-                logger.warning("rollup compact: could not remove %s: %s", d, e)
+        self._mc.cleanup(upto, slot if slot != target else None)
         return len(fold_ids)

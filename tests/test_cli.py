@@ -135,7 +135,13 @@ pipeline:
     r = StreamingRollup(spark, str(table), ["k"], {"v": "sum"})
     r.process_batch(spark.createDataFrame([("a", 1)], "k string, v long"), 0)
     r.process_batch(spark.createDataFrame([("a", 2)], "k string, v long"), 1)
+    # the in-process writes just heartbeated the writer lease, so a
+    # foreign-pid compact REFUSES (the r9 concurrency guard) ...
     out = _run_cli("compact", str(config))
+    assert out.returncode != 0
+    assert "writer lease" in (out.stderr + out.stdout)
+    # ... and --force is the operator's "the stream is stopped" override
+    out = _run_cli("compact", str(config), "--force")
     assert out.returncode == 0, out.stderr
     # the newest live batch is never folded (replay safety), so two
     # batches compact to one folded + one live

@@ -126,6 +126,35 @@ def test_ignore_policy_skips_batch(spark, tmp_path):
     assert pipe.stats.num_batches == 0
 
 
+def test_ignore_policy_covers_invoke_monitoring_legs(spark, tmp_path):
+    """ADVICE r8: the one-shot invoke() path must run the monitoring
+    legs under the same error policy as the micro-batch path — a
+    failing leg under IGNORE must not abort the invoke or lose the
+    handler result."""
+    from pyspark.sql import Row
+
+    from sql_flow_spark import config as _cfg
+    from sql_flow_spark.handlers import InferredBatch
+    from sql_flow_spark.pipeline import Pipeline
+    from sql_flow_spark.sources import FileSource
+
+    pipe = Pipeline(
+        spark=spark,
+        source=FileSource(str(tmp_path / "unused"), format="json"),
+        handler=InferredBatch("SELECT * FROM batch"),
+        sink=MemorySink(),
+        error_policy=_cfg.Policy.IGNORE,
+        heavy_hitters=_cfg.HeavyHittersConf(
+            state_dir=str(tmp_path / "hh"),
+            key_column="no_such_column",  # the leg will fail
+        ),
+    )
+    batch = spark.createDataFrame([Row(k="a", v=1), Row(k="a", v=2)])
+    result = pipe.invoke(batch)
+    assert result is not None and result.count() == 2  # handler survived
+    assert pipe.stats.num_errors == 1  # the leg failure was recorded
+
+
 def test_dedup_pipeline_over_parquet_source(spark, tmp_path):
     from sql_flow_spark.pipeline import new_pipeline_from_conf
 
