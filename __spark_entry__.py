@@ -29,8 +29,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # SURVEY.md §7.
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
-    """(ever-checked keys, keys whose LATEST driver row failed).
+def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
+    """(ever-checked keys, keys whose LATEST driver row failed,
+    key -> latest round number it was driver-checked in).
 
     A row "fails" if any of its match flags is explicitly false, or it
     recorded an err other than the expected "no_oracle" marker rows-only
@@ -40,11 +41,15 @@ def _driver_history() -> tuple[set[str], set[str]]:
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     seen: set[str] = set()
     failing: set[str] = set()
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -52,6 +57,7 @@ def _driver_history() -> tuple[set[str], set[str]]:
             continue
         seen |= set(rows)
         for k, row in rows.items():
+            last_round[k] = max(rnd, last_round.get(k, 0))
             if not isinstance(row, dict):
                 continue
             err = row.get("err")
@@ -68,7 +74,44 @@ def _driver_history() -> tuple[set[str], set[str]]:
                 failing.discard(k)
             else:
                 failing.add(k)
-    return seen, failing
+    return seen, failing, last_round
+
+
+def contract_hash(key: str) -> str:
+    """Hash of the key's driver-visible contract. Oracle-backed keys:
+    the oracle SQL (column names, masks, scales all live there).
+    Rows-only keys: the builder's source (any change could change the
+    emitted schema — over-triggering just costs one window slot)."""
+    import hashlib
+    import inspect
+
+    if key in ORACLES:
+        payload = ORACLES[key]
+    else:
+        try:
+            payload = inspect.getsource(QUERIES[key])
+        except (OSError, TypeError):
+            payload = key
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def _recorded_contracts() -> dict[str, str]:
+    """rotation_contracts.json: key -> contract_hash validated by the
+    key's most recent driver row (maintained by
+    scripts/update_rotation_state.py at round start). A key missing
+    here, or whose current hash differs, has never had its CURRENT
+    contract driver-checked and sorts with the re-check tier."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "rotation_contracts.json"
+    )
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
 
 
 def _ordered_keys() -> list[str]:
@@ -76,27 +119,36 @@ def _ordered_keys() -> list[str]:
     0. keys whose LATEST driver row FAILED (a fix must land a green row
        — without this, a failed key sorts as "previously checked" and
        can rotate out of the window before its fix is ever verified),
-    1. never-driver-checked oracle-backed keys (strongest check, most
-       to gain), 2. never-checked rows-only keys, 3. previously-proven
-       oracle-backed keys (keep them formally green while slots
-       remain), 4. previously-proven rows-only keys. Within each tier,
-       registration order."""
-    checked, failing = _driver_history()
+    1. checked keys whose CONTRACT (oracle SQL / builder source)
+       changed since their last driver row — the old green row
+       validated a contract that no longer exists (r9 verdict item 2:
+       the re-masked bm25/next-event contracts were unreachable),
+    2. never-driver-checked oracle-backed keys (strongest check, most
+       to gain), 3. never-checked rows-only keys, 4. previously-proven
+       oracle-backed keys, 5. previously-proven rows-only keys.
+    Tiers 4/5 sort by (last-checked round ASCENDING, registration
+    order) so the whole registry cycles through the 50-key window
+    every ~4 rounds instead of freezing on registration order (the r9
+    static-window hazard); earlier tiers keep registration order."""
+    checked, failing, last_round = _driver_history()
+    recorded = _recorded_contracts()
 
-    def tier(k: str) -> int:
+    def sort_key(k: str) -> tuple[int, int, int]:
+        reg = list(QUERIES).index(k)
         if k in failing:
-            return 0
+            return (0, 0, reg)
         new = k not in checked
         oracle = k in ORACLES
+        if not new and recorded.get(k) != contract_hash(k):
+            return (1, 0, reg)
         if new and oracle:
-            return 1
+            return (2, 0, reg)
         if new:
-            return 2
-        if oracle:
-            return 3
-        return 4
+            return (3, 0, reg)
+        tier = 4 if oracle else 5
+        return (tier, last_round.get(k, 0), reg)
 
-    return sorted(QUERIES, key=lambda k: (tier(k), list(QUERIES).index(k)))
+    return sorted(QUERIES, key=sort_key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -141,7 +141,24 @@ def main(argv: list[str] | None = None) -> int:
         "120s ttl)",
     )
 
+    p_docs = sub.add_parser(
+        "docs",
+        help="regenerate REGISTRY.md (per-key reference page) from the "
+        "live @query registry",
+    )
+    p_docs.add_argument(
+        "-o", "--out", default=None,
+        help="output path (default: REGISTRY.md at the repo root)",
+    )
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "docs":
+        from sql_flow_spark.docs import write_registry_md
+
+        path = write_registry_md(args.out)
+        print(f"wrote {path}")
+        return 0
 
     if args.cmd == "example":
         print(EXAMPLE_CONFIG)
@@ -190,39 +207,61 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "compact":
+        # Each target compacts independently: a lease refusal on one
+        # (RuntimeError from assert_no_live_writer) is reported to
+        # stderr and the REMAINING targets still run; any refusal
+        # makes the exit code non-zero (ADVICE r9 — previously the
+        # first refusal aborted with an uncaught traceback).
         did_any = False
+        refused = False
+
+        def _compact_target(label: str, fn) -> None:
+            nonlocal did_any, refused
+            try:
+                folded = fn()
+            except RuntimeError as e:
+                print(f"{label}: {e}", file=sys.stderr)
+                refused = True
+            else:
+                print(f"{label}: compacted {folded} batch partition(s)")
+            did_any = True
+
         if args.ann_index:
             from sql_flow_spark.streaming.ann_index import IncrementalIVF
 
-            folded = IncrementalIVF.load(spark, args.ann_index).compact(
-                force=args.force
+            _compact_target(
+                "ann-index",
+                lambda: IncrementalIVF.load(spark, args.ann_index).compact(
+                    force=args.force
+                ),
             )
-            print(f"ann-index: compacted {folded} batch partition(s)")
-            did_any = True
         if args.config:
             conf = cfg.new_from_path(args.config)
             ru = conf.pipeline.rollup
             if ru is not None:
                 from sql_flow_spark.streaming.rollup import StreamingRollup
 
-                folded = StreamingRollup(
-                    spark, table_dir=ru.table_dir, keys=ru.keys, aggs=ru.aggs
-                ).compact(force=args.force)
-                print(f"rollup: compacted {folded} batch partition(s)")
-                did_any = True
+                _compact_target(
+                    "rollup",
+                    lambda: StreamingRollup(
+                        spark, table_dir=ru.table_dir, keys=ru.keys,
+                        aggs=ru.aggs,
+                    ).compact(force=args.force),
+                )
             dd = conf.pipeline.ingest_dedup
             if dd is not None:
                 from sql_flow_spark.streaming.ingest_dedup import (
                     FingerprintIndex,
                 )
 
-                folded = FingerprintIndex(
-                    spark, dd.index_dir
-                ).compact(force=args.force)
-                print(
-                    f"dedup-index: compacted {folded} batch partition(s)"
+                _compact_target(
+                    "dedup-index",
+                    lambda: FingerprintIndex(
+                        spark, dd.index_dir
+                    ).compact(force=args.force),
                 )
-                did_any = True
+        if refused:
+            return 1
         if not did_any:
             print(
                 "nothing to compact: config has no pipeline.rollup / "

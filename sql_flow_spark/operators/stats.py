@@ -1066,34 +1066,75 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KM_DAY_US = 86_400_000_000.0  # epoch-µs per day (float: both engines
-# do the identical IEEE division; day numbers ≪ 2^53 so floor is exact)
-# 6dp fixed point for the ln factors. Deliberately coarse: the DECIMAL
-# sum of these terms is now the hash-bearing column (ln_survival_fp),
-# so every term must round identically under a libm whose ln() differs
-# by ulps. At 6dp a multi-ulp wobble moves the scaled argument by
-# ~4e-10 lattice units vs measured boundary margins ~1e-4
-# (scripts/margin_audit.py) — 10^5x headroom; at the old 12dp the
-# tightest term sat ~2 ulps from the midpoint. Accuracy cost on the
-# survival curve is sqrt(n_terms)*5e-7 ~ 2e-5: invisible at the 6dp
-# output lattice's purpose (a retention curve), and both engines
-# compute the SAME quantized curve, which is the actual contract.
-_KM_LN_SCALE = 1_000_000.0
-# 6dp rounding of the convenience survival double. r8 post-mortem: at
-# 9dp the tightest sf0.01 row sat 1.5e-4 fixed-point units from the
-# floor boundary and a different-libm DuckDB build crossed it (the one
-# driver hash FAIL of r8). 6dp buys ~1000x margin; the exact value now
-# travels in ln_survival_fp (pure DECIMAL -> BIGINT, no libm at all),
-# so the hashable contract no longer depends on exp() agreement.
-_KM_OUT_SCALE = 1_000_000.0
+# do the identical IEEE division; day numbers ≪ 2^53 so floor is exact).
+# Used ONLY by the r10 diagnostic twins below — the production key now
+# derives days via pure integer date arithmetic (datediff), no floats.
+_KM_LN_SCALE = 1_000_000.0  # legacy 6dp ln fixed point (lnfp twin only)
+_KM_OUT_SCALE = 1_000_000.0  # 6dp rounding of the survival double
 
 
-@query(
-    "kaplan_meier_retention",
-    oracle=f"""
-    WITH od AS (
-      SELECT o_custkey,
-             CAST(floor(CAST(epoch_us(o_orderdate) AS DOUBLE)
-                        / {_KM_DAY_US}) AS BIGINT) AS day
+def _km_risk(spark: SparkSession, sf_dir: str, datediff_days: bool):
+    """Integer life-table for the repeat-purchase KM estimator: one
+    row per distinct time-to-event value t with exact BIGINT columns
+    (t, d events, c censorings, n_risk at-risk count).
+
+    ``datediff_days`` selects the day derivation: True = pure integer
+    date arithmetic (datediff from the epoch date — zero floats, zero
+    timezone surface; the production path), False = the legacy
+    floor(epoch_us / 86.4e9) float division the r8/r9 contracts used
+    (kept verbatim so the r10 diagnostic twins reproduce the exact
+    historical integer pipeline the driver kept failing AROUND).
+
+    Scale shape: one shuffle onto o_custkey (bounded per-customer
+    distinct-day sets), then everything runs on DISTINCT t values —
+    calendar-bounded (a few thousand) regardless of fact-table size,
+    so the unpartitioned cumulative window is over a calendar-sized
+    table and cannot grow with data volume."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    if datediff_days:
+        day = F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+    else:
+        day = F.floor(
+            F.unix_micros("o_orderdate").cast("double") / F.lit(_KM_DAY_US)
+        )
+    od = t["orders"].select("o_custkey", day.cast("long").alias("day"))
+    cust = od.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set("day")).alias("ds")
+    )
+    g = od.agg(F.max("day").alias("gmax"))
+    tot = cust.agg(F.count("*").cast("long").alias("n"))
+    second = F.element_at("ds", 2) - F.element_at("ds", 1)
+    censored = F.col("gmax") - F.element_at("ds", 1)
+    obs = cust.crossJoin(F.broadcast(g)).select(
+        F.when(F.size("ds") >= 2, second).otherwise(censored).alias("t"),
+        F.when(F.size("ds") >= 2, 1).otherwise(0).alias("e"),
+    )
+    times = obs.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("e")).cast("long").alias("c"),
+    )
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    return times.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+
+
+def _km_core_sql(day_expr: str) -> str:
+    """DuckDB CTE chain mirroring _km_risk (shared by the production
+    oracle and both diagnostic twins; only the day derivation varies)."""
+    return f"""
+    od AS (
+      SELECT o_custkey, {day_expr} AS day
       FROM orders
     ),
     cust AS (
@@ -1119,7 +1160,149 @@ _KM_OUT_SCALE = 1_000_000.0
                ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                AND 1 PRECEDING), 0) AS n_risk
       FROM times CROSS JOIN tot
+    )"""
+
+
+_KM_DAY_DATEDIFF = (
+    "CAST(datediff('day', DATE '1970-01-01',"
+    " CAST(o_orderdate AS DATE)) AS BIGINT)"
+)
+_KM_DAY_EPOCH = (
+    "CAST(floor(CAST(epoch_us(o_orderdate) AS DOUBLE)"
+    f" / {_KM_DAY_US}) AS BIGINT)"
+)
+
+
+@query(
+    "kaplan_meier_retention",
+    oracle=f"""
+    WITH RECURSIVE {_km_core_sql(_KM_DAY_DATEDIFF)},
+    idx AS (
+      SELECT t, d, c, n_risk, ROW_NUMBER() OVER (ORDER BY t) AS i
+      FROM risk
     ),
+    rec AS (
+      SELECT i, t, d, c, n_risk,
+             CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS s
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT idx.i, idx.t, idx.d, idx.c, idx.n_risk,
+             rec.s * (CAST(idx.n_risk - idx.d AS DOUBLE)
+                      / CAST(idx.n_risk AS DOUBLE))
+      FROM rec JOIN idx ON idx.i = rec.i + 1
+    )
+    SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored,
+           floor(s * {_KM_OUT_SCALE} + 0.5) / {_KM_OUT_SCALE} AS survival
+    FROM rec WHERE d > 0
+    """,
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier repeat-purchase curve: per customer the event is
+    the SECOND distinct order day (time-to-repeat, in days from the
+    first order); customers who never reorder are right-censored at
+    the corpus's last order day. S(t) = Π_{{t_i ≤ t}} (1 - d_i/n_i)
+    with the standard convention that same-day censorings stay in the
+    risk set for that day's events — the churn/retention estimator a
+    subscription or repeat-purchase analysis starts from, robust to
+    the fact that recent first-time customers simply haven't had time
+    to reorder yet (censoring, not churn).
+
+    Exactness (r10 redesign — the hashed contract is now 100%
+    transcendental-free): order days come from PURE INTEGER date
+    arithmetic (datediff vs the epoch date — no epoch_us float
+    division, no timezone surface), all d/n counts are exact BIGINTs,
+    and the survival product is the literal sequential IEEE
+    recurrence S_k = S_{{k-1}} · (n_k − d_k)/n_k — one correctly
+    rounded division and one correctly rounded multiplication per
+    step, bit-identical in any IEEE-754 environment and independent
+    of every libm (no ln, no exp anywhere; the r8 and r9 driver hash
+    FAILs both lived in ln/exp-bearing columns). The recurrence runs
+    where the series lives: ONE applyInPandas task over the
+    calendar-bounded life table (the holt_linear_forecast pattern,
+    bit-for-bit green in r8), against a DuckDB RECURSIVE CTE
+    unrolling the identical expression sequence. Extinction (d = n)
+    needs no special case: the factor is exactly 0.0 and the product
+    stays 0.0. Output rounding floor(s·1e6+0.5)/1e6 uses IEEE ops
+    only on bit-identical inputs. The r10 diagnostic twins
+    km_retention_ints / km_retention_lnfp preserve the historical
+    epoch-float and ln-fixed-point paths so the driver run bisects
+    WHERE the old contract diverged.
+
+    Scale shape: see _km_risk — one custkey shuffle, then all later
+    stages (including the grouped-map recurrence) operate on distinct
+    time values, bounded by the study horizon in days regardless of
+    row count."""
+    import math
+
+    import pandas as pd
+
+    risk = _km_risk(spark, sf_dir, datediff_days=True)
+
+    def _surv(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        s = 1.0
+        out = []
+        for n, d in zip(pdf["n_risk"].tolist(), pdf["d"].tolist()):
+            s = s * (float(n - d) / float(n))
+            out.append(
+                math.floor(s * _KM_OUT_SCALE + 0.5) / _KM_OUT_SCALE
+            )
+        pdf["survival"] = out
+        keep = pdf[pdf["d"] > 0]
+        return pd.DataFrame(
+            {
+                "t_days": keep["t"],
+                "n_risk": keep["n_risk"],
+                "n_events": keep["d"],
+                "n_censored": keep["c"],
+                "survival": keep["survival"],
+            }
+        )
+
+    return risk.groupBy(F.lit(1).alias("g")).applyInPandas(
+        _surv,
+        schema=(
+            "t_days long, n_risk long, n_events long, n_censored long,"
+            " survival double"
+        ),
+    )
+
+
+@query(
+    "km_retention_ints",
+    oracle=f"""
+    WITH {_km_core_sql(_KM_DAY_EPOCH)}
+    SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored
+    FROM risk WHERE d > 0
+    """,
+)
+def km_retention_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 DIAGNOSTIC TWIN (a): the kaplan_meier_retention life table
+    with ONLY its integer columns, derived via the LEGACY
+    floor(epoch_us/86.4e9) day path the r8/r9 contracts used — zero
+    floats in the output, zero libm anywhere. kaplan_meier_retention
+    failed the driver hash deterministically in r8 AND r9 under two
+    different float contracts while matching rows+schema and passing
+    the local replica exactly; the r9 margin audit proved ulp-level
+    libm drift cannot flip either contract (tightest site 1.2e7 ulps
+    from a boundary). This twin splits the remaining search space: a
+    red driver row here means the divergence is in the integer
+    day/epoch arithmetic or the driver's hasher, not float math at
+    all; green localizes it to the float columns (see the lnfp twin).
+    Retire after one driver round (VERDICT r9 item 1)."""
+    risk = _km_risk(spark, sf_dir, datediff_days=False)
+    return risk.where(F.col("d") > 0).select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+    )
+
+
+@query(
+    "km_retention_lnfp",
+    oracle=f"""
+    WITH {_km_core_sql(_KM_DAY_EPOCH)},
     lns AS (
       SELECT t, d, c, n_risk,
              CASE WHEN d < n_risk THEN
@@ -1137,96 +1320,23 @@ _KM_OUT_SCALE = 1_000_000.0
                 ELSE CAST(SUM(lnterm) OVER (
                        ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                        AND CURRENT ROW) AS BIGINT)
-           END AS ln_survival_fp,
-           CASE WHEN MAX(ext) OVER (
-                  ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                  AND CURRENT ROW) = 1
-                THEN 0.0
-                ELSE floor(exp(CAST(SUM(lnterm) OVER (
-                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND CURRENT ROW) AS DOUBLE) / {_KM_LN_SCALE})
-                     * {_KM_OUT_SCALE} + 0.5) / {_KM_OUT_SCALE}
-           END AS survival
+           END AS ln_survival_fp
     FROM lns
     QUALIFY d > 0
     """,
 )
-def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier repeat-purchase curve: per customer the event is
-    the SECOND distinct order day (time-to-repeat, in days from the
-    first order); customers who never reorder are right-censored at
-    the corpus's last order day. S(t) = Π_{{t_i ≤ t}} (1 - d_i/n_i)
-    with the standard convention that same-day censorings stay in the
-    risk set for that day's events — the churn/retention estimator a
-    subscription or repeat-purchase analysis starts from, robust to
-    the fact that recent first-time customers simply haven't had time
-    to reorder yet (censoring, not churn).
-
-    Exactness: order days are integer (identical IEEE floor-division
-    from epoch-µs), per-customer first/second days come from a sorted
-    distinct-day array, and all d/n counts are exact BIGINTs. The
-    survival product runs in log space: each ln(1 - d/n) factor is
-    fixed-pointed to a deliberately coarse 6dp (absorbing far more
-    than any cross-build ln() drift — see _KM_LN_SCALE) and
-    cumulative-summed as DECIMAL — exact in any fold order. The
-    exact sum itself is emitted (ln_survival_fp, BIGINT at 1e-6
-    scale: ln S(t) with zero libm in the hashed path — the r8 driver
-    FAIL was a cross-libm exp() boundary at 9dp); the convenience
-    survival double is a single exp() rounded at a coarse 6dp whose
-    boundary margins are audited by scripts/margin_audit.py.
-    Censor-only days contribute
-    ln(1) = 0, so they flow through the same sum unfiltered. The
-    d = n_risk extinction edge (survival exactly 0, ln undefined) is
-    flagged and short-circuited identically in both engines.
-
-    Scale shape: one shuffle onto o_custkey (per-customer distinct
-    days; baskets are small so collect_set is bounded), then every
-    later stage operates on DISTINCT time values — bounded by the
-    study horizon in days (a few thousand) regardless of row count,
-    so the unpartitioned cumulative windows run over a calendar-sized
-    table, not the fact table (the gini_revenue lesson does not apply:
-    this window's input cannot grow with data volume)."""
-    t = load_tables(spark, sf_dir, ("orders",))
-    od = t["orders"].select(
-        "o_custkey",
-        F.floor(
-            F.unix_micros("o_orderdate").cast("double") / F.lit(_KM_DAY_US)
-        )
-        .cast("long")
-        .alias("day"),
-    )
-    cust = od.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_set("day")).alias("ds")
-    )
-    g = od.agg(F.max("day").alias("gmax"))
-    tot = cust.agg(F.count("*").cast("long").alias("n"))
-    second = F.element_at("ds", 2) - F.element_at("ds", 1)
-    censored = F.col("gmax") - F.element_at("ds", 1)
-    obs = cust.crossJoin(F.broadcast(g)).select(
-        F.when(F.size("ds") >= 2, second).otherwise(censored).alias("t"),
-        F.when(F.size("ds") >= 2, 1).otherwise(0).alias("e"),
-    )
-    times = obs.groupBy("t").agg(
-        F.sum("e").cast("long").alias("d"),
-        F.sum(F.lit(1) - F.col("e")).cast("long").alias("c"),
-    )
-    w_prior = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_cum = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    risk = times.crossJoin(F.broadcast(tot)).select(
-        "t",
-        "d",
-        "c",
-        (
-            F.col("n")
-            - F.coalesce(
-                F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)
-            )
-        ).alias("n_risk"),
-    )
+def km_retention_lnfp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 DIAGNOSTIC TWIN (b): the r9 contract's ln_survival_fp
+    column (6dp fixed-point ln(1−d/n) terms, exact DECIMAL cumulative
+    sum, NULL after extinction) over the legacy epoch day path —
+    exactly the column the r9 redesign bet on, minus the exp-derived
+    survival double. Read together with km_retention_ints: ints green
+    + this red pins the divergence on the driver environment's ln()
+    (coarser than 1e-11 absolute — far outside normal libm, e.g. a
+    fast-math vectorized build); ints green + this green pins it on
+    the exp()/survival column or NULL ordering semantics in the
+    hasher. Retire after one driver round (VERDICT r9 item 1)."""
+    risk = _km_risk(spark, sf_dir, datediff_days=False)
     lnterm = F.when(
         F.col("d") < F.col("n_risk"),
         F.floor(
@@ -1242,20 +1352,12 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     lns = risk.select(
         "t", "d", "c", "n_risk", lnterm.alias("lnterm"), ext.alias("ext")
     )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     extinct = F.max("ext").over(w_cum) == 1
     ln_fp = F.when(extinct, F.lit(None).cast("long")).otherwise(
         F.sum("lnterm").over(w_cum).cast("long")
-    )
-    survival = F.when(extinct, F.lit(0.0)).otherwise(
-        F.floor(
-            F.exp(
-                F.sum("lnterm").over(w_cum).cast("double")
-                / F.lit(_KM_LN_SCALE)
-            )
-            * F.lit(_KM_OUT_SCALE)
-            + F.lit(0.5)
-        )
-        / F.lit(_KM_OUT_SCALE)
     )
     return (
         lns.select(
@@ -1264,11 +1366,9 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("n_events"),
             F.col("c").alias("n_censored"),
             ln_fp.alias("ln_survival_fp"),
-            survival.alias("survival"),
         )
         .where(F.col("n_events") > 0)
     )
-
 
 @query(
     "skyline_parts",

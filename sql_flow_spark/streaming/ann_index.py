@@ -57,7 +57,7 @@ from sql_flow_spark.functions.similarity import (
 from sql_flow_spark.streaming.compaction import (
     MarkerCommit,
     assert_no_live_writer,
-    touch_writer_lease,
+    lease_heartbeat,
 )
 
 logger = logging.getLogger(__name__)
@@ -200,13 +200,13 @@ class IncrementalIVF:
                 "invisible to marker-filtered readers. Build into a "
                 "fresh index dir."
             )
-        touch_writer_lease(self.index_dir)
         assigned = self._assigned(df)
-        (
-            assigned.write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(f"{self.index_dir}/b={batch_id}")
-        )
+        with lease_heartbeat(self.index_dir):
+            (
+                assigned.write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{self.index_dir}/b={batch_id}")
+            )
         # occupancy from what was written (one k-sized agg over the
         # just-written files — replay-consistent by construction)
         rows = (

@@ -36,11 +36,14 @@ ignores them.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import os
 import shutil
+import threading
 import time
+from collections.abc import Sequence
 from typing import Optional
 
 logger = logging.getLogger(__name__)
@@ -51,14 +54,49 @@ DEFAULT_LEASE_TTL = 120.0  # seconds a silent writer is presumed alive
 
 
 def touch_writer_lease(table_dir: str) -> None:
-    """Heartbeat the advisory writer lease (call once per micro-batch;
-    one small local write, no Spark job)."""
+    """Heartbeat the advisory writer lease (one small local write, no
+    Spark job). Writers wrap the batch write in lease_heartbeat() so
+    the lease stays fresh even when a single write outruns the TTL."""
     os.makedirs(table_dir, exist_ok=True)
     path = os.path.join(table_dir, _LEASE)
     tmp = path + f".tmp{os.getpid()}"
     with open(tmp, "w") as f:
         f.write(str(os.getpid()))
     os.replace(tmp, path)  # atomic; mtime = now
+
+
+@contextlib.contextmanager
+def lease_heartbeat(
+    table_dir: str, interval: float = DEFAULT_LEASE_TTL / 4
+):
+    """Keep the writer lease fresh for the duration of a batch write.
+
+    A lease touched only at batch START goes stale mid-write whenever
+    one Spark write runs longer than the TTL — plausible at the
+    100 TB scale this protocol targets — and a foreign `cli compact`
+    would then pass assert_no_live_writer while the write is in
+    flight (ADVICE r9). A daemon timer thread re-touches the lease
+    every TTL/4 until the write completes; the touch is a local
+    rename, so the cost is nil and the guard now holds for writes of
+    any duration."""
+    touch_writer_lease(table_dir)
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(interval):
+            try:
+                touch_writer_lease(table_dir)
+            except OSError as e:  # pragma: no cover - advisory only
+                logger.warning("lease heartbeat failed for %s: %s",
+                               table_dir, e)
+
+    t = threading.Thread(target=_beat, daemon=True)
+    t.start()
+    try:
+        yield
+    finally:
+        stop.set()
+        t.join(timeout=interval + 1.0)
 
 
 def assert_no_live_writer(
@@ -154,7 +192,9 @@ class MarkerCommit:
             return [], None
         return live[:-1], live[-2]
 
-    def cleanup(self, upto: int, old_slot: Optional[int], extra: list[int] = ()) -> None:
+    def cleanup(
+        self, upto: int, old_slot: Optional[int], extra: Sequence[int] = ()
+    ) -> None:
         """Best-effort removal of everything a committed marker makes
         dead: batch partitions at/below the watermark (including
         leftovers of a previously crashed cleanup), the old seed slot,

@@ -126,17 +126,23 @@ class StreamingHeavyHitters:
         n = rows[0]["n"] if rows else 0
         return head, [(r["key"], r["c"]) for r in rows], n
 
-    def _prune(self, batch_id: int) -> None:
-        """Drop state snapshots older than the immediate predecessor.
+    def _prune(self, batch_id: int, pred: int | None) -> None:
+        """Drop state snapshots older than the predecessor snapshot
+        this fold actually read (``pred``, from _latest).
 
         Each ``b=<batch>`` directory is a FULL snapshot, so only the
-        newest matters for reads — but the predecessor must survive so
-        a crash-replay of ``batch_id`` (which reads state strictly
-        older than itself) still finds its input. Without this, the
-        per-batch listing cost of _latest grows linearly with stream
-        lifetime even though the row count never does."""
+        newest matters for reads — but the read predecessor must
+        survive so a crash-replay of ``batch_id`` (which reads state
+        strictly older than itself) still finds its input. Pruning
+        relative to the READ predecessor (not batch_id - 1) keeps
+        replay safe under gapped batch ids too: a manual fold 0 then 5
+        keeps b=0 until batch 5's successor commits (ADVICE r9).
+        Without pruning, the per-batch listing cost of _latest grows
+        linearly with stream lifetime even though the row count never
+        does."""
         import shutil
 
+        keep_from = pred if pred is not None else batch_id
         try:
             names = os.listdir(self.state_dir)
         except OSError:  # pragma: no cover - dir vanished
@@ -148,7 +154,7 @@ class StreamingHeavyHitters:
                 b = int(nm[2:])
             except ValueError:
                 continue
-            if b < batch_id - 1:
+            if b < keep_from:
                 try:
                     shutil.rmtree(os.path.join(self.state_dir, nm))
                 except OSError as e:  # pragma: no cover - best-effort
@@ -166,7 +172,7 @@ class StreamingHeavyHitters:
             .collect()
         )
         batch_n = batch_df.count()
-        _, prior, prior_n = self._latest(batch_id)
+        pred, prior, prior_n = self._latest(batch_id)
         merged: dict = dict(prior)
         for r in summaries:
             merged[r["key"]] = merged.get(r["key"], 0) + r["c"]
@@ -179,7 +185,7 @@ class StreamingHeavyHitters:
         state.coalesce(1).write.mode("overwrite").parquet(
             f"{self.state_dir}/b={batch_id}"
         )
-        self._prune(batch_id)
+        self._prune(batch_id, pred)
         slack = n // (self.k + 1)
         # No false negatives: true(w) <= count_hi, so every key whose
         # true share exceeds 1/(K+1) has count_hi past the threshold

@@ -50,7 +50,7 @@ from sql_flow_spark.functions.textops import fingerprint
 from sql_flow_spark.streaming.compaction import (
     MarkerCommit,
     assert_no_live_writer,
-    touch_writer_lease,
+    lease_heartbeat,
 )
 
 logger = logging.getLogger(__name__)
@@ -108,13 +108,13 @@ class FingerprintIndex:
         writer lease (streaming/compaction.py)."""
         if batch_id >= 0:
             self._mc.check_batch_writable(batch_id)
-        touch_writer_lease(self.index_dir)
-        (
-            new_fps.select("f")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(f"{self.index_dir}/b={batch_id}")
-        )
+        with lease_heartbeat(self.index_dir):
+            (
+                new_fps.select("f")
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{self.index_dir}/b={batch_id}")
+            )
 
     def seed(self, corpus: DataFrame, text_col: str = "text") -> None:
         """Bootstrap from an existing corpus (the batch world's

@@ -59,7 +59,7 @@ from pyspark.sql.utils import AnalysisException
 from sql_flow_spark.streaming.compaction import (
     MarkerCommit,
     assert_no_live_writer,
-    touch_writer_lease,
+    lease_heartbeat,
 )
 
 logger = logging.getLogger(__name__)
@@ -145,13 +145,13 @@ class StreamingRollup:
         Also heartbeats the advisory writer lease that makes a
         concurrent `cli compact` refuse (compaction.py)."""
         self._mc.check_batch_writable(batch_id)
-        touch_writer_lease(self.table_dir)
         part = self._partial_agg(df).withColumn(
             _WM_COL, F.lit(None).cast("long")
         )
-        part.write.mode("overwrite").parquet(
-            f"{self.table_dir}/b={batch_id}"
-        )
+        with lease_heartbeat(self.table_dir):
+            part.write.mode("overwrite").parquet(
+                f"{self.table_dir}/b={batch_id}"
+            )
 
     # --------------------------------------------------------- reads
 

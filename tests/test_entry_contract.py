@@ -73,19 +73,32 @@ def test_bench_covers_whole_registry():
 def test_never_checked_keys_rotate_to_window_front():
     """The driver checks only the first 50 queries() keys; keys whose
     latest driver row FAILED must sort first (a fix needs its green
-    row), then operators without any prior CORRECTNESS row, so every
-    fix and every new operator gets a driver row next round."""
+    row), then contract-changed keys, then operators without any prior
+    CORRECTNESS row, so every fix, every re-masked contract, and every
+    new operator gets a driver row next round."""
     import __spark_entry__ as m
 
-    checked, failing = m._driver_history()
+    checked, failing, _ = m._driver_history()
+    recorded = m._recorded_contracts()
     keys = list(m.queries())
-    front = [k for k in keys if k in failing or k not in checked]
+    changed = {
+        k
+        for k in keys
+        if k in checked
+        and k not in failing
+        and recorded.get(k) != m.contract_hash(k)
+    }
+    front = [k for k in keys if k in failing or k in changed or k not in checked]
     assert front == keys[: len(front)], (
-        "failing/never-checked keys are not at the front of the window"
+        "failing/changed/never-checked keys are not at the front"
     )
     fail_keys = [k for k in keys if k in failing]
     assert fail_keys == keys[: len(fail_keys)], (
-        "latest-FAIL keys must sort before never-checked keys"
+        "latest-FAIL keys must sort before contract-changed keys"
+    )
+    changed_keys = [k for k in keys if k in changed]
+    assert changed_keys == keys[len(fail_keys) : len(fail_keys) + len(changed_keys)], (
+        "contract-changed keys must sort directly after failing keys"
     )
 
 
@@ -95,7 +108,66 @@ def test_latest_fail_keys_in_window():
     they must re-enter the 50-key window to land a green row."""
     import __spark_entry__ as m
 
-    _, failing = m._driver_history()
+    _, failing, _ = m._driver_history()
     window = list(m.queries())[:50]
     for k in failing:
         assert k in window, f"latest-FAIL key {k!r} rotated out of the window"
+
+
+def test_proven_keys_cycle_by_staleness():
+    """R9 verdict item 2: with every key driver-checked and the
+    registry frozen, registration-order tiers froze the window on the
+    same 49 keys forever. Tiers 4/5 must instead sort previously-proven
+    keys by last-checked round ASCENDING so all keys cycle through the
+    50-key window every ~4 rounds."""
+    import __spark_entry__ as m
+
+    checked, failing, last_round = m._driver_history()
+    recorded = m._recorded_contracts()
+    keys = list(m.queries())
+    proven = [
+        k
+        for k in keys
+        if k in checked
+        and k not in failing
+        and recorded.get(k) == m.contract_hash(k)
+    ]
+    oracle = [k for k in proven if k in m.ORACLES]
+    rounds = [last_round.get(k, 0) for k in oracle]
+    assert rounds == sorted(rounds), (
+        "proven oracle-backed keys must sort oldest-driver-row first"
+    )
+
+
+def test_contract_change_reenters_window():
+    """A key whose oracle text changes after its last driver row must
+    sort into the re-check tier even though its last row was green
+    (the r9 bm25 re-masking hazard), ahead of every previously-proven
+    key."""
+    import __spark_entry__ as m
+
+    checked, failing, _ = m._driver_history()
+    recorded = m._recorded_contracts()
+    # pick a mid-registry proven key and simulate a contract edit by
+    # stripping its recorded hash
+    victim = next(
+        k
+        for k in m.QUERIES
+        if k in checked
+        and k not in failing
+        and recorded.get(k) == m.contract_hash(k)
+    )
+    import unittest.mock as mock
+
+    tampered = {k: v for k, v in recorded.items() if k != victim}
+    with mock.patch.object(m, "_recorded_contracts", lambda: tampered):
+        keys = m._ordered_keys()
+    n_front = len(failing) + sum(
+        1
+        for k in m.QUERIES
+        if (k in checked and k not in failing and recorded.get(k) != m.contract_hash(k))
+        or k not in checked
+    )
+    assert keys.index(victim) <= n_front, (
+        f"contract-changed {victim!r} did not re-enter the front tiers"
+    )
