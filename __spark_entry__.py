@@ -124,12 +124,15 @@ def _ordered_keys() -> list[str]:
        validated a contract that no longer exists (r9 verdict item 2:
        the re-masked bm25/next-event contracts were unreachable),
     2. never-driver-checked oracle-backed keys (strongest check, most
-       to gain), 3. never-checked rows-only keys, 4. previously-proven
-       oracle-backed keys, 5. previously-proven rows-only keys.
-    Tiers 4/5 sort by (last-checked round ASCENDING, registration
-    order) so the whole registry cycles through the 50-key window
-    every ~4 rounds instead of freezing on registration order (the r9
-    static-window hazard); earlier tiers keep registration order."""
+       to gain), 3. never-checked rows-only keys, 4. ALL previously-
+       proven keys — oracle-backed and rows-only together — sorted by
+       (last-checked round ASCENDING, registration order) so the whole
+       registry cycles through the 50-key window every ~4 rounds
+       instead of freezing on registration order (the r9 static-window
+       hazard). Rows-only keys share tier 4 rather than trailing it:
+       staleness governs re-checking (a rows-only key unchecked since
+       r2 is a weaker link than an oracle key re-proven in r8 — r9
+       verdict item 7); earlier tiers keep registration order."""
     checked, failing, last_round = _driver_history()
     recorded = _recorded_contracts()
 
@@ -145,8 +148,7 @@ def _ordered_keys() -> list[str]:
             return (2, 0, reg)
         if new:
             return (3, 0, reg)
-        tier = 4 if oracle else 5
-        return (tier, last_round.get(k, 0), reg)
+        return (4, last_round.get(k, 0), reg)
 
     return sorted(QUERIES, key=sort_key)
 

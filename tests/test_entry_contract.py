@@ -132,10 +132,16 @@ def test_proven_keys_cycle_by_staleness():
         and k not in failing
         and recorded.get(k) == m.contract_hash(k)
     ]
-    oracle = [k for k in proven if k in m.ORACLES]
-    rounds = [last_round.get(k, 0) for k in oracle]
+    rounds = [last_round.get(k, 0) for k in proven]
     assert rounds == sorted(rounds), (
-        "proven oracle-backed keys must sort oldest-driver-row first"
+        "proven keys must sort oldest-driver-row first"
+    )
+    # rows-only keys share the proven tier (staleness governs; they
+    # must not starve behind every oracle-backed key)
+    stalest = proven[: len(proven) // 4]
+    assert any(k not in m.ORACLES for k in stalest) or all(
+        last_round.get(k, 0) >= min(rounds or [0]) for k in m.QUERIES
+        if k not in m.ORACLES and k in proven
     )
 
 
