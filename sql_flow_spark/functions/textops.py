@@ -745,3 +745,204 @@ def doc_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(enough, 1).otherwise(0)).cast("double")
         ).alias("avg_purity"),
     )
+
+
+# Context-window sizes audited by context_fit_report: the short-context
+# tier, the classic 2k pretraining window, and a long-context tier.
+FIT_WINDOWS = (512, 2048, 8192)
+
+
+@query(
+    "context_fit_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+             CAST(SUM(CASE WHEN n_tok <= {FIT_WINDOWS[0]} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fit_512,
+             CAST(SUM(CASE WHEN n_tok <= {FIT_WINDOWS[1]} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fit_2048,
+             CAST(SUM(CASE WHEN n_tok <= {FIT_WINDOWS[2]} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fit_8192
+      FROM base GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS mean_tokens,
+           max_tokens, fit_512, fit_2048, fit_8192,
+           CAST(fit_2048 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS fit_2048_share
+    FROM agg
+    """,
+)
+def context_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fit audit per source: how much of each corpus
+    slice fits a 512 / 2048 / 8192-token window under the BPE-ish
+    pre-tokenizer (same BPE_RE as token_count / tokenizer_fertility),
+    plus total/mean/max token mass — the sizing panel a pretraining
+    run consults before choosing sequence length and packing strategy
+    (short-doc-heavy sources pack densely at 2k; long-tail sources
+    need 8k or chunking via doc_chunking).
+
+    Scale shape: one parquet scan, tokenization in whole-stage codegen
+    (regexp_extract_all + size — no Python), then a sources-sized
+    groupBy whose partial aggregates collapse map-side; every output
+    is an exact BIGINT or an int/int DOUBLE ratio, so both engines
+    hash-match bit-for-bit at any scale."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    n_tok = bpe_token_count("text").cast("long")
+    base = t["documents"].select("source", n_tok.alias("n_tok"))
+    agg = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+        *[
+            F.sum(F.when(F.col("n_tok") <= w, 1).otherwise(0))
+            .cast("long")
+            .alias(f"fit_{w}")
+            for w in FIT_WINDOWS
+        ],
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (
+            F.col("total_tokens").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("mean_tokens"),
+        "max_tokens",
+        "fit_512",
+        "fit_2048",
+        "fit_8192",
+        (
+            F.col("fit_2048").cast("double") / F.col("n_docs").cast("double")
+        ).alias("fit_2048_share"),
+    )
+
+
+@query(
+    "quality_filter_survival",
+    oracle=f"""
+    WITH base AS (
+      SELECT lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_t,
+             (CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+              AND CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                / CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS DOUBLE)
+                BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                    AND {GOPHER_MAX_MEAN_WORD_LEN}
+              AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                       AS DOUBLE)
+                / CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS DOUBLE)
+                <= {GOPHER_MAX_SYMBOL_RATIO}
+              AND CAST(len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                / CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS DOUBLE)
+                >= {GOPHER_MIN_ALPHA_WORD_RATIO}
+              AND CAST({_o_hits('en')} AS BIGINT)
+                >= {GOPHER_MIN_STOPWORDS}) AS keep
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang, keep,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_t) AS BIGINT) AS n_tokens
+      FROM base GROUP BY lang, keep
+    ),
+    tot AS (
+      SELECT lang,
+             CAST(SUM(n_docs) AS BIGINT) AS lang_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+      FROM agg GROUP BY lang
+    )
+    SELECT a.lang, a.keep, a.n_docs, a.n_tokens,
+           CAST(a.n_docs AS DOUBLE) / CAST(t.lang_docs AS DOUBLE)
+             AS doc_share,
+           CAST(a.n_tokens AS DOUBLE) / CAST(t.lang_tokens AS DOUBLE)
+             AS token_share
+    FROM agg a JOIN tot t USING (lang)
+    """,
+)
+def quality_filter_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does the Gopher filter COST per language: documents and
+    whitespace-token mass grouped by (lang, keep) with within-language
+    doc/token survival shares — the before-you-commit audit for any
+    rule-based prune (a filter that keeps 95% of English but 40% of
+    German is a language-mix decision, not a quality decision, and
+    this is the panel that surfaces it). Uses gopher_quality's exact
+    conjunction (same thresholds, same expression tree) so the two
+    keys agree row-for-row on which documents survive.
+
+    Scale shape: one parquet scan with the filter conjunction in
+    whole-stage codegen, a (lang,keep)-sized groupBy (map-side
+    partials; ≤ 2x languages rows), then the share join runs on the
+    languages-sized aggregate — broadcast, no fact-table shuffle
+    beyond the one bounded-key agg. Counts are exact BIGINTs; shares
+    divide two exact BIGINTs in DOUBLE — bit-identical cross-engine."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks).cast("long")
+    mean_len = (
+        F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+        / n_words.cast("double")
+    )
+    sym_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
+        .cast("double")
+        / n_words.cast("double")
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_words.cast("double")
+    )
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_re("en")), 0)
+    ).cast("long")
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    agg = (
+        d.select("lang", keep.alias("keep"), n_words.alias("n_t"))
+        .groupBy("lang", "keep")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_t").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = agg.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("lang_docs"),
+        F.sum("n_tokens").cast("long").alias("lang_tokens"),
+    )
+    return agg.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "keep",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_docs").cast("double") / F.col("lang_docs").cast("double")
+        ).alias("doc_share"),
+        (
+            F.col("n_tokens").cast("double")
+            / F.col("lang_tokens").cast("double")
+        ).alias("token_share"),
+    )
