@@ -338,3 +338,29 @@ def test_r8b_operators_plan_hygiene(spark, sf_dir):
     p = plans["tokenizer_fertility"]
     assert "Join" not in p
     assert p.count("HashAggregate") >= 2  # map-side partials
+
+
+def test_r10_curation_panels_plan_hygiene(spark, sf_dir):
+    """r10 additions: the context-fit panel is a pure codegen scan +
+    sources-sized agg (no join, map-side partials); the filter-survival
+    panel broadcasts its languages-sized share table (never a
+    sort-merge join on the bounded key) and keeps the Gopher
+    conjunction JVM-side."""
+    p = plan(spark, sf_dir, "context_fit_report")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2  # map-side combine
+
+    p = plan(spark, sf_dir, "quality_filter_survival")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+    # the r10 Kaplan-Meier rewrite: grouped-map recurrence must sit
+    # ABOVE the distinct-times aggregation (calendar-bounded input),
+    # with zero ln/exp in the plan
+    p = plan(spark, sf_dir, "kaplan_meier_retention")
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("HashAggregate") >= 2
+    assert "LOG(" not in p.upper().replace("CATALOG", "")
+    assert "EXP(" not in p.upper()
