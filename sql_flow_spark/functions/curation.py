@@ -1066,3 +1066,257 @@ def pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_toks").cast("double")
         ).alias("pii_per_1k_tokens"),
     )
+
+
+# --------------------------------------------- cross-source dup triage
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH fp AS (
+      SELECT md5(array_to_string(
+               regexp_split_to_array(trim(lower(text)), '\\s+')
+                 [1:{LEAK_PREFIX_TOKENS}], ' ')) AS f,
+             source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents
+      GROUP BY 1, 2
+    )
+    SELECT a.source AS src_a,
+           b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_families,
+           CAST(SUM(a.n_docs * b.n_docs) AS BIGINT) AS dup_doc_pairs
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which feeds duplicate each other: for every pair of sources,
+    how many prefix-fingerprint families (same LEAK_PREFIX_TOKENS
+    opening as cross_split_contamination) have members in BOTH — the
+    triage panel that decides which crawler overlaps which mirror
+    before any per-doc dedup runs. shared_families counts straddling
+    families; dup_doc_pairs weights them by membership (a 50x50 mirror
+    family is a different problem from a 2-doc one).
+
+    Scale shape: one narrow scan -> (fingerprint, source) groupBy (the
+    dedup_exact exchange with source appended; map-side combine); the
+    self-join is keyed on the fingerprint, where each family carries at
+    most #sources rows, so join fan-out per key is bounded by sources
+    squared — never corpus-squared; the final groupBy lands on at most
+    sources-choose-2 rows. 100 TB-safe.
+
+    Reference parity: the triage view over the same duplicate keyspace
+    sqlflow's dedup examples process per-batch
+    (/root/reference/sqlflow/sql.py handlers over inferred batch
+    tables); the reference has no cross-feed rollup — this is the
+    batch-analytics complement."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    prefix_fp = F.md5(
+        F.array_join(
+            F.slice(ws_tokens(F.lower(F.col("text"))), 1, LEAK_PREFIX_TOKENS),
+            " ",
+        )
+    )
+    fp = (
+        t["documents"]
+        .select(prefix_fp.alias("f"), "source")
+        .groupBy("f", "source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.f") == F.col("b.f")) & (F.col("a.source") < F.col("b.source")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(
+            F.count("*").cast("long").alias("shared_families"),
+            F.sum(F.col("a.n_docs") * F.col("b.n_docs"))
+            .cast("long")
+            .alias("dup_doc_pairs"),
+        )
+    )
+
+
+# ------------------------------------------- token-budget selection
+
+TOKEN_BUDGET = 2000  # whitespace tokens admitted per language
+
+
+@query(
+    "token_budget_select",
+    oracle=f"""
+    WITH quality AS ({_O_QUALITY}),
+    base AS (
+      SELECT d.doc_id, d.lang,
+             CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             q.q
+      FROM documents d JOIN quality q ON q.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY q DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS running
+      FROM base
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN running <= {TOKEN_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN running <= {TOKEN_BUDGET} THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_selected
+    FROM ranked
+    GROUP BY lang
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first corpus selection under a fixed token budget: per
+    language, admit documents in (quality DESC, doc_id) order while the
+    running token total stays within TOKEN_BUDGET — the greedy-prefix
+    rule a data-constrained run uses to spend its token budget on the
+    best documents first (greedy prefix, not knapsack: once the budget
+    trips, later smaller docs are NOT back-filled — selection stays a
+    rank cut, reproducible from the score alone).
+
+    Exactness: the quality score is curation_pipeline's exact
+    integer-ratio double (pure IEEE +,*,/ — driver-proven contract);
+    every output column is an exact BIGINT.
+
+    Scale shape: quality + token count are narrow maps on the scan;
+    ONE window per language partition (running sum over the
+    (q, doc_id) sort) and the output agg collapses to languages-sized
+    rows map-side. Same shape as doc_packing. 100 TB-safe."""
+    from sql_flow_spark.functions.textops import _stop_re, ws_token_count
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+
+    n_chars = F.length("text")
+    n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_re("en")), 0)
+    )
+    quality = (
+        F.lit(0.5) * (n_alpha.cast("double") / n_chars.cast("double"))
+        + F.lit(0.3) * (n_stop.cast("double") / ws_token_count("text").cast("double"))
+        + F.lit(0.2)
+        * (F.lit(1.0) - n_punct.cast("double") / n_chars.cast("double"))
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        ws_token_count("text").cast("long").alias("n_tokens"),
+        quality.alias("q"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("q"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = base.withColumn("running", F.sum("n_tokens").over(w))
+    sel = F.col("running") <= F.lit(TOKEN_BUDGET)
+    return ranked.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(F.when(sel, 1).otherwise(0)).cast("long").alias("n_selected"),
+        F.sum(F.when(sel, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_selected"),
+    )
+
+
+# ------------------------------------------- packing efficiency audit
+
+@query(
+    "packing_efficiency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    run AS (
+      SELECT lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS running
+      FROM toks
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(floor(CAST(MAX(running) - 1 AS DOUBLE) / {PACK_BUDGET}.0)
+                AS BIGINT) + 1 AS n_packs,
+           CAST((CAST(floor(CAST(MAX(running) - 1 AS DOUBLE) / {PACK_BUDGET}.0)
+                 AS BIGINT) + 1) * {PACK_BUDGET} - SUM(n_tokens)
+             AS BIGINT) AS tail_waste_tokens,
+           CAST(SUM(CASE WHEN
+                 floor(CAST(running - n_tokens AS DOUBLE) / {PACK_BUDGET}.0)
+                 <> floor(CAST(running - 1 AS DOUBLE) / {PACK_BUDGET}.0)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+    FROM run
+    GROUP BY lang
+    """,
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit panel for doc_packing's offset-based packing: per
+    language stream — packed sequence count, tail waste (the only
+    padding offset-packing produces: the unfilled end of the LAST
+    sequence), and how many documents straddle a sequence boundary
+    (the docs a downstream splitter must cut). The
+    before-you-commit check for a PACK_BUDGET choice: straddler rate
+    rises as budget shrinks, tail waste is bounded by one budget.
+
+    Exactness: all integer token math; the one floor() runs on an
+    int-valued double well under 2^53 (identical IEEE result in both
+    engines — the same trick doc_packing's oracle uses).
+
+    Scale shape: identical to doc_packing — ONE window per language
+    partition, then a languages-sized agg whose partials collapse
+    map-side; no second shuffle beyond the window sort. 100 TB-safe."""
+    from sql_flow_spark.functions.textops import ws_token_count
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id", "lang", ws_token_count("text").cast("long").alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = toks.withColumn("running", F.sum("n_tokens").over(w))
+    budget = float(PACK_BUDGET)
+    straddle = F.floor(
+        (F.col("running") - F.col("n_tokens")).cast("double") / F.lit(budget)
+    ) != F.floor((F.col("running") - F.lit(1)).cast("double") / F.lit(budget))
+    n_packs = (
+        F.floor((F.max("running") - F.lit(1)).cast("double") / F.lit(budget))
+        .cast("long")
+        + F.lit(1)
+    )
+    return run.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        n_packs.alias("n_packs"),
+        (n_packs * F.lit(PACK_BUDGET) - F.sum("n_tokens"))
+        .cast("long")
+        .alias("tail_waste_tokens"),
+        F.sum(F.when(straddle, 1).otherwise(0))
+        .cast("long")
+        .alias("n_straddlers"),
+    )

@@ -1225,3 +1225,102 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mse"),
         F.max("max_err").alias("max_abs_err"),
     )
+
+
+# ------------------------------------- within-label diversity (Gram identity)
+
+_DIV_SCALE = 10000.0  # per-component fixed-point; keeps Gram sums < 2^53
+
+
+@query(
+    "embedding_diversity_by_label",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, t.i AS pos,
+             CAST(floor(CAST(embedding[t.i] AS DOUBLE) * {_DIV_SCALE:.1f} + 0.5)
+                  AS DECIMAL(18,0)) AS c
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    g1 AS (
+      SELECT label, pos,
+             CAST(SUM(c) AS DECIMAL(19,0)) AS s,
+             SUM(c*c) AS ssq
+      FROM comp GROUP BY label, pos
+    ),
+    g2 AS (
+      SELECT label, SUM(s*s) AS gram, SUM(ssq) AS diag
+      FROM g1 GROUP BY label
+    ),
+    cnt AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT cnt.label AS label,
+           CAST(cnt.n_vecs AS BIGINT) AS n_vecs,
+           CAST(g2.gram - g2.diag AS DOUBLE)
+             / CAST(cnt.n_vecs * (cnt.n_vecs - 1) AS DOUBLE)
+             / {_DIV_SCALE * _DIV_SCALE:.1f} AS mean_pair_dot,
+           CAST(g2.diag AS DOUBLE) / CAST(cnt.n_vecs AS DOUBLE)
+             / {_DIV_SCALE * _DIV_SCALE:.1f} AS mean_sq_norm
+    FROM g2 JOIN cnt ON g2.label = cnt.label
+    WHERE cnt.n_vecs > 1
+    """,
+)
+def embedding_diversity_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-class embedding diversity WITHOUT pairwise work: the mean
+    pairwise dot product inside each label via the Gram identity
+    sum_(i<j) v_i.v_j = (||sum v||^2 - sum ||v||^2) / 2 — the panel
+    that says which classes are semantically collapsed (high mean dot
+    -> redundant members, a SemDeDup-style prune target) and which are
+    diffuse, at O(n*dim) instead of O(n^2*dim). mean_sq_norm is the
+    companion scale check (unit-norm corpora read 1.0).
+
+    Exactness: components are fixed-pointed per the dot_dec recipe
+    (floor(v*S+0.5), pure IEEE) and every sum/square stays in exact
+    DECIMAL; the two output doubles are exact-int casts (all < 2^53,
+    so decimal->double is exact in both engines) divided in IEEE
+    order. No libm anywhere.
+
+    Scale shape: posexplode to (label, pos) partials — map-side
+    combine collapses the per-(label,pos) component sums before ONE
+    shuffle on (label, pos) [dims x labels rows], then a labels-sized
+    rollup; the count side is a labels-sized broadcast join. Never
+    materializes a pair. 100 TB-safe at any label cardinality.
+
+    Reference parity: no equivalent — the reference's embedding story
+    stops at per-batch UDFs (/root/reference/sqlflow/udfs.py); this is
+    the corpus-level audit a training pipeline adds on top."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    s_lit = F.lit(_DIV_SCALE)
+    comp = e.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * s_lit + F.lit(0.5))
+        .cast("decimal(18,0)")
+        .alias("c"),
+    )
+    g1 = comp.groupBy("label", "pos").agg(
+        F.sum("c").cast("decimal(19,0)").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
+    g2 = g1.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("gram"),
+        F.sum("ssq").alias("diag"),
+    )
+    cnt = e.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    s2 = F.lit(_DIV_SCALE * _DIV_SCALE)
+    joined = g2.join(F.broadcast(cnt), "label").where(F.col("n_vecs") > 1)
+    return joined.select(
+        "label",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        (
+            (F.col("gram") - F.col("diag")).cast("double")
+            / (F.col("n_vecs") * (F.col("n_vecs") - F.lit(1))).cast("double")
+            / s2
+        ).alias("mean_pair_dot"),
+        (
+            F.col("diag").cast("double") / F.col("n_vecs").cast("double") / s2
+        ).alias("mean_sq_norm"),
+    )

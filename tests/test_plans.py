@@ -364,3 +364,29 @@ def test_r10_curation_panels_plan_hygiene(spark, sf_dir):
     assert p.count("HashAggregate") >= 2
     assert "LOG(" not in p.upper().replace("CATALOG", "")
     assert "EXP(" not in p.upper()
+
+
+def test_r10_selection_and_overlap_plan_hygiene(spark, sf_dir):
+    """r10 additions #2: the budget/packing panels are single-window
+    per-language scans (no join, no Python); the source-overlap
+    self-join is keyed on the fingerprint (equi-join, never cartesian);
+    the diversity panel stays entirely JVM-side with map-side partials
+    and a broadcast count join."""
+    for name in ("token_budget_select", "packing_efficiency"):
+        p = plan(spark, sf_dir, name)
+        assert "EvalPython" not in p and "CartesianProduct" not in p
+        assert "Join" not in p
+        assert "Window" in p  # the one per-language window
+        assert p.count("HashAggregate") >= 2  # map-side combine
+
+    p = plan(spark, sf_dir, "source_overlap_matrix")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # equi-join on the fingerprint (broadcast at test scale, SMJ at
+    # corpus scale — either is keyed, never a cross product)
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
+
+    p = plan(spark, sf_dir, "embedding_diversity_by_label")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # labels-sized count side
+    assert p.count("HashAggregate") >= 4  # two agg stages, partials each
