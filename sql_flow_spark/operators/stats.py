@@ -1156,9 +1156,9 @@ def _km_core_sql(day_expr: str) -> str:
     ),
     risk AS (
       SELECT t, d, c,
-             tot.n - COALESCE(SUM(d + c) OVER (
+             CAST(tot.n - COALESCE(SUM(d + c) OVER (
                ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING), 0) AS n_risk
+               AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
       FROM times CROSS JOIN tot
     )"""
 
