@@ -541,6 +541,61 @@ _O_QUALITY = f"""
 """
 
 
+def quality_score(text_col: str = "text") -> Column:
+    """The engine's standard heuristic document-quality score —
+    0.5*alpha_ratio + 0.3*stopwords_per_word + 0.2*(1 - punct_ratio) —
+    the ONE Spark counterpart of the ``_O_QUALITY`` oracle twin above.
+    curation_pipeline, corpus_report, dedup_keep_best,
+    token_budget_select and the streaming CurationGate all call this
+    helper, so the gates can never drift from each other (an inline
+    copy once drifted its stopword list and split the engines).
+    Narrow map: regexp counts + length, whole-stage codegen."""
+    from sql_flow_spark.functions.textops import _stop_re, ws_token_count
+
+    n_chars = F.length(text_col)
+    n_alpha = F.size(F.regexp_extract_all(text_col, F.lit(r"[A-Za-z]"), 0))
+    n_punct = F.size(
+        F.regexp_extract_all(text_col, F.lit(r"[^A-Za-z0-9\s]"), 0)
+    )
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(_stop_re("en")), 0
+        )
+    )
+    return (
+        F.lit(0.5) * (n_alpha.cast("double") / n_chars.cast("double"))
+        + F.lit(0.3)
+        * (n_stop.cast("double") / ws_token_count(text_col).cast("double"))
+        + F.lit(0.2)
+        * (F.lit(1.0) - n_punct.cast("double") / n_chars.cast("double"))
+    )
+
+
+def with_repetition_2gram(
+    df: DataFrame, text_col: str = "text", out_col: str = "rep_2gram"
+) -> DataFrame:
+    """Append the 2-gram repetition ratio (repeated 2-grams / total
+    2-grams) as ``out_col``. A DataFrame transform, NOT a Column
+    helper, on purpose: the token array and the 2-gram array must be
+    bound as real columns BEFORE the ratio touches them — inlining
+    ws_tokens into the token_ngrams lambda re-splits the text per
+    array element (no CSE through lambda scopes; measured 18.4s ->
+    1.1s at sf0.1). Intermediate columns are dropped."""
+    g2 = F.col("_rep2_g2")
+    n2 = F.size(g2)
+    ratio = F.when(n2 == 0, F.lit(0.0)).otherwise(
+        (n2 - F.size(F.array_distinct(g2))).cast("double") / n2.cast("double")
+    )
+    return (
+        df.withColumn("_rep2_toks", ws_tokens(text_col))
+        .withColumn(
+            "_rep2_g2", token_ngrams(F.col("_rep2_toks"), 2, distinct=False)
+        )
+        .withColumn(out_col, ratio)
+        .drop("_rep2_toks", "_rep2_g2")
+    )
+
+
 @query(
     "curation_pipeline",
     oracle=f"""
@@ -590,47 +645,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines because every signal is an integer-count ratio or an md5.
     At 100 TB the near-dup family (minhash_candidate_pairs ->
     dedup_clusters) slots in as an extra rule on the same structure."""
-    from sql_flow_spark.functions.textops import _stop_re, ws_token_count
-
     t = load_tables(spark, sf_dir, ("documents",))
     d = t["documents"]
 
     fp = d.select("doc_id", fingerprint("text").alias("f"))
     keepers = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
 
-    n_chars = F.length("text")
-    n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0))
-    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
-    n_stop = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_re("en")), 0)
-    )
-    quality = (
-        F.lit(0.5) * (n_alpha.cast("double") / n_chars.cast("double"))
-        + F.lit(0.3) * (n_stop.cast("double") / ws_token_count("text").cast("double"))
-        + F.lit(0.2)
-        * (F.lit(1.0) - n_punct.cast("double") / n_chars.cast("double"))
-    )
-
-    # Bind tokens/ngrams as real columns BEFORE the ratio touches them:
-    # inlining ws_tokens into the token_ngrams lambda re-splits the text
-    # per array element (no CSE through lambda scopes — measured 18.4s
-    # -> 1.1s at sf0.1 for this signal alone, same trap
-    # repetition_ratio's docstring pins).
-    g2 = F.col("g2")
-    n2 = F.size(g2)
-    rep2 = F.when(n2 == 0, F.lit(0.0)).otherwise(
-        (n2 - F.size(F.array_distinct(g2))).cast("double") / n2.cast("double")
-    )
-
-    signals = (
-        d.withColumn("toks", ws_tokens("text"))
-        .withColumn("g2", token_ngrams(F.col("toks"), 2, distinct=False))
-        .select(
-            "doc_id",
-            fingerprint("text").alias("f"),
-            quality.alias("q"),
-            rep2.alias("rep_2gram"),
-        )
+    signals = with_repetition_2gram(d, "text").select(
+        "doc_id",
+        fingerprint("text").alias("f"),
+        quality_score("text").alias("q"),
+        "rep_2gram",
     )
     verdict = (
         F.when(F.col("keep_id") != F.col("doc_id"), "duplicate")
@@ -689,24 +714,11 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast); the final agg lands on the tiny (lang, source) key
     space with map-side partials. The mean quality divides two exact
     fixed-point sums, so both engines emit identical doubles."""
-    from sql_flow_spark.functions.textops import _stop_re, ws_token_count
+    from sql_flow_spark.functions.textops import ws_token_count
     from sql_flow_spark.registry import scaled_int
 
     t = load_tables(spark, sf_dir, ("documents",))
     d = t["documents"]
-
-    n_chars = F.length("text")
-    n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0))
-    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
-    n_stop = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_re("en")), 0)
-    )
-    quality = (
-        F.lit(0.5) * (n_alpha.cast("double") / n_chars.cast("double"))
-        + F.lit(0.3) * (n_stop.cast("double") / ws_token_count("text").cast("double"))
-        + F.lit(0.2)
-        * (F.lit(1.0) - n_punct.cast("double") / n_chars.cast("double"))
-    )
 
     sig = d.select(
         "doc_id",
@@ -714,7 +726,7 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         fingerprint("text").alias("f"),
         ws_token_count("text").cast("long").alias("n_tokens"),
-        quality.alias("q"),
+        quality_score("text").alias("q"),
     )
     keepers = sig.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
     is_dup = (F.col("keep_id") != F.col("doc_id")).cast("int")
@@ -739,6 +751,20 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------- split-leak contamination
 
 LEAK_PREFIX_TOKENS = 8  # leak key: first k tokens, lowercased
+
+
+def prefix_fingerprint(
+    text_col: str = "text", n_tokens: int = LEAK_PREFIX_TOKENS
+) -> Column:
+    """md5 of the first ``n_tokens`` lowercased whitespace tokens — the
+    near-verbatim-overlap key shared by cross_split_contamination and
+    source_overlap_matrix (its DuckDB twin is inlined in each oracle).
+    Narrow map on the scan, no shuffle."""
+    return F.md5(
+        F.array_join(
+            F.slice(ws_tokens(F.lower(F.col(text_col))), 1, n_tokens), " "
+        )
+    )
 
 
 @query(
@@ -787,15 +813,9 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 100 < 95, "val")
         .otherwise("test")
     )
-    prefix_fp = F.md5(
-        F.array_join(
-            F.slice(ws_tokens(F.lower(F.col("text"))), 1, LEAK_PREFIX_TOKENS),
-            " ",
-        )
-    )
     return (
         t["documents"]
-        .select(prefix_fp.alias("f"), split.alias("split"))
+        .select(prefix_fingerprint("text").alias("f"), split.alias("split"))
         .groupBy("f")
         .agg(
             F.count("*").alias("n_docs"),
@@ -844,33 +864,14 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the fingerprint; the per-family argmax and copy count
     share the same window partitioning. Same cost as dedup_exact plus
     the scoring map."""
-    from sql_flow_spark.functions.textops import (
-        _stop_re,
-        ws_token_count,
-    )
     from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir, ("documents",))
     d = t["documents"]
-    n_chars = F.length("text")
-    n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0))
-    n_punct = F.size(
-        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
-    )
-    n_stop = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_re("en")), 0)
-    )
-    quality = (
-        F.lit(0.5) * (n_alpha.cast("double") / n_chars.cast("double"))
-        + F.lit(0.3)
-        * (n_stop.cast("double") / ws_token_count("text").cast("double"))
-        + F.lit(0.2)
-        * (F.lit(1.0) - n_punct.cast("double") / n_chars.cast("double"))
-    )
     scored = d.select(
         "doc_id",
         fingerprint("text").alias("f"),
-        quality.alias("q"),
+        quality_score("text").alias("q"),
     )
     wf = Window.partitionBy("f")
     wr = Window.partitionBy("f").orderBy(F.col("q").desc(), F.col("doc_id"))
@@ -1112,15 +1113,9 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables); the reference has no cross-feed rollup — this is the
     batch-analytics complement."""
     t = load_tables(spark, sf_dir, ("documents",))
-    prefix_fp = F.md5(
-        F.array_join(
-            F.slice(ws_tokens(F.lower(F.col("text"))), 1, LEAK_PREFIX_TOKENS),
-            " ",
-        )
-    )
     fp = (
         t["documents"]
-        .select(prefix_fp.alias("f"), "source")
+        .select(prefix_fingerprint("text").alias("f"), "source")
         .groupBy("f", "source")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
@@ -1145,7 +1140,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- token-budget selection
 
-TOKEN_BUDGET = 2000  # whitespace tokens admitted per language
+# Whitespace tokens admitted per language. Deliberately SF-independent
+# (the oracle must stay deterministic at every driver scale) and small
+# enough that the greedy cut is non-trivial even at sf0.001; a
+# production run sets this per target training mix — it is the one
+# free parameter of the selection, not a property of the data.
+TOKEN_BUDGET = 2000
 
 
 @query(
@@ -1194,28 +1194,16 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE window per language partition (running sum over the
     (q, doc_id) sort) and the output agg collapses to languages-sized
     rows map-side. Same shape as doc_packing. 100 TB-safe."""
-    from sql_flow_spark.functions.textops import _stop_re, ws_token_count
+    from sql_flow_spark.functions.textops import ws_token_count
 
     t = load_tables(spark, sf_dir, ("documents",))
     d = t["documents"]
 
-    n_chars = F.length("text")
-    n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0))
-    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
-    n_stop = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_re("en")), 0)
-    )
-    quality = (
-        F.lit(0.5) * (n_alpha.cast("double") / n_chars.cast("double"))
-        + F.lit(0.3) * (n_stop.cast("double") / ws_token_count("text").cast("double"))
-        + F.lit(0.2)
-        * (F.lit(1.0) - n_punct.cast("double") / n_chars.cast("double"))
-    )
     base = d.select(
         "doc_id",
         "lang",
         ws_token_count("text").cast("long").alias("n_tokens"),
-        quality.alias("q"),
+        quality_score("text").alias("q"),
     )
     from pyspark.sql import Window
 

@@ -1301,6 +1301,12 @@ def embedding_diversity_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,0)")
         .alias("c"),
     )
+    # Overflow bound: |c| <= ~10^4 (unit-ish components at _DIV_SCALE
+    # fixed point), so |s| <= n*10^4 fits decimal(19,0) to n = 10^15
+    # vectors per label, and gram = sum_pos s^2 <= dim*(n*10^4)^2 fits
+    # Spark's decimal(38,0) sum to n ~ 10^15/sqrt(dim) (~1.2e14 at
+    # dim=64) — far past any per-label corpus this runs on. Past that,
+    # widen the fixed point or pre-aggregate per label shard.
     g1 = comp.groupBy("label", "pos").agg(
         F.sum("c").cast("decimal(19,0)").alias("s"),
         F.sum(F.col("c") * F.col("c")).alias("ssq"),
