@@ -195,6 +195,23 @@ class IngestDedupConf:
 
 
 @dataclass
+class CurationGateConf:
+    """``pipeline.curation_gate:`` — streaming curation: every
+    micro-batch gets the batch curation_pipeline verdict (duplicate >
+    low_quality > repetitive > keep), with the duplicate check
+    maintained across batches by the same fingerprint-index discipline
+    as ``ingest_dedup`` (streaming/curation_gate.py has the contract).
+    Thresholds default to the batch gate's QUALITY_MIN / REP_MAX."""
+
+    index_dir: str
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    out_dir: Optional[str] = None
+    quality_min: Optional[float] = None
+    rep_max: Optional[float] = None
+
+
+@dataclass
 class DriftMonitorConf:
     """``pipeline.drift_monitor:`` — per-micro-batch PSI drift scoring
     against decile fences fitted ONCE on a reference dataset at
@@ -248,6 +265,7 @@ class PipelineConf:
     on_error: ErrorPolicyConf = field(default_factory=ErrorPolicyConf)
     dedupe: Optional[DedupeConf] = None
     ingest_dedup: Optional[IngestDedupConf] = None
+    curation_gate: Optional[CurationGateConf] = None
     drift_monitor: Optional[DriftMonitorConf] = None
     heavy_hitters: Optional[HeavyHittersConf] = None
     rollup: Optional[RollupConf] = None
@@ -385,6 +403,11 @@ def new_from_dict(conf: dict) -> Conf:
             ingest_dedup=(
                 IngestDedupConf(**p["ingest_dedup"])
                 if p.get("ingest_dedup")
+                else None
+            ),
+            curation_gate=(
+                CurationGateConf(**p["curation_gate"])
+                if p.get("curation_gate")
                 else None
             ),
             drift_monitor=_drift_monitor_from_dict(p.get("drift_monitor")),

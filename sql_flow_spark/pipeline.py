@@ -58,6 +58,7 @@ class Pipeline:
         legs: Optional[list[tuple[str, Handler, Sink]]] = None,
         dedupe: Optional[cfg.DedupeConf] = None,
         ingest_dedup: Optional[cfg.IngestDedupConf] = None,
+        curation_gate: Optional[cfg.CurationGateConf] = None,
         drift_monitor: Optional[cfg.DriftMonitorConf] = None,
         heavy_hitters: Optional[cfg.HeavyHittersConf] = None,
         rollup: Optional[cfg.RollupConf] = None,
@@ -88,6 +89,34 @@ class Pipeline:
                 id_col=ingest_dedup.id_column,
                 text_col=ingest_dedup.text_column,
                 out_dir=ingest_dedup.out_dir,
+            )
+        # curation gate leg (config pipeline.curation_gate): the batch
+        # curation_pipeline verdict per micro-batch, dup check backed
+        # by the same fingerprint-index discipline as ingest_dedup.
+        self.curation_gate = None
+        if curation_gate is not None:
+            from sql_flow_spark.functions.curation import (
+                QUALITY_MIN,
+                REP_MAX,
+            )
+            from sql_flow_spark.streaming.curation_gate import CurationGate
+
+            self.curation_gate = CurationGate(
+                spark,
+                index_dir=curation_gate.index_dir,
+                id_col=curation_gate.id_column,
+                text_col=curation_gate.text_column,
+                out_dir=curation_gate.out_dir,
+                quality_min=(
+                    QUALITY_MIN
+                    if curation_gate.quality_min is None
+                    else curation_gate.quality_min
+                ),
+                rep_max=(
+                    REP_MAX
+                    if curation_gate.rep_max is None
+                    else curation_gate.rep_max
+                ),
             )
         # drift monitor leg (config pipeline.drift_monitor): fences
         # fitted ONCE here on the reference dataset (a bounded
@@ -187,6 +216,11 @@ class Pipeline:
             self._guarded_leg(
                 "batch", "ingest_dedup",
                 lambda: self.ingest_dedup.process(df, 0),
+            )
+        if self.curation_gate is not None:
+            self._guarded_leg(
+                "batch", "curation_gate",
+                lambda: self.curation_gate.process(df, 0),
             )
         if self._heavy_hitters is not None:
             self._guarded_leg(
@@ -318,6 +352,11 @@ class Pipeline:
                 self._guarded_leg(
                     ctx, "ingest_dedup",
                     lambda: self.ingest_dedup.process(batch_df, batch_id),
+                )
+            if self.curation_gate is not None:
+                self._guarded_leg(
+                    ctx, "curation_gate",
+                    lambda: self.curation_gate.process(batch_df, batch_id),
                 )
             if self._heavy_hitters is not None:
                 self._guarded_leg(
@@ -464,6 +503,7 @@ def new_pipeline_from_conf(
         legs=legs,
         dedupe=p.dedupe,
         ingest_dedup=p.ingest_dedup,
+        curation_gate=p.curation_gate,
         drift_monitor=p.drift_monitor,
         heavy_hitters=p.heavy_hitters,
         rollup=p.rollup,
