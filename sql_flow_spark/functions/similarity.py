@@ -846,21 +846,22 @@ _KM_K = 4
 _KM_ITERS = 4
 
 
-def _km_oracle() -> str:
-    """The same 4 Lloyd iterations unrolled into materialized DuckDB
-    CTEs with identical fixed-point arithmetic — both engines walk the
-    identical trajectory (same seeds, same exact distance sums, same
-    (dist, cluster) argmin tiebreak), so the gate checks every
-    assignment and centroid bit-for-bit."""
+def _km_ctes(n_clusters: int, iters: int) -> list[str]:
+    """Lloyd iterations unrolled into materialized DuckDB CTEs with
+    the engine-identical fixed-point arithmetic — both engines walk
+    the identical trajectory (same first-k seeds, same exact distance
+    sums, same (dist, cluster) argmin tiebreak). Final assignments
+    live in CTE ``a{iters}``, final centroids in ``c{iters}``; shared
+    by the kmeans_embeddings and semdedup_prune oracles."""
     ctes = [
         "e AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,"
         " CAST(v AS DOUBLE) AS val FROM (SELECT vec_id,"
         " unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i"
         " FROM embeddings))",
         f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, dim,"
-        f" val AS c FROM e WHERE vec_id < {_KM_K})",
+        f" val AS c FROM e WHERE vec_id < {n_clusters})",
     ]
-    for k in range(1, _KM_ITERS + 1):
+    for k in range(1, iters + 1):
         ctes.append(
             f"d{k} AS MATERIALIZED (SELECT vec_id, cluster,"
             f" {_o_pi_fsum('(val - c) * (val - c)')} AS dist"
@@ -879,8 +880,12 @@ def _km_oracle() -> str:
             f" FROM e JOIN a{k} USING (vec_id)"
             f" GROUP BY cluster, dim)"
         )
+    return ctes
+
+
+def _km_oracle() -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_km_ctes(_KM_K, _KM_ITERS))
         + f"""
         SELECT c.cluster, c.dim, c.c AS centroid, s.n_members
         FROM c{_KM_ITERS} c
@@ -888,6 +893,58 @@ def _km_oracle() -> str:
               FROM a{_KM_ITERS} GROUP BY cluster) s USING (cluster)
         """
     )
+
+
+def _lloyd(
+    spark: SparkSession, sf_dir: str, n_clusters: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """The Spark twin of _km_ctes: returns (assignments, centroids)
+    after ``iters`` Lloyd iterations seeded from the first
+    ``n_clusters`` vectors. Trajectory is bit-identical to the oracle
+    chain (exact fixed-point distance sums, (dist, cluster) argmin,
+    exact-sum/exact-count centroid means) — see kmeans_embeddings for
+    the full exactness and scale-shape argument."""
+    from sql_flow_spark.functions.mat import materialize_once
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = materialize_once(
+        t["embeddings"]
+        .select("vec_id", F.posexplode("embedding").alias("dim", "val"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .repartition("vec_id")
+    )
+    cent = e.filter(F.col("vec_id") < n_clusters).select(
+        F.col("vec_id").cast("int").alias("cluster"), "dim",
+        F.col("val").alias("c"),
+    )
+    assign = None
+    wv = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    for _ in range(iters):
+        diff = F.col("val") - F.col("c")
+        dist = (
+            e.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(_pi_fsum(diff * diff).alias("dist"))
+        )
+        assign = (
+            dist.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+        cent = (
+            e.join(assign, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                (_pi_fsum(F.col("val")) / F.count("*").cast("double"))
+                .alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assign, cent
 
 
 @query("kmeans_embeddings", oracle=_km_oracle())
@@ -911,46 +968,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     key space with map-side partials. Each iteration's k x dims
     centroid table is localCheckpoint-ed, keeping the plan one
     iteration deep. No collect anywhere; driver traffic is zero."""
-    from sql_flow_spark.functions.mat import materialize_once
-
-    t = load_tables(spark, sf_dir, ("embeddings",))
-    e = materialize_once(
-        t["embeddings"]
-        .select("vec_id", F.posexplode("embedding").alias("dim", "val"))
-        .select(
-            "vec_id",
-            F.col("dim").cast("int").alias("dim"),
-            F.col("val").cast("double").alias("val"),
-        )
-        .repartition("vec_id")
-    )
-    cent = e.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").cast("int").alias("cluster"), "dim",
-        F.col("val").alias("c"),
-    )
-    assign = None
-    wv = Window.partitionBy("vec_id").orderBy("dist", "cluster")
-    for _ in range(_KM_ITERS):
-        diff = F.col("val") - F.col("c")
-        dist = (
-            e.join(F.broadcast(cent), "dim")
-            .groupBy("vec_id", "cluster")
-            .agg(_pi_fsum(diff * diff).alias("dist"))
-        )
-        assign = (
-            dist.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster")
-        )
-        cent = (
-            e.join(assign, "vec_id")
-            .groupBy("cluster", "dim")
-            .agg(
-                (_pi_fsum(F.col("val")) / F.count("*").cast("double"))
-                .alias("c")
-            )
-            .localCheckpoint(eager=True)
-        )
+    assign, cent = _lloyd(spark, sf_dir, _KM_K, _KM_ITERS)
     sizes = assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
     return cent.join(F.broadcast(sizes), "cluster").select(
         "cluster", "dim", F.col("c").alias("centroid"), "n_members"
@@ -1329,4 +1347,105 @@ def embedding_diversity_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("diag").cast("double") / F.col("n_vecs").cast("double") / s2
         ).alias("mean_sq_norm"),
+    )
+
+
+# ------------------------------------------------- SemDeDup prune
+
+# Cluster-then-prune semantic dedup (the SemDeDup recipe: k-means the
+# embedding space so candidate pairs only form within a cluster, then
+# prune near-identical members). Pinned small for cross-engine
+# determinism: 16 first-vector seeds, 2 Lloyd iterations, cosine
+# threshold shared with the embedding near-dup family.
+SEMDEDUP_K = 16
+SEMDEDUP_ITERS = 2
+SEMDEDUP_TAU = 0.40
+
+
+def _o_semdedup() -> str:
+    cos = f"{o_dot_dec('x.embedding', 'y.embedding')} / (x.nrm * y.nrm)"
+    return (
+        "WITH " + ",\n".join(_km_ctes(SEMDEDUP_K, SEMDEDUP_ITERS))
+        + f""",
+    m AS MATERIALIZED (
+      SELECT a.vec_id, a.cluster, emb.embedding,
+             sqrt({o_dot_dec('emb.embedding', 'emb.embedding')}) AS nrm
+      FROM a{SEMDEDUP_ITERS} a JOIN embeddings emb USING (vec_id)
+    ),
+    pruned AS (
+      SELECT DISTINCT y.vec_id
+      FROM m x JOIN m y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE {cos} >= {SEMDEDUP_TAU}
+    )
+    SELECT m.vec_id, m.cluster, p.vec_id IS NULL AS keep
+    FROM m LEFT JOIN pruned p ON p.vec_id = m.vec_id
+    """
+    )
+
+
+@query("semdedup_prune", oracle=_o_semdedup())
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means the embedding corpus
+    (16 clusters, 2 Lloyd iterations, the pinned _lloyd/_km_ctes
+    trajectory), then within each cluster prune every vector that has
+    a SMALLER-id cluster-mate with cosine >= 0.40 (keep-first, the
+    dedup family's MIN-id convention). Near-identical embeddings land
+    in the same cluster, so the quadratic pair search never leaves a
+    cluster — the cluster assignment is the blocking key, which is
+    the whole point of the recipe: label blocks (dedup_embedding)
+    need labels, LSH blocks (dedup_embedding_lsh) need tuned planes,
+    k-means blocks adapt to the actual density of the space.
+
+    Exactness: the Lloyd trajectory is the kmeans_embeddings
+    bit-for-bit contract; the prune gate compares the identical IEEE
+    cosine (exact fixed-point dot / exact norms) against the same
+    literal in both engines, and keep/prune is set membership — no
+    float leaves the gate except through that one pinned comparison.
+
+    Scale shape: _lloyd's per-iteration cost is the kmeans shape
+    (broadcast centroids, map-side partials). The pair stage
+    self-joins on the cluster key — one shuffle, quadratic only
+    WITHIN a cluster. Here k is pinned at 16 for the oracle; at real
+    scale k grows with the corpus so the expected cluster size (and
+    the per-key join fan-out) stays bounded — SemDeDup's 100 TB
+    deployment knob is k, not a new algorithm. The keep verdict is a
+    DISTINCT on pruned ids plus one left join back on vec_id.
+
+    Reference parity: no equivalent — the reference has no embedding
+    operators (/root/reference/sqlflow/udfs.py stops at per-batch
+    scalar UDFs); this extends the near-dup family the brief adds."""
+    assign, _cent = _lloyd(spark, sf_dir, SEMDEDUP_K, SEMDEDUP_ITERS)
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    m = (
+        t["embeddings"]
+        .select("vec_id", "embedding")
+        .join(assign, "vec_id")
+        .withColumn("nrm", F.sqrt(sq_norm_dec(F.col("embedding"))))
+    )
+    x = m.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("xid"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("xnrm"),
+    )
+    y = m.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("yid"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("ynrm"),
+    )
+    cos = dot_dec(F.col("ea"), F.col("eb")) / (F.col("xnrm") * F.col("ynrm"))
+    pruned = (
+        x.join(y, "cluster")
+        .where(F.col("xid") < F.col("yid"))
+        .where(cos >= F.lit(SEMDEDUP_TAU))
+        .select(F.col("yid").alias("vec_id"))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return m.join(pruned, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.col("_pruned").isNull().alias("keep"),
     )
