@@ -390,3 +390,23 @@ def test_r10_selection_and_overlap_plan_hygiene(spark, sf_dir):
     assert "EvalPython" not in p and "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p  # labels-sized count side
     assert p.count("HashAggregate") >= 4  # two agg stages, partials each
+
+
+def test_r12_dedup_keys_plan_hygiene(spark, sf_dir):
+    """r12 additions: the duplicate-n-gram panel stays JVM-side with
+    equi-joins only (the gram probe join and per-doc rollup), and the
+    SemDeDup pair stage is an equi-join on the cluster key — quadratic
+    only within a cluster, never a cross product — with the Lloyd
+    centroids broadcast."""
+    p = plan(spark, sf_dir, "dup_ngram_fraction")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
+    assert p.count("HashAggregate") >= 2  # gram index + per-doc rollup
+
+    p = plan(spark, sf_dir, "semdedup_prune")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # pair stage: keyed on cluster (broadcast at test scale is fine);
+    # Lloyd's centroid join is a broadcast by construction
+    assert "BroadcastHashJoin" in p
