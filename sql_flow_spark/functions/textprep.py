@@ -1050,3 +1050,187 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------- Heaps' law fit
+
+_HEAPS_TRANCHES = 10
+
+
+@query(
+    "heaps_law_fit",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+    base AS MATERIALIZED (
+      SELECT least(CAST(floor(CAST(doc_id * {_HEAPS_TRANCHES} AS DOUBLE)
+               / CAST(mx.mid + 1 AS DOUBLE)) AS BIGINT),
+               {_HEAPS_TRANCHES - 1}) AS tranche,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents CROSS JOIN mx
+    ),
+    tokc AS (
+      SELECT tranche, CAST(SUM(len(toks)) AS BIGINT) AS n_toks
+      FROM base GROUP BY tranche
+    ),
+    firsts AS (
+      SELECT term, MIN(tranche) AS ft
+      FROM (SELECT DISTINCT tranche, unnest(toks) AS term FROM base)
+      GROUP BY term
+    ),
+    newv AS (
+      SELECT ft AS tranche, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY ft
+    ),
+    cum AS (
+      SELECT t.tranche,
+             CAST(SUM(t.n_toks) OVER (ORDER BY t.tranche
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n,
+             CAST(SUM(COALESCE(v.n_new, 0)) OVER (ORDER BY t.tranche
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_v
+      FROM tokc t LEFT JOIN newv v ON v.tranche = t.tranche
+    ),
+    pts AS (
+      SELECT floor(ln(CAST(cum_n AS DOUBLE)) * 1000000.0 + 0.5)
+               / 1000000.0 AS x,
+             floor(ln(CAST(cum_v AS DOUBLE)) * 1000000.0 + 0.5)
+               / 1000000.0 AS y
+      FROM cum
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sx,
+             CAST(SUM(CAST(floor(y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sy,
+             CAST(SUM(CAST(floor(x * x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sxx,
+             CAST(SUM(CAST(floor(y * y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS syy,
+             CAST(SUM(CAST(floor(x * y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sxy
+      FROM pts
+    )
+    SELECT n AS n_points,
+           floor(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx)) * 1000000.0 + 0.5)
+             / 1000000.0 AS heaps_beta,
+           floor(((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                  / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+             AS ln_k,
+           floor(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(n AS DOUBLE) * syy - sy * sy)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS r2
+    FROM s
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit over the corpus in doc-id order: OLS of
+    ln(cumulative vocabulary) on ln(cumulative tokens) across 10
+    tranches — V(N) ~ K·N^beta. Natural text fits beta ~ 0.4-0.6;
+    beta collapsing toward 0 means the vocabulary has saturated (more
+    data adds tokens but no new content — the lexical twin of
+    shingle_novelty_curve's pricing signal), beta near 1 means
+    templated/ID-heavy text whose "vocabulary" never converges.
+    Output is one row (n_points, heaps_beta, ln_k, r2); K itself is
+    deliberately left as ln_k — exp() is libm and would need another
+    mask for zero information gain. On THIS synthetic corpus the
+    generator's closed word list saturates inside tranche 0, so the
+    fit reports exactly the degenerate case it exists to detect
+    (beta = 0, r2 = 0, ln_k = ln|vocabulary|) at every SF — the
+    interesting slopes appear on real crawled text.
+
+    Exactness: tranche assignment is shingle_novelty_curve's exact
+    integer floor-division; cumulative token/vocab counts are exact
+    BIGINTs over 10 rows; the fit follows zipf_fit's recipe to the
+    letter (ln floor-masked to 6dp per point, regression sums through
+    6dp fixed-point integers, outputs masked once more at the
+    boundary).
+
+    Scale shape: cumulative token mass is a narrow array-size sum (no
+    explode) onto 10 tranche keys; the vocabulary side is ONE
+    (tranche, term) distinct exchange, a term-keyed MIN riding the
+    same partitioning, and a 10-row rollup. The cumulative windows
+    and the fit run on 10 rows. The only corpus-sized stage is the
+    scan + the one term exchange — the same budget zipf_fit pays.
+
+    Reference parity: no equivalent — corpus statistics are part of
+    the training-data toolkit (reference scope stops at per-batch SQL,
+    /root/reference/sqlflow/sql.py)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    mx = docs.agg(F.max("doc_id").alias("mid"))
+    base = docs.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.floor(
+                (F.col("doc_id") * _HEAPS_TRANCHES).cast("double")
+                / (F.col("mid") + 1).cast("double")
+            ).cast("long"),
+            F.lit(_HEAPS_TRANCHES - 1).cast("long"),
+        ).alias("tranche"),
+        ws_tokens(F.lower(F.col("text"))).alias("toks"),
+    )
+    tokc = base.groupBy("tranche").agg(
+        F.sum(F.size("toks")).cast("long").alias("n_toks")
+    )
+    terms = (
+        base.select("tranche", F.explode_outer("toks").alias("term"))
+        .where(F.col("term").isNotNull())
+        .distinct()
+    )
+    newv = (
+        terms.groupBy("term")
+        .agg(F.min("tranche").alias("ft"))
+        .groupBy("ft")
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    wc = Window.orderBy("tranche").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        tokc.join(newv, tokc.tranche == newv.ft, "left")
+        .select("tranche", "n_toks", F.coalesce("n_new", F.lit(0)).alias("nn"))
+        .select(
+            F.sum("n_toks").over(wc).cast("long").alias("cum_n"),
+            F.sum("nn").over(wc).cast("long").alias("cum_v"),
+        )
+    )
+
+    def mask6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    pts = cum.select(
+        mask6(F.log(F.col("cum_n").cast("double"))).alias("x"),
+        mask6(F.log(F.col("cum_v").cast("double"))).alias("y"),
+    )
+
+    def fsum(c):
+        return (
+            F.sum(F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")).cast(
+                "double"
+            )
+            / F.lit(1e6)
+        )
+
+    s = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        fsum(F.col("x")).alias("sx"),
+        fsum(F.col("y")).alias("sy"),
+        fsum(F.col("x") * F.col("x")).alias("sxx"),
+        fsum(F.col("y") * F.col("y")).alias("syy"),
+        fsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return s.select(
+        F.col("n").alias("n_points"),
+        mask6(slope).alias("heaps_beta"),
+        mask6((F.col("sy") - slope * F.col("sx")) / nd).alias("ln_k"),
+        mask6(cov * cov / (varx * vary)).alias("r2"),
+    )
