@@ -246,3 +246,38 @@ def test_curation_gate_example_config_parses():
         os.path.join(REPO, "examples", "streaming.curation.gate.yml")
     )
     assert cfg.validate_dict(rendered) == []
+
+
+def test_curation_gate_invoke_batch_path(spark, tmp_path):
+    """`dev invoke` parity: the one-shot batch path runs the gate leg
+    at the idempotent batch-0 slot — verdicts written, index seeded
+    from the batch, handler result unaffected."""
+    import json as _json
+
+    from sql_flow_spark.pipeline import invoke
+    from sql_flow_spark.sinks import MemorySink
+
+    fixture = tmp_path / "docs.jsonl"
+    with open(fixture, "w") as f:
+        for r in (
+            {"doc_id": 1, "source": "a", "text": GOOD_TEXT},
+            {"doc_id": 2, "source": "a", "text": GOOD_TEXT},
+            {"doc_id": 3, "source": "b", "text": LOW_Q_TEXT},
+        ):
+            f.write(_json.dumps(r) + "\n")
+    sink = MemorySink()
+    result = invoke(
+        spark,
+        os.path.join(REPO, "examples", "streaming.curation.gate.yml"),
+        str(fixture),
+        setting_overrides={
+            "SQLFLOW_INDEX_DIR": str(tmp_path / "index"),
+            "SQLFLOW_VERDICT_DIR": str(tmp_path / "verdicts"),
+        },
+        sink_override=sink,
+    )
+    assert result is not None and len(sink.rows()) == 3
+    v = _verdicts(spark, tmp_path)
+    assert v[1] == ("keep", 0)
+    assert v[2] == ("duplicate", 0)
+    assert v[3] == ("low_quality", 0)
