@@ -1415,9 +1415,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no equivalent — the reference has no embedding
     operators (/root/reference/sqlflow/udfs.py stops at per-batch
     scalar UDFs); this extends the near-dup family the brief adds."""
+    from sql_flow_spark.functions.mat import materialize_once
+
     assign, _cent = _lloyd(spark, sf_dir, SEMDEDUP_K, SEMDEDUP_ITERS)
     t = load_tables(spark, sf_dir, ("embeddings",))
-    m = (
+    # three consumers (both pair sides + the verdict join-back) — left
+    # unmaterialized, each would re-run the assignment join over the
+    # exploded fact; the steady cost at sf0.1 is _lloyd itself (~4.5s
+    # per fresh call: 2 iterations of eager checkpoints), not the pairs
+    m = materialize_once(
         t["embeddings"]
         .select("vec_id", "embedding")
         .join(assign, "vec_id")
