@@ -18,6 +18,7 @@ from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
 from sql_flow_spark.functions.similarity import (
+    EMB_DUP_TAU,
     O_COSINE_PAIRS,
     O_NORMS_CTE,
     dot_dec,
@@ -474,7 +475,7 @@ def hamming_band_pairs(
 
 # ------------------------------------------------- embedding near-dups
 
-EMB_DUP_TAU = 0.40  # synthetic embeddings top out near cosine 0.47
+# EMB_DUP_TAU is hosted in similarity.py (shared with semdedup_prune).
 _EMB_SAMPLE_MOD = 2  # keep the oracle's pair count tractable
 
 

@@ -95,6 +95,13 @@ O_COSINE_PAIRS = f"""
 N_QUERIES = 8
 TOP_K = 5
 
+# Embedding near-dup cosine threshold, shared by the whole family
+# (embedding_near_dup_pairs / dedup_embedding / dedup_embedding_lsh in
+# dedup.py and semdedup_prune below): the synthetic embeddings top out
+# near cosine 0.47, so 0.40 yields a real-but-sparse pair set. ONE
+# definition — retuning it moves every consumer together.
+EMB_DUP_TAU = 0.40
+
 
 def _with_norm(e: DataFrame) -> DataFrame:
     """Attach the per-vector norm once (narrow map, computed at the
@@ -1356,10 +1363,10 @@ def embedding_diversity_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding space so candidate pairs only form within a cluster, then
 # prune near-identical members). Pinned small for cross-engine
 # determinism: 16 first-vector seeds, 2 Lloyd iterations, cosine
-# threshold shared with the embedding near-dup family.
+# threshold IS the embedding near-dup family's (one definition).
 SEMDEDUP_K = 16
 SEMDEDUP_ITERS = 2
-SEMDEDUP_TAU = 0.40
+SEMDEDUP_TAU = EMB_DUP_TAU
 
 
 def _o_semdedup() -> str:

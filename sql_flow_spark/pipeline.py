@@ -95,28 +95,18 @@ class Pipeline:
         # by the same fingerprint-index discipline as ingest_dedup.
         self.curation_gate = None
         if curation_gate is not None:
-            from sql_flow_spark.functions.curation import (
-                QUALITY_MIN,
-                REP_MAX,
-            )
             from sql_flow_spark.streaming.curation_gate import CurationGate
 
+            # None thresholds = the batch gate's defaults (resolved
+            # inside CurationGate — the single source of truth)
             self.curation_gate = CurationGate(
                 spark,
                 index_dir=curation_gate.index_dir,
                 id_col=curation_gate.id_column,
                 text_col=curation_gate.text_column,
                 out_dir=curation_gate.out_dir,
-                quality_min=(
-                    QUALITY_MIN
-                    if curation_gate.quality_min is None
-                    else curation_gate.quality_min
-                ),
-                rep_max=(
-                    REP_MAX
-                    if curation_gate.rep_max is None
-                    else curation_gate.rep_max
-                ),
+                quality_min=curation_gate.quality_min,
+                rep_max=curation_gate.rep_max,
             )
         # drift monitor leg (config pipeline.drift_monitor): fences
         # fitted ONCE here on the reference dataset (a bounded

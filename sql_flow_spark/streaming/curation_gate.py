@@ -55,7 +55,11 @@ from sql_flow_spark.functions.curation import (
     with_repetition_2gram,
 )
 from sql_flow_spark.functions.textops import fingerprint
-from sql_flow_spark.streaming.ingest_dedup import FingerprintIndex
+from sql_flow_spark.streaming.ingest_dedup import (
+    FingerprintIndex,
+    attach_foreach,
+    probe_index,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -66,9 +70,10 @@ class CurationGate:
     the index.
 
     Verdict log rows: (id, f, verdict, quality, rep_2gram) at
-    ``out_dir/b=<batch>`` when ``out_dir`` is set. Thresholds default
-    to the batch gate's QUALITY_MIN / REP_MAX so the two worlds agree
-    out of the box."""
+    ``out_dir/b=<batch>`` when ``out_dir`` is set. Threshold
+    resolution lives HERE and only here: None (the config default)
+    means the batch gate's QUALITY_MIN / REP_MAX, so the two worlds
+    agree out of the box and a retune moves every caller."""
 
     def __init__(
         self,
@@ -77,16 +82,16 @@ class CurationGate:
         id_col: str = "doc_id",
         text_col: str = "text",
         out_dir: Optional[str] = None,
-        quality_min: float = QUALITY_MIN,
-        rep_max: float = REP_MAX,
+        quality_min: Optional[float] = None,
+        rep_max: Optional[float] = None,
     ):
         self.spark = spark
         self.index = FingerprintIndex(spark, index_dir)
         self.id_col = id_col
         self.text_col = text_col
         self.out_dir = out_dir
-        self.quality_min = quality_min
-        self.rep_max = rep_max
+        self.quality_min = QUALITY_MIN if quality_min is None else quality_min
+        self.rep_max = REP_MAX if rep_max is None else rep_max
 
     def process(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Idempotent per-batch step. Returns the verdicts DataFrame
@@ -102,15 +107,7 @@ class CurationGate:
         # rationale as ingest_dedup.process.
         sig = sig.localCheckpoint(eager=True)
         corpus = self.index.read(exclude_batch=batch_id)
-        firsts = sig.groupBy("f").agg(F.min(self.id_col).alias("_first_id"))
-        if corpus is not None:
-            probe = sig.join(
-                corpus.distinct().withColumn("_in_corpus", F.lit(True)),
-                "f",
-                "left",
-            )
-        else:
-            probe = sig.withColumn("_in_corpus", F.lit(None).cast("boolean"))
+        probed = probe_index(sig, corpus, self.id_col)
         verdict = (
             F.when(
                 F.col("_in_corpus")
@@ -121,7 +118,7 @@ class CurationGate:
             .when(F.col("rep_2gram") > F.lit(self.rep_max), "repetitive")
             .otherwise("keep")
         )
-        verdicts = probe.join(firsts, "f").select(
+        verdicts = probed.select(
             self.id_col,
             "f",
             verdict.alias("verdict"),
@@ -149,18 +146,7 @@ class CurationGate:
         processing_time: str | None = None,
     ) -> StreamingQuery:
         """Run as a standalone streaming query over ``stream``."""
-
-        def _step(batch_df: DataFrame, batch_id: int) -> None:
-            n = self.process(batch_df, batch_id).count()
-            logger.info("curation-gate batch %s: %s verdicts", batch_id, n)
-
-        writer = (
-            stream.writeStream.foreachBatch(_step)
-            .queryName("curation-gate")
-            .option("checkpointLocation", checkpoint_dir)
+        return attach_foreach(
+            self.process, "curation-gate", stream, checkpoint_dir,
+            available_now, processing_time,
         )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        elif processing_time:
-            writer = writer.trigger(processingTime=processing_time)
-        return writer.start()

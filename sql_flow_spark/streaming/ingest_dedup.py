@@ -172,6 +172,56 @@ class FingerprintIndex:
         return len(fold_ids)
 
 
+def probe_index(
+    fp: DataFrame, index: Optional[DataFrame], id_col: str
+) -> DataFrame:
+    """The replay-sensitive duplicate-probe plumbing, defined ONCE for
+    every index-backed verdict (score_batch here, CurationGate in
+    streaming/curation_gate.py): takes a batch of (id, f, *extras)
+    rows and returns the same rows with ``_in_corpus`` (TRUE when the
+    fingerprint is already indexed, NULL otherwise — NULL so the OR
+    short-circuit in verdict CASEs behaves) and ``_first_id`` (MIN id
+    per fingerprint within the batch, the first-id-wins tiebreak)."""
+    firsts = fp.groupBy("f").agg(F.min(id_col).alias("_first_id"))
+    if index is not None:
+        probed = fp.join(
+            index.distinct().withColumn("_in_corpus", F.lit(True)),
+            "f",
+            "left",
+        )
+    else:
+        probed = fp.withColumn("_in_corpus", F.lit(None).cast("boolean"))
+    return probed.join(firsts, "f")
+
+
+def attach_foreach(
+    process,
+    name: str,
+    stream: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Run a (batch_df, batch_id) -> DataFrame processor as a
+    standalone foreachBatch streaming query (shared by IngestDedup
+    and CurationGate)."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        n = process(batch_df, batch_id).count()
+        logger.info("%s batch %s: %s verdicts", name, batch_id, n)
+
+    writer = (
+        stream.writeStream.foreachBatch(_step)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def score_batch(
     fp: DataFrame, index: Optional[DataFrame], id_col: str
 ) -> DataFrame:
@@ -179,16 +229,7 @@ def score_batch(
     (id, f) rows: ``dup_of_corpus`` (fingerprint already indexed —
     authoritative even if also repeated in-batch), ``dup_in_batch``
     (first id wins within the batch), else ``new``."""
-    firsts = fp.groupBy("f").agg(F.min(id_col).alias("_first_id"))
-    if index is not None:
-        probe = fp.join(
-            index.distinct().withColumn("_in_corpus", F.lit(True)),
-            "f",
-            "left",
-        )
-    else:
-        probe = fp.withColumn("_in_corpus", F.lit(None).cast("boolean"))
-    return probe.join(firsts, "f").select(
+    return probe_index(fp, index, id_col).select(
         id_col,
         "f",
         F.when(F.col("_in_corpus"), F.lit("dup_of_corpus"))
@@ -254,18 +295,7 @@ class IngestDedup:
         processing_time: str | None = None,
     ) -> StreamingQuery:
         """Run as a standalone streaming query over ``stream``."""
-
-        def _step(batch_df: DataFrame, batch_id: int) -> None:
-            n = self.process(batch_df, batch_id).count()
-            logger.info("ingest-dedup batch %s: %s verdicts", batch_id, n)
-
-        writer = (
-            stream.writeStream.foreachBatch(_step)
-            .queryName("ingest-dedup")
-            .option("checkpointLocation", checkpoint_dir)
+        return attach_foreach(
+            self.process, "ingest-dedup", stream, checkpoint_dir,
+            available_now, processing_time,
         )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        elif processing_time:
-            writer = writer.trigger(processingTime=processing_time)
-        return writer.start()

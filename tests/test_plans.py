@@ -407,6 +407,9 @@ def test_r12_dedup_keys_plan_hygiene(spark, sf_dir):
     p = plan(spark, sf_dir, "semdedup_prune")
     assert "EvalPython" not in p and "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    # pair stage: keyed on cluster (broadcast at test scale is fine);
-    # Lloyd's centroid join is a broadcast by construction
-    assert "BroadcastHashJoin" in p
+    # the assignment table is localCheckpoint-ed (three consumers), so
+    # the explain only shows the post-checkpoint lineage: the pair
+    # stage must still be a KEYED equi-join on the cluster (the
+    # checkpointed RDD has no size stats, so SMJ is the expected
+    # strategy; what matters is that it is never a cross product)
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
