@@ -530,13 +530,14 @@ REP_MAX = 0.10
 # STOPWORDS['en'] and made quality scores diverge between engines.
 _O_QUALITY = f"""
   SELECT doc_id,
+    CASE WHEN length(text) = 0 THEN 0.0 ELSE
     0.5 * (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
            / CAST(length(text) AS DOUBLE))
     + 0.3 * (CAST({_o_hits('en')} AS DOUBLE)
         / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE))
     + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
                         AS DOUBLE) / CAST(length(text) AS DOUBLE))
-    AS q
+    END AS q
   FROM documents
 """
 
@@ -549,7 +550,13 @@ def quality_score(text_col: str = "text") -> Column:
     token_budget_select and the streaming CurationGate all call this
     helper, so the gates can never drift from each other (an inline
     copy once drifted its stopword list and split the engines).
-    Narrow map: regexp counts + length, whole-stage codegen."""
+    Narrow map: regexp counts + length, whole-stage codegen.
+
+    Empty documents score 0.0 via a lazy CASE on both engines — found
+    by the adversarial cross-engine fuzz (test_properties.py): without
+    the guard, ANSI Spark hard-fails the whole job on the 0-length
+    text's 0/0 division (the word-count denominator can never be zero
+    — split(trim('')) is [''], size 1 — only n_chars can)."""
     from sql_flow_spark.functions.textops import _stop_re, ws_token_count
 
     n_chars = F.length(text_col)
@@ -562,7 +569,7 @@ def quality_score(text_col: str = "text") -> Column:
             F.lower(F.col(text_col)), F.lit(_stop_re("en")), 0
         )
     )
-    return (
+    return F.when(n_chars == 0, F.lit(0.0)).otherwise(
         F.lit(0.5) * (n_alpha.cast("double") / n_chars.cast("double"))
         + F.lit(0.3)
         * (n_stop.cast("double") / ws_token_count(text_col).cast("double"))

@@ -225,3 +225,105 @@ def test_merge_pair_fold_matches_python_sweep(spark):
         }
         for i, arr in enumerate(arrays):
             assert got[i] == py_merge(arr, a, b), (a, b, arr)
+
+
+def _adversarial_texts():
+    """Deterministic corpus of edge-case documents for the shared
+    text-signal helpers: empties, whitespace runs, unicode, digit/punct
+    walls, regex metacharacters, repeats. Two characters are excluded
+    on purpose, each a pinned engine-dialect boundary this fuzz itself
+    surfaced or confirmed: \\x0b (java.util.regex and RE2 class \\s
+    genuinely disagree — the documented tokenizer edge) and U+0130
+    'İ' (JVM/Python lower() emits i + combining dot U+0307, DuckDB's
+    utf8proc emits plain i, so lowercased fingerprints split). Both
+    only matter for cross-ENGINE hash parity — within one engine the
+    fingerprints stay self-consistent, which is all dedup needs at
+    scale. Everything else must match exactly, including NaNs."""
+    rng = np.random.RandomState(12)
+    words = ["the", "cat", "über", "naïve", "data", "x1", "#!?", "émü",
+             "汉字", "🦆", "a" * 40, "-", "3.14", "foo@bar.com"]
+    texts = [
+        "",
+        " ",
+        "   \t\n  ",
+        "word",
+        "the the the the the the",
+        "1234 5678 $$$ %%% ^^^",
+        ".*+?()[]{}|\\^$",
+        "a\tb\nc  d\r\ne",
+        "ﬁnancial ŒUVRE ẞharp istanbul",  # İ excluded: see docstring
+        "🦆🦆🦆 emoji only 🦆",
+        ("repeat me " * 30).strip(),
+    ]
+    for _ in range(60):
+        n = rng.randint(1, 25)
+        texts.append(" ".join(words[i] for i in rng.randint(0, len(words), n)))
+    return texts
+
+
+def test_text_signal_helpers_match_duckdb_on_adversarial_corpus(spark):
+    """Cross-engine fuzz of the shared curation signal helpers
+    (quality_score / with_repetition_2gram / prefix_fingerprint /
+    fingerprint) against their DuckDB oracle twins on texts far
+    outside the synthetic corpus's distribution. The oracle sweep
+    proves the pair on well-behaved generator text; this proves the
+    CONSTRUCTIONS agree on empties, unicode, regex metachars and
+    pathological repeats — exactly where regex-dialect or
+    null-semantics drift would hide."""
+    from sql_flow_spark.functions.curation import (
+        _O_QUALITY,
+        LEAK_PREFIX_TOKENS,
+        prefix_fingerprint,
+        quality_score,
+        with_repetition_2gram,
+    )
+    from sql_flow_spark.functions.dedup import O_NGRAMS, O_TOKENS
+    from sql_flow_spark.functions.textops import O_NORMALIZE, fingerprint
+
+    texts = _adversarial_texts()
+    rows = list(enumerate(texts))
+    sdf = with_repetition_2gram(
+        spark.createDataFrame(rows, "doc_id long, text string"), "text"
+    ).select(
+        "doc_id",
+        quality_score("text").alias("q"),
+        "rep_2gram",
+        prefix_fingerprint("text").alias("pfp"),
+        fingerprint("text").alias("fp"),
+    )
+    got = {r.doc_id: (repr(r.q), repr(r.rep_2gram), r.pfp, r.fp)
+           for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    sql = f"""
+    WITH q AS ({_O_QUALITY}),
+    rep AS (
+      SELECT doc_id,
+        CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                  / CAST(len(g2) AS DOUBLE) END AS rep_2gram
+      FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len({O_TOKENS}) - 1),
+                 i -> {O_TOKENS}[i] || ' ' || {O_TOKENS}[i+1]) AS g2
+        FROM documents
+      )
+    )
+    SELECT d.doc_id, q.q, rep.rep_2gram,
+           md5(array_to_string(
+             list_slice(regexp_split_to_array(trim(lower(d.text)), '\\s+'),
+                        1, {LEAK_PREFIX_TOKENS}), ' ')) AS pfp,
+           md5({O_NORMALIZE.format(expr='d.text')}) AS fp
+    FROM documents d JOIN q USING (doc_id) JOIN rep USING (doc_id)
+    """
+    want = {r[0]: (repr(r[1]), repr(r[2]), r[3], r[4])
+            for r in con.execute(sql).fetchall()}
+
+    assert set(got) == set(want)
+    mismatches = {
+        i: (got[i], want[i], texts[i][:40])
+        for i in got if got[i] != want[i]
+    }
+    assert not mismatches, f"{len(mismatches)} divergent docs: {mismatches}"
