@@ -163,13 +163,18 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc_id,
       CAST(length(text) AS BIGINT) AS n_chars_seen,
       n_tokens,
-      CAST(n_alpha AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
-      CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        CAST(n_alpha AS DOUBLE) / CAST(length(text) AS DOUBLE)
+      END AS alpha_ratio,
+      CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE)
+      END AS punct_ratio,
       CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+      CASE WHEN length(text) = 0 THEN 0.0 ELSE
       0.5 * (CAST(n_alpha AS DOUBLE) / CAST(length(text) AS DOUBLE))
         + 0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
         + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE))
-        AS quality_score
+      END AS quality_score
     FROM (
       SELECT
         doc_id,
@@ -184,7 +189,11 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: alpha ratio, punctuation ratio,
-    stopword density -> weighted score in [0,1]."""
+    stopword density -> weighted score in [0,1]. Empty documents take
+    0.0 char ratios and score 0.0 via lazy CASEs on both engines —
+    ANSI Spark would otherwise abort the job on the 0/0 division
+    (found by the adversarial-corpus sweep; only length(text) can be
+    zero — the token denominator is always >= 1)."""
     t = load_tables(spark, sf_dir, ("documents",))
     d = t["documents"]
     n_chars = F.length("text")
@@ -192,13 +201,19 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0))
     n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
     n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_re("en")), 0))
-    alpha_ratio = n_alpha.cast("double") / n_chars.cast("double")
-    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    empty = n_chars == 0
+    alpha_ratio = F.when(empty, F.lit(0.0)).otherwise(
+        n_alpha.cast("double") / n_chars.cast("double")
+    )
+    punct_ratio = F.when(empty, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / n_chars.cast("double")
+    )
     stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
-    score = (
-        F.lit(0.5) * alpha_ratio
+    score = F.when(empty, F.lit(0.0)).otherwise(
+        F.lit(0.5) * (n_alpha.cast("double") / n_chars.cast("double"))
         + F.lit(0.3) * stop_ratio
-        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2)
+        * (F.lit(1.0) - n_punct.cast("double") / n_chars.cast("double"))
     )
     return d.select(
         "doc_id",
@@ -683,12 +698,15 @@ _PURITY_MIN_HITS = 4  # below this the doc is 'undetermined', not mixed
            CAST(SUM(CASE WHEN tot >= {_PURITY_MIN_HITS}
                           AND top * 5 < tot * 3 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_mixed,
+           CASE WHEN SUM(CASE WHEN tot >= {_PURITY_MIN_HITS} THEN 1
+                         ELSE 0 END) = 0 THEN NULL ELSE
            CAST(SUM(CASE WHEN tot >= {_PURITY_MIN_HITS} THEN
              CAST(floor(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE)
                   * 1000000.0 + 0.5) AS DECIMAL(30,0))
              ELSE CAST(0 AS DECIMAL(30,0)) END) AS DOUBLE) / 1000000.0
              / CAST(SUM(CASE WHEN tot >= {_PURITY_MIN_HITS} THEN 1 ELSE 0
-                       END) AS DOUBLE) AS avg_purity
+                       END) AS DOUBLE)
+           END AS avg_purity
     FROM scored GROUP BY lang
     """,
 )
@@ -707,7 +725,12 @@ def doc_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and DECIMAL-summed before the average.
 
     Scale shape: one narrow map over the corpus scan (5 regex counts
-    per doc), one languages-sized groupBy of map-side partials."""
+    per doc), one languages-sized groupBy of map-side partials.
+
+    avg_purity is NULL (both engines, lazy CASE) for a language whose
+    docs are ALL undetermined — ANSI Spark would otherwise abort on
+    the 0-denominator average (adversarial-corpus sweep finding; the
+    generator corpus always has determinable docs per lang)."""
     t = load_tables(spark, sf_dir, ("documents",))
     low = F.lower(F.col("text"))
     hits = [
@@ -739,11 +762,15 @@ def doc_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_mixed"),
-        (
+        F.when(
+            F.sum(F.when(enough, 1).otherwise(0)) == 0, F.lit(None)
+        )
+        .otherwise(
             F.sum(purity_fp).cast("double")
             / F.lit(1000000.0)
             / F.sum(F.when(enough, 1).otherwise(0)).cast("double")
-        ).alias("avg_purity"),
+        )
+        .alias("avg_purity"),
     )
 
 
