@@ -22,6 +22,7 @@ from sql_flow_spark.functions.similarity import (
     O_COSINE_PAIRS,
     O_NORMS_CTE,
     dot_dec,
+    safe_cos,
     sq_norm_dec,
 )
 from sql_flow_spark.functions.mat import materialize_once
@@ -541,7 +542,9 @@ def embedding_near_dup_pairs(
     return cand.select(
         "vec_a",
         "vec_b",
-        (dot_dec(F.col("ea"), F.col("eb")) / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+        safe_cos(
+            dot_dec(F.col("ea"), F.col("eb")), F.col("nrm_a"), F.col("nrm_b")
+        ).alias("cosine"),
     ).where(F.col("cosine") >= tau)
 
 

@@ -39,6 +39,7 @@ from sql_flow_spark.functions.mat import materialize_once
 from sql_flow_spark.functions.similarity import (
     O_NORMS_CTE,
     dot_dec,
+    safe_cos,
     sq_norm_dec,
 )
 from sql_flow_spark.registry import query, scaled_int
@@ -216,11 +217,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     cos AS (
       SELECT c.vec_id AS doc_id,
+             CASE WHEN cn.nrm = 0 OR qn.nrm = 0 THEN 0.0 ELSE
              (CAST(list_sum(list_transform(generate_series(1, len(c.embedding)),
                i -> CAST(floor(CAST(c.embedding[i] AS DOUBLE)
                  * CAST(q.qe[i] AS DOUBLE) * 1000000000000.0 + 0.5)
                  AS DECIMAL(30,0)))) AS DOUBLE) / 1000000000000.0)
-             / (cn.nrm * qn.nrm) AS cosine
+             / (cn.nrm * qn.nrm) END AS cosine
       FROM embeddings c CROSS JOIN qv q
       JOIN norms cn ON cn.vec_id = c.vec_id
       JOIN norms qn ON qn.vec_id = 0
@@ -279,9 +281,10 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            (
-                dot_dec(F.col("embedding"), F.col("qe"))
-                / (F.col("nrm") * F.col("qnrm"))
+            safe_cos(
+                dot_dec(F.col("embedding"), F.col("qe")),
+                F.col("nrm"),
+                F.col("qnrm"),
             ).alias("cosine"),
         )
     )

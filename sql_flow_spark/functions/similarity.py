@@ -60,7 +60,30 @@ def sq_norm_dec(a: Column) -> Column:
 
 
 def cosine_cols(a: Column, b: Column) -> Column:
-    return dot_dec(a, b) / (F.sqrt(sq_norm_dec(a)) * F.sqrt(sq_norm_dec(b)))
+    return safe_cos(
+        dot_dec(a, b), F.sqrt(sq_norm_dec(a)), F.sqrt(sq_norm_dec(b))
+    )
+
+
+# Zero-norm convention for the whole cosine family (Spark side +
+# o_safe_cos oracle twin): cosine is 0.0 when EITHER norm is 0 — a
+# zero vector (a failed embedding job's classic output; tiny-magnitude
+# vectors also collapse to norm 0 under the fixed-point dot) carries
+# no directional evidence, so it matches nothing, dedups with nothing,
+# and ranks below every real neighbor. Without the lazy guard, ANSI
+# Spark aborts the whole job on the 0/0 division — found by the
+# adversarial embedding sweep (tests/test_adversarial_corpus.py).
+def safe_cos(dot: Column, na: Column, nb: Column) -> Column:
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        dot / (na * nb)
+    )
+
+
+def o_safe_cos(dot_expr: str, na: str, nb: str) -> str:
+    return (
+        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0"
+        f" ELSE {dot_expr} / ({na} * {nb}) END"
+    )
 
 
 # DuckDB oracle equivalent: same fixed-point terms over a scalar
@@ -86,7 +109,7 @@ O_COSINE_PAIRS = f"""
   SELECT
     qid,
     nid,
-    {o_dot_dec('ea', 'eb')} / (qn.nrm * cn.nrm) AS cosine
+    {o_safe_cos(o_dot_dec('ea', 'eb'), 'qn.nrm', 'cn.nrm')} AS cosine
   FROM pairs
   JOIN norms qn ON qn.vec_id = qid
   JOIN norms cn ON cn.vec_id = nid
@@ -146,7 +169,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = c.crossJoin(F.broadcast(q)).select(
         "qid",
         "nid",
-        (dot_dec(F.col("ea"), F.col("eb")) / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
+        safe_cos(
+            dot_dec(F.col("ea"), F.col("eb")), F.col("qnrm"), F.col("cnrm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
     return (
@@ -242,7 +267,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "qid",
         "nid",
-        (dot_dec(F.col("ea"), F.col("eb")) / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
+        safe_cos(
+            dot_dec(F.col("ea"), F.col("eb")), F.col("qnrm"), F.col("cnrm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
     return (
@@ -357,7 +384,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "qid",
         "nid",
-        (dot_dec(F.col("ea"), F.col("eb")) / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
+        safe_cos(
+            dot_dec(F.col("ea"), F.col("eb")), F.col("qnrm"), F.col("cnrm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
     return (
@@ -619,7 +648,7 @@ KNN_K = 10
     ),
     scored AS (
       SELECT qid, qlabel, nid, nlabel,
-             {o_dot_dec('ea', 'eb')} / (qn.nrm * cn.nrm) AS cosine
+             {o_safe_cos(o_dot_dec('ea', 'eb'), 'qn.nrm', 'cn.nrm')} AS cosine
       FROM pairs
       JOIN norms qn ON qn.vec_id = qid
       JOIN norms cn ON cn.vec_id = nid
@@ -677,9 +706,8 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qlabel",
         "nid",
         "nlabel",
-        (
-            dot_dec(F.col("ea"), F.col("eb"))
-            / (F.col("qnrm") * F.col("cnrm"))
+        safe_cos(
+            dot_dec(F.col("ea"), F.col("eb")), F.col("qnrm"), F.col("cnrm")
         ).alias("cosine"),
     )
     wk = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -993,10 +1021,9 @@ def _o_fps() -> str:
     one |corpus|-sized pass against the single newest pick — the same
     work shape as the Spark side, which keeps the two engines
     bit-identical AND keeps the oracle honest about the algorithm."""
-    cos = (
-        f"({o_dot_dec('c.embedding', 'p.embedding')}"
-        " / (c.nrm * p.nrm))"
-    )
+    cos = "(" + o_safe_cos(
+        o_dot_dec('c.embedding', 'p.embedding'), 'c.nrm', 'p.nrm'
+    ) + ")"
     parts = [
         f"""
     e AS MATERIALIZED (
@@ -1091,8 +1118,11 @@ def farthest_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nrm",
             (
                 F.lit(1.0)
-                - dot_dec(F.col("embedding"), F.col("p_emb"))
-                / (F.col("nrm") * F.col("p_nrm"))
+                - safe_cos(
+                    dot_dec(F.col("embedding"), F.col("p_emb")),
+                    F.col("nrm"),
+                    F.col("p_nrm"),
+                )
             ).alias("md"),
         )
     )
@@ -1122,8 +1152,11 @@ def farthest_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("md"),
                     F.lit(1.0)
-                    - dot_dec(F.col("embedding"), F.col("p_emb"))
-                    / (F.col("nrm") * F.col("p_nrm")),
+                    - safe_cos(
+                        dot_dec(F.col("embedding"), F.col("p_emb")),
+                        F.col("nrm"),
+                        F.col("p_nrm"),
+                    ),
                 ).alias("md"),
             )
         )
@@ -1370,7 +1403,9 @@ SEMDEDUP_TAU = EMB_DUP_TAU
 
 
 def _o_semdedup() -> str:
-    cos = f"{o_dot_dec('x.embedding', 'y.embedding')} / (x.nrm * y.nrm)"
+    cos = o_safe_cos(
+        o_dot_dec('x.embedding', 'y.embedding'), 'x.nrm', 'y.nrm'
+    )
     return (
         "WITH " + ",\n".join(_km_ctes(SEMDEDUP_K, SEMDEDUP_ITERS))
         + f""",
@@ -1448,7 +1483,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("ynrm"),
     )
-    cos = dot_dec(F.col("ea"), F.col("eb")) / (F.col("xnrm") * F.col("ynrm"))
+    cos = safe_cos(
+        dot_dec(F.col("ea"), F.col("eb")), F.col("xnrm"), F.col("ynrm")
+    )
     pruned = (
         x.join(y, "cluster")
         .where(F.col("xid") < F.col("yid"))
