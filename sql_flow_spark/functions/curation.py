@@ -653,8 +653,15 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the near-dup family (minhash_candidate_pairs ->
     dedup_clusters) slots in as an extra rule on the same structure."""
     t = load_tables(spark, sf_dir, ("documents",))
-    d = t["documents"]
+    return curation_verdicts(t["documents"])
 
+
+def curation_verdicts(d: DataFrame) -> DataFrame:
+    """(doc_id, verdict) under the composite gate — the ONE Spark
+    counterpart of the curation_pipeline oracle's verdict CASE, shared
+    by curation_pipeline and filter_funnel so the stage rules can't
+    drift between the gate and its funnel report (the quality_score
+    inline-copy lesson, see that helper's docstring)."""
     fp = d.select("doc_id", fingerprint("text").alias("f"))
     keepers = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
 
@@ -677,6 +684,147 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         signals.join(keepers, "f")
         .select("doc_id", verdict.alias("verdict"))
+    )
+
+
+@query(
+    "filter_funnel",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, md5({O_NORMALIZE.format(expr='text')}) AS f FROM documents
+    ),
+    keepers AS (
+      SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f
+    ),
+    quality AS ({_O_QUALITY}),
+    rep AS (
+      SELECT doc_id,
+        CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                  / CAST(len(g2) AS DOUBLE) END AS rep_2gram
+      FROM (
+        SELECT doc_id,
+          list_transform(generate_series(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1]) AS g2
+        FROM (SELECT doc_id, {O_TOKENS} AS t FROM documents)
+      )
+    ),
+    per AS (
+      SELECT
+        CASE
+          WHEN k.keep_id <> d.doc_id THEN 1
+          WHEN q.q < {QUALITY_MIN} THEN 2
+          WHEN r.rep_2gram > {REP_MAX} THEN 3
+          ELSE 4
+        END AS drop_idx,
+        CAST(len({O_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents d
+      JOIN fp ON fp.doc_id = d.doc_id
+      JOIN keepers k ON k.f = fp.f
+      JOIN quality q ON q.doc_id = d.doc_id
+      JOIN rep r ON r.doc_id = d.doc_id
+    ),
+    agg AS (
+      SELECT drop_idx, COUNT(*) AS cnt,
+             CAST(SUM(n_tokens) AS BIGINT) AS tok
+      FROM per GROUP BY drop_idx
+    ),
+    stages(stage, stage_name) AS (
+      VALUES (1, 'exact_dedup'), (2, 'quality_floor'),
+             (3, 'repetition_ceiling')
+    )
+    SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+      CAST(SUM(CASE WHEN drop_idx >= stage THEN cnt ELSE 0 END) AS BIGINT)
+        AS docs_in,
+      CAST(SUM(CASE WHEN drop_idx = stage THEN cnt ELSE 0 END) AS BIGINT)
+        AS docs_dropped,
+      CAST(SUM(CASE WHEN drop_idx > stage THEN cnt ELSE 0 END) AS BIGINT)
+        AS docs_out,
+      CAST(SUM(CASE WHEN drop_idx > stage THEN tok ELSE 0 END) AS BIGINT)
+        AS tokens_out,
+      CAST(SUM(CASE WHEN drop_idx > stage THEN cnt ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(cnt) AS DOUBLE) AS cum_survival
+    FROM stages CROSS JOIN agg
+    GROUP BY stage, stage_name
+    """,
+)
+def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation gate as a FUNNEL report: per stage (exact-dedup
+    keeper -> quality floor -> repetition ceiling, curation_pipeline's
+    exact precedence order) the docs entering, dropped there,
+    surviving, the surviving token mass, and cumulative survival from
+    raw — the how-much-does-each-rule-cost panel a pipeline owner
+    reads before tightening any threshold (quality_filter_survival is
+    the per-language view of ONE rule; this is the whole cascade).
+
+    Because the gate's verdict already encodes the FIRST failing rule
+    and the rule order equals the funnel order, the funnel is pure
+    arithmetic over verdict counts — no per-stage re-filtering, and it
+    can never disagree with curation_pipeline (shared
+    curation_verdicts helper; the oracle reuses the same
+    O_NORMALIZE/_O_QUALITY/O_TOKENS fragments).
+
+    Exactness: every funnel cell is an exact BIGINT count/token sum;
+    the one double (cum_survival) divides exact integers.
+
+    Scale shape: curation_verdicts' one fingerprint shuffle + narrow
+    signal maps, a doc_id join to the token counts, then a 4-row
+    drop_idx aggregate with map-side partials; the 3-row stage frame
+    cross-joins the broadcast 4-row aggregate — output is 3 rows
+    regardless of corpus size."""
+    from sql_flow_spark.functions.textops import ws_token_count
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    v = curation_verdicts(d)
+    toks = d.select(
+        "doc_id", ws_token_count("text").cast("long").alias("n_tokens")
+    )
+    drop_idx = (
+        F.when(F.col("verdict") == "duplicate", 1)
+        .when(F.col("verdict") == "low_quality", 2)
+        .when(F.col("verdict") == "repetitive", 3)
+        .otherwise(4)
+    )
+    per = v.join(toks, "doc_id").select(
+        drop_idx.alias("drop_idx"), "n_tokens"
+    )
+    agg = per.groupBy("drop_idx").agg(
+        F.count("*").alias("cnt"), F.sum("n_tokens").alias("tok")
+    )
+    stages = spark.createDataFrame(
+        [
+            (1, "exact_dedup"),
+            (2, "quality_floor"),
+            (3, "repetition_ceiling"),
+        ],
+        "stage long, stage_name string",
+    )
+    di = F.col("drop_idx")
+    st = F.col("stage")
+    return (
+        stages.join(F.broadcast(agg))
+        .groupBy("stage", "stage_name")
+        .agg(
+            F.sum(F.when(di >= st, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("docs_in"),
+            F.sum(F.when(di == st, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("docs_dropped"),
+            F.sum(F.when(di > st, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("docs_out"),
+            F.sum(F.when(di > st, F.col("tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_out"),
+            (
+                F.sum(F.when(di > st, F.col("cnt")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("cnt").cast("double")
+            ).alias("cum_survival"),
+        )
     )
 
 

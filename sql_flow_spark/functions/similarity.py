@@ -1010,6 +1010,178 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------- product quantization audit
+
+# 12dp fixed point for quantization error terms — shared by the PQ and
+# scalar (embedding_quantization) audits.
+_SQ_ERRSCALE = 1_000_000_000_000.0
+
+PQ_SUB_DIM = 8  # dims per subspace -> 8 subspaces over the 64-dim schema
+PQ_K = 4  # codewords per subspace (2 bits/code -> 2 bytes/vector)
+PQ_ITERS = 2
+
+
+def _pq_ctes() -> list[str]:
+    """Per-subspace Lloyd iterations unrolled into DuckDB CTEs — the
+    _km_ctes recipe with the subspace id (dim // PQ_SUB_DIM) carried
+    through the distance/argmin keys, so each subspace trains its own
+    independent codebook on the identical fixed-point trajectory.
+    Final assignments in ``a{PQ_ITERS}`` (one row per (vec, sub)),
+    final codebooks in ``c{PQ_ITERS}`` (keyed on (cluster, dim); dim
+    encodes the subspace)."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,"
+        f" CAST((i - 1) // {PQ_SUB_DIM} AS INTEGER) AS sub,"
+        " CAST(v AS DOUBLE) AS val FROM (SELECT vec_id,"
+        " unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i"
+        " FROM embeddings))",
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, dim,"
+        f" val AS c FROM e WHERE vec_id < {PQ_K})",
+    ]
+    for k in range(1, PQ_ITERS + 1):
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT vec_id, sub, cluster,"
+            f" {_o_pi_fsum('(val - c) * (val - c)')} AS dist"
+            f" FROM e JOIN c{k - 1} USING (dim)"
+            f" GROUP BY vec_id, sub, cluster)"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT vec_id, sub, cluster FROM"
+            f" (SELECT vec_id, sub, cluster, ROW_NUMBER() OVER"
+            f" (PARTITION BY vec_id, sub ORDER BY dist, cluster) AS rn"
+            f" FROM d{k}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT cluster, dim,"
+            f" {_o_pi_fsum('val')} / CAST(COUNT(*) AS DOUBLE) AS c"
+            f" FROM e JOIN a{k} USING (vec_id, sub)"
+            f" GROUP BY cluster, dim)"
+        )
+    return ctes
+
+
+def _pq_oracle() -> str:
+    return (
+        "WITH " + ",\n".join(_pq_ctes())
+        + f""",
+        rec AS MATERIALIZED (
+          SELECT e.vec_id, e.val - c.c AS err
+          FROM e
+          JOIN a{PQ_ITERS} a ON a.vec_id = e.vec_id AND a.sub = e.sub
+          JOIN c{PQ_ITERS} c ON c.cluster = a.cluster AND c.dim = e.dim
+        )
+        SELECT emb.label,
+          CAST(COUNT(DISTINCT r.vec_id) AS BIGINT) AS n_vecs,
+          CAST(SUM(CAST(floor(err * err * {_SQ_ERRSCALE} + 0.5)
+                        AS DECIMAL(38,0))) AS DOUBLE)
+            / {_SQ_ERRSCALE} / CAST(COUNT(*) AS DOUBLE) AS mse,
+          MAX(ABS(err)) AS max_abs_err
+        FROM rec r JOIN embeddings emb ON emb.vec_id = r.vec_id
+        GROUP BY emb.label
+        """
+    )
+
+
+@query("pq_quantization_audit", oracle=_pq_oracle())
+def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit (Jégou et al. 2011, the IVF-PQ
+    memory layer): each vector splits into 8 contiguous 8-dim
+    subspaces, each subspace trains its own k=4 codebook (2 Lloyd
+    iterations, first-k seeds — kmeans_embeddings' pinned trajectory
+    per subspace), and the panel reports per-label reconstruction MSE
+    + worst element error when every subvector is replaced by its
+    codeword. The decide-before-you-compress companion to
+    embedding_quantization's scalar path: PQ at this shape stores 8
+    2-bit codes (2 bytes) per vector vs 256 bytes of float32 — the
+    128x compression an ANN serving tier actually deploys.
+
+    Exactness: the training trajectory is bit-identical to the
+    unrolled oracle CTEs (exact fixed-point distance/centroid sums,
+    (dist, cluster) argmin, exact-sum/exact-count means — the
+    kmeans_embeddings argument per subspace). Reconstruction errors
+    subtract IEEE-identical doubles; squared errors are 12dp
+    fixed-pointed and DECIMAL-summed (the embedding_quantization
+    recipe), and max |err| compares identical doubles.
+
+    Scale shape: the exploded fact is checkpointed ONCE and reused by
+    every iteration AND the reconstruction join; per iteration the
+    (8 sub x 4 k x 8 dims) codebook BROADCASTS onto the fact, the
+    distance agg lands on (vec_id, sub, cluster), the argmin window
+    and the join-back reuse the vec_id partitioning, and the codebook
+    update shuffles map-side partials onto the 256-key (cluster, dim)
+    space. Codebooks localCheckpoint per iteration (plans stay one
+    iteration deep). No collect; the label rollup is the only
+    label-sized output."""
+    from sql_flow_spark.functions.mat import materialize_once
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    e = materialize_once(
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "val"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(F.col("dim") / F.lit(PQ_SUB_DIM)).cast("int").alias(
+                "sub"
+            ),
+            F.col("val").cast("double").alias("val"),
+        )
+        .repartition("vec_id")
+    )
+    cent = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), "dim",
+        F.col("val").alias("c"),
+    )
+    assign = None
+    wv = Window.partitionBy("vec_id", "sub").orderBy("dist", "cluster")
+    for _ in range(PQ_ITERS):
+        diff = F.col("val") - F.col("c")
+        dist = (
+            e.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "sub", "cluster")
+            .agg(_pi_fsum(diff * diff).alias("dist"))
+        )
+        assign = (
+            dist.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "cluster")
+        )
+        cent = (
+            e.join(assign, ["vec_id", "sub"])
+            .groupBy("cluster", "dim")
+            .agg(
+                (_pi_fsum(F.col("val")) / F.count("*").cast("double"))
+                .alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    err = F.col("val") - F.col("c")
+    rec = (
+        e.join(assign, ["vec_id", "sub"])
+        .join(F.broadcast(cent), ["cluster", "dim"])
+        .select(
+            "vec_id",
+            F.floor(err * err * F.lit(_SQ_ERRSCALE) + F.lit(0.5))
+            .cast("decimal(38,0)")
+            .alias("sq_dec"),
+            F.abs(err).alias("abs_err"),
+        )
+    )
+    return (
+        rec.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").cast("long").alias("n_vecs"),
+            (
+                F.sum("sq_dec").cast("double")
+                / F.lit(_SQ_ERRSCALE)
+                / F.count("*").cast("double")
+            ).alias("mse"),
+            F.max("abs_err").alias("max_abs_err"),
+        )
+    )
+
+
 FPS_K = 5
 
 
@@ -1168,7 +1340,6 @@ def farthest_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ scalar quantization
 
 _SQ_LEVELS = 255.0  # int8-style 256-level scalar quantization
-_SQ_ERRSCALE = 1_000_000_000_000.0  # 12dp fixed point for error terms
 
 
 @query(

@@ -407,6 +407,94 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_ALPHA = 0.7  # the multilingual-sampling exponent (Conneau et al.)
+_TEMP_SCALE = 1000000000.0  # 9dp fixed-point mask on pow (ewma pattern)
+
+
+@query(
+    "temperature_mix_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+        COUNT(*) AS n_docs,
+        CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
+          AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM per),
+    terms AS (
+      SELECT source, n_docs, n_tokens,
+        CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS nat_share,
+        CAST(floor(pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE),
+                       {TEMP_ALPHA}) * {_TEMP_SCALE:.1f} + 0.5)
+             AS BIGINT) AS t_fp
+      FROM per CROSS JOIN tot
+    ),
+    tsum AS (SELECT SUM(t_fp) AS t_tot FROM terms)
+    SELECT source, n_docs, n_tokens, nat_share,
+      CAST(t_fp AS DOUBLE) / CAST(t_tot AS DOUBLE) AS temp_share,
+      (CAST(t_fp AS DOUBLE) / CAST(t_tot AS DOUBLE)) / nat_share AS upsample
+    FROM terms CROSS JOIN tsum
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (q_i ∝ p_i^α, α=0.7): the
+    standard pretraining mix that upsamples small sources without
+    letting them dominate (Conneau & Lample 2019's multilingual
+    sampling; the same exponent family Llama/PaLM data mixes use).
+    `mix_weights` is the α→0 extreme (full equalization); this is the
+    tunable middle. Output: natural token share, temperature share,
+    and the implied upsample factor per source.
+
+    Determinism: p_i = n_i/N divides exact BIGINTs (IEEE-identical),
+    but pow() is libm — so each p_i^α is floor-masked to a 9dp
+    fixed-point BIGINT (the ewma_daily pow discipline) before the
+    exact integer normalizer sum; both output ratios then divide
+    exact/identical values. Margin-audited like every masked key.
+
+    Scale shape: one groupBy(source) with map-side partials over a
+    narrow token-count map; both normalizers are one-row broadcasts
+    back across the sources-sized aggregate — nothing here grows with
+    the corpus except the first scan."""
+    from sql_flow_spark.functions.textops import ws_token_count
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    per = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ws_token_count("text").cast("long")).alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total"))
+    nat_share = F.col("n_tokens").cast("double") / F.col("total").cast(
+        "double"
+    )
+    terms = per.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        nat_share.alias("nat_share"),
+        F.floor(
+            F.pow(nat_share, F.lit(TEMP_ALPHA)) * F.lit(_TEMP_SCALE)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("t_fp"),
+    )
+    tsum = terms.agg(F.sum("t_fp").alias("t_tot"))
+    temp_share = F.col("t_fp").cast("double") / F.col("t_tot").cast("double")
+    return terms.join(F.broadcast(tsum)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "nat_share",
+        temp_share.alias("temp_share"),
+        (temp_share / F.col("nat_share")).alias("upsample"),
+    )
+
+
 # ------------------------------------------- unigram LM quality score
 
 @query(

@@ -413,3 +413,23 @@ def test_r12_dedup_keys_plan_hygiene(spark, sf_dir):
     # checkpointed RDD has no size stats, so SMJ is the expected
     # strategy; what matters is that it is never a cross product)
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
+
+
+def test_r12_funnel_mix_pq_plan_hygiene(spark, sf_dir):
+    """r12 additions (second batch): the funnel and temperature mix
+    stay JVM-side — their only nested-loop joins are the broadcast
+    one-row/3-row normalizer frames (the tiny-literal exception) — and
+    the PQ trainer joins are all keyed with the codebook broadcast."""
+    p = plan(spark, sf_dir, "filter_funnel")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    # keepers groupBy, drop_idx agg, funnel agg (partials each)
+    assert p.count("HashAggregate") >= 4
+
+    p = plan(spark, sf_dir, "temperature_mix_weights")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # source agg + t_fp normalizer
+
+    p = plan(spark, sf_dir, "pq_quantization_audit")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p  # every join is keyed
+    assert "BroadcastHashJoin" in p  # codebook/centroid joins broadcast
