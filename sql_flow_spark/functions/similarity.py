@@ -437,6 +437,79 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(queries_df, TOP_K)
 
 
+@query("ann_recall_report")  # grades seeded approx methods -> rows-only
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality-eval panel: per approximate method (multi-table
+    sign LSH, IVF nprobe-cell probing, IVF-PQ with residual ADC) its
+    recall@5 against the exact brute-force top-k — macro-averaged over
+    the query set, the worst
+    single query, and how many queries were retrieved perfectly. This
+    is the panel an ANN owner materializes BEFORE trading the exact
+    scan for an index (and re-materializes after every re-train):
+    tests/test_approx_quality.py asserts recall floors per method once;
+    this key makes the same measurement a first-class, schedulable
+    query over whatever corpus is mounted.
+
+    Scoring is a set comparison on (qid, nid): a method earns credit
+    only for returning the exactly-right neighbor ids, not for close
+    cosines (score-mass "recall" flatters methods that fill the list
+    with near-misses). Queries a method returns NOTHING for still
+    count — the qid base frame comes from the exact panel, so an
+    empty-candidate query contributes recall 0 instead of vanishing
+    from the average (the classic eval bug).
+
+    Exactness: hits are exact integer counts; every reported ratio
+    divides exact BIGINTs by the constant K. Both methods are
+    deterministic here (seeded hyperplanes; xxhash64-sampled IVF
+    trainer), so the panel reproduces bit-for-bit across runs.
+
+    Scale shape: each method's candidate generation keeps its own
+    documented layout (bucket/cell shuffle keys, broadcast queries);
+    this panel adds only joins against the |Q|*K-row exact table —
+    localCheckpointed once and broadcast to both legs — and a
+    |Q|-row aggregate per method. Cost = one exact scan + one scan
+    per graded method, which is the honest price of a recall audit."""
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .select("qid", "nid")
+        .localCheckpoint(eager=True)
+    )
+    qids = exact.select("qid").distinct()
+
+    def leg(name: str, approx: DataFrame) -> DataFrame:
+        hits = (
+            approx.select("qid", "nid")
+            .join(F.broadcast(exact), ["qid", "nid"])
+            .groupBy("qid")
+            .agg(F.count("*").alias("hits"))
+        )
+        per_q = qids.join(hits, "qid", "left").select(
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits")
+        )
+        # every query has exactly K exact neighbors, so the macro
+        # average of hits_q/K equals sum(hits)/(|Q|*K) — one division
+        # of exact BIGINTs instead of an order-sensitive double sum
+        return per_q.agg(
+            F.lit(name).alias("method"),
+            F.count("*").cast("long").alias("n_queries"),
+            (
+                F.sum("hits").cast("double")
+                / (F.count("*") * F.lit(TOP_K)).cast("double")
+            ).alias("macro_recall"),
+            (F.min("hits").cast("double") / F.lit(float(TOP_K))).alias(
+                "min_recall"
+            ),
+            F.sum((F.col("hits") == TOP_K).cast("long"))
+            .cast("long")
+            .alias("perfect_queries"),
+        )
+
+    lsh = leg("lsh", ann_lsh_topk(spark, sf_dir))
+    ivf = leg("ivf", ann_ivf_topk(spark, sf_dir))
+    ivfpq = leg("ivfpq", ann_ivfpq_topk(spark, sf_dir))
+    return lsh.unionByName(ivf).unionByName(ivfpq)
+
+
 # ---------------------------------------------------- label centroids
 
 @query(
@@ -1060,6 +1133,82 @@ def _pq_ctes() -> list[str]:
     return ctes
 
 
+def _pq_fact(emb: DataFrame) -> DataFrame:
+    """Exploded (vec_id, dim, sub, val) PQ fact, checkpointed once —
+    every consumer (training iterations, reconstruction/encode joins)
+    reuses the same materialized table instead of re-exploding the
+    corpus."""
+    from sql_flow_spark.functions.mat import materialize_once
+
+    return materialize_once(
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "val"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(F.col("dim") / F.lit(PQ_SUB_DIM)).cast("int").alias(
+                "sub"
+            ),
+            F.col("val").cast("double").alias("val"),
+        )
+        .repartition("vec_id")
+    )
+
+
+def _pq_train(
+    e: DataFrame,
+    seed_lo: int = 0,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+):
+    """Distributed per-subspace Lloyd training over an exploded
+    (vec_id, dim, sub, val) fact: PQ_ITERS iterations of exact
+    fixed-point distance sums, (dist, cluster) argmin and
+    exact-sum/exact-count centroid updates — kmeans_embeddings'
+    pinned trajectory run independently per subspace. Seeds are the
+    ``k`` vectors with ids [seed_lo, seed_lo + k) (seed_lo=0, k=PQ_K
+    is the audit's first-k rule on the full table; ann_ivfpq_topk
+    passes the first corpus id and its own k so queries never train
+    their own codebook). Returns (assign, cent): one (vec_id, sub,
+    cluster) row per (vector, subspace) and the (cluster, dim, c)
+    codebook.
+
+    Scale shape: per iteration the k*64-entry codebook broadcasts onto
+    the fact, distance partials land on (vec_id, sub, cluster), the
+    argmin window reuses that partitioning and the update shuffles
+    map-side partials onto the k*64-key codebook space; codebooks
+    localCheckpoint per iteration so plans stay one iteration deep."""
+    cent = e.filter(
+        (F.col("vec_id") >= seed_lo) & (F.col("vec_id") < seed_lo + k)
+    ).select(
+        (F.col("vec_id") - seed_lo).cast("int").alias("cluster"), "dim",
+        F.col("val").alias("c"),
+    )
+    assign = None
+    wv = Window.partitionBy("vec_id", "sub").orderBy("dist", "cluster")
+    for _ in range(iters):
+        diff = F.col("val") - F.col("c")
+        dist = (
+            e.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "sub", "cluster")
+            .agg(_pi_fsum(diff * diff).alias("dist"))
+        )
+        assign = (
+            dist.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "cluster")
+        )
+        cent = (
+            e.join(assign, ["vec_id", "sub"])
+            .groupBy("cluster", "dim")
+            .agg(
+                (_pi_fsum(F.col("val")) / F.count("*").cast("double"))
+                .alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assign, cent
+
+
 def _pq_oracle() -> str:
     return (
         "WITH " + ",\n".join(_pq_ctes())
@@ -1112,49 +1261,10 @@ def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     space. Codebooks localCheckpoint per iteration (plans stay one
     iteration deep). No collect; the label rollup is the only
     label-sized output."""
-    from sql_flow_spark.functions.mat import materialize_once
-
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    e = materialize_once(
-        emb.select("vec_id", F.posexplode("embedding").alias("dim", "val"))
-        .select(
-            "vec_id",
-            F.col("dim").cast("int").alias("dim"),
-            F.floor(F.col("dim") / F.lit(PQ_SUB_DIM)).cast("int").alias(
-                "sub"
-            ),
-            F.col("val").cast("double").alias("val"),
-        )
-        .repartition("vec_id")
-    )
-    cent = e.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").cast("int").alias("cluster"), "dim",
-        F.col("val").alias("c"),
-    )
-    assign = None
-    wv = Window.partitionBy("vec_id", "sub").orderBy("dist", "cluster")
-    for _ in range(PQ_ITERS):
-        diff = F.col("val") - F.col("c")
-        dist = (
-            e.join(F.broadcast(cent), "dim")
-            .groupBy("vec_id", "sub", "cluster")
-            .agg(_pi_fsum(diff * diff).alias("dist"))
-        )
-        assign = (
-            dist.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "sub", "cluster")
-        )
-        cent = (
-            e.join(assign, ["vec_id", "sub"])
-            .groupBy("cluster", "dim")
-            .agg(
-                (_pi_fsum(F.col("val")) / F.count("*").cast("double"))
-                .alias("c")
-            )
-            .localCheckpoint(eager=True)
-        )
+    e = _pq_fact(emb)
+    assign, cent = _pq_train(e)
     err = F.col("val") - F.col("c")
     rec = (
         e.join(assign, ["vec_id", "sub"])
@@ -1179,6 +1289,190 @@ def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mse"),
             F.max("abs_err").alias("max_abs_err"),
         )
+    )
+
+
+# ADC shortlist before exact rerank. A CONSTANT, so the ADC filter
+# ratio grows with the corpus (50 of ~500 candidates at sf0.001, 50 of
+# ~5k at sf0.01, 50 of ~5M at production cell sizes) — the shortlist is
+# the serving-latency knob, the corpus pays only the 4 B/vector scan.
+# Sized by the committed numpy A/B (see docstring): short15 left real
+# recall on the table (0.325 vs the 0.625 IVF ceiling at sf0.001);
+# short50 reaches 0.55 at 8x16 codebooks, and doubling codebook cost
+# (16 subs x 64 codewords x 3 iters) buys only the last 0.075.
+IVFPQ_SHORTLIST = 10 * TOP_K
+IVFPQ_PQ_K = 16  # codewords per subspace (4 bits/code, 4 B/vector)
+
+
+def _fp_dec(term: Column) -> Column:
+    """_PI_SCALE fixed-point term as DECIMAL — summable exactly."""
+    return F.floor(term * F.lit(_PI_SCALE) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+
+
+@query("ann_ivfpq_topk")  # approximate -> rows-only check
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the full faiss-style serving pipeline (Jégou et
+    al. 2011) as DataFrame ops: (1) the IVF coarse quantizer restricts
+    each query to its IVF_NPROBE nearest cells; (2) inside the probed
+    cells, candidates are ranked by ASYMMETRIC DISTANCE COMPUTATION on
+    RESIDUALS — dot(q, x̂) with x̂ = c_cell + r̂, where r̂ is the PQ
+    reconstruction of x − c_cell, computed as one (qid, cell) lookup
+    plus 8 lookups into a per-query (sub, codeword) table, never
+    touching the raw corpus vector; (3) the ADC top-IVFPQ_SHORTLIST
+    shortlist is exact-cosine reranked (safe_cos — the family's shared
+    scoring math) down to TOP_K. Residual encoding is what makes PQ
+    codes precise enough to rank: residuals are small, so a k=16
+    codebook spends its codewords on the within-cell structure instead
+    of re-describing cell centroids (the flat-PQ variant measured
+    recall 0.075 here; residual k=16 clears the sibling IVF floor).
+    Same output contract as every ANN sibling: (qid, nid, cosine,
+    rank), graded against exact recall in tests/test_approx_quality.py.
+
+    PQ codebooks train on the CORPUS residual fact only
+    (seed_lo=N_QUERIES: queries never train their own quantizer — the
+    eval-hygiene rule) via _pq_train's pinned deterministic trajectory;
+    the LUT, the cell term, and the ADC sum carry _PI_SCALE
+    fixed-point DECIMALs end-to-end (one double division at the very
+    end), so the whole pipeline reproduces bit-for-bit.
+
+    Why this matters at 100 TB: the rerank scan touches only
+    |Q|*shortlist raw vectors, and ADC scoring reads 4 BYTES per
+    candidate (8 4-bit codes) instead of 256 bytes of float32 — the
+    memory-bandwidth win that makes billion-vector search serveable.
+    Expressed relationally: codes are a (vec_id, sub, cluster) table
+    partitioned like the corpus; the per-query tables (|Q|*8*16-row
+    LUT, |Q|*16-row cell term) broadcast; ADC is one keyed join + a
+    (qid, nid) sum; every shuffle key (cell, nid, qid) is the natural
+    one. ADC ranks by dot(q, x̂)/|x| (true corpus norms ride the
+    candidate rows; |q| is per-query constant, rank-neutral)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    e = _with_norm(emb)
+    cent_ivf = ivf_centroids(e)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.explode(
+            ivf_assign(F.col("embedding"), cent_ivf, IVF_NPROBE)
+        ).alias("qcell"),
+    )
+    cells = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("nid"), F.col("nrm").alias("cnrm"),
+        ivf_assign(F.col("embedding"), cent_ivf, 1)[0].alias("cell"),
+    )
+    # candidate id pairs only — no raw vectors carried past this point
+    # (a corpus vector lives in ONE cell and a query's probed cells are
+    # distinct, so the join emits each (qid, nid) at most once)
+    cand = cells.join(
+        F.broadcast(q), F.col("cell") == F.col("qcell")
+    ).select("qid", "nid", "cell", "cnrm")
+
+    # (cell, dim, cval) coarse-centroid table — IVF_K*64 rows, broadcast
+    cent_rows = [
+        (int(cid), int(d), float(v))
+        for cid, row in enumerate(cent_ivf)
+        for d, v in enumerate(row)
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cell int, dim int, cval double"
+    )
+    # residual fact: val - c_cell[dim], per corpus vector
+    res_fact = _pq_fact(
+        emb.where(F.col("vec_id") >= N_QUERIES)
+    )
+    res_fact = (
+        res_fact.withColumnRenamed("val", "rawval")
+        .join(
+            cells.select(F.col("nid").alias("vec_id"), "cell"), "vec_id"
+        )
+        .join(F.broadcast(cent_df), ["cell", "dim"])
+        .select(
+            "vec_id", "dim", "sub",
+            (F.col("rawval") - F.col("cval")).alias("val"),
+        )
+    )
+    codes, cb = _pq_train(res_fact, seed_lo=N_QUERIES, k=IVFPQ_PQ_K)
+    qfact = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.posexplode("embedding").alias("dim", "qval"),
+    )
+    # residual LUT: dot(q_sub, codeword) per (qid, sub, cluster) —
+    # fixed-point DECIMAL so the 8-way ADC sum stays exact
+    lut = (
+        qfact.join(F.broadcast(cb), "dim")
+        .withColumn(
+            "sub", F.floor(F.col("dim") / F.lit(PQ_SUB_DIM)).cast("int")
+        )
+        .groupBy("qid", "sub", "cluster")
+        .agg(
+            F.sum(
+                _fp_dec(F.col("qval").cast("double") * F.col("c"))
+            ).alias("lut_fp")
+        )
+    )
+    # cell term: dot(q, c_cell) per (qid, cell)
+    cell_term = (
+        qfact.join(F.broadcast(cent_df), "dim")
+        .groupBy("qid", "cell")
+        .agg(
+            F.sum(
+                _fp_dec(F.col("qval").cast("double") * F.col("cval"))
+            ).alias("cell_fp")
+        )
+    )
+    adc = (
+        cand.join(codes.withColumnRenamed("vec_id", "nid"), "nid")
+        .join(F.broadcast(lut), ["qid", "sub", "cluster"])
+        .groupBy("qid", "nid", "cell", "cnrm")
+        .agg(F.sum("lut_fp").alias("res_fp"))
+        .join(F.broadcast(cell_term), ["qid", "cell"])
+        .select(
+            "qid",
+            "nid",
+            F.when(F.col("cnrm") == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("res_fp") + F.col("cell_fp")).cast("double")
+                / F.lit(_PI_SCALE)
+                / F.col("cnrm")
+            )
+            .alias("adc_score"),
+        )
+    )
+    ws = Window.partitionBy("qid").orderBy(
+        F.col("adc_score").desc(), F.col("nid")
+    )
+    shortlist = (
+        adc.withColumn("srank", F.row_number().over(ws))
+        .where(F.col("srank") <= IVFPQ_SHORTLIST)
+        .select("qid", "nid")
+    )
+    qv = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cv = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = (
+        shortlist.join(cv, "nid")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "nid",
+            safe_cos(
+                dot_dec(F.col("ea"), F.col("eb")),
+                F.col("qnrm"),
+                F.col("cnrm"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "nid", "cosine", "rank")
     )
 
 

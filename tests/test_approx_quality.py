@@ -106,6 +106,30 @@ def test_ann_ivf_results_subset_of_exact_scores(spark, sf_dir):
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
 
 
+def test_ann_ivfpq_results_subset_of_exact_scores(spark, sf_dir):
+    """IVF-PQ: the exact rerank stage uses the family's shared scoring
+    math, so any pair shared with the exact top-k must carry the
+    bit-identical cosine; ADC shortlisting on residual-PQ codes plus
+    rerank should keep recall within reach of the plain-IVF ceiling
+    (candidates are a subset of ann_ivf_topk's)."""
+    exact = {
+        (r.qid, r.nid): r.cosine
+        for r in QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    approx = QUERIES["ann_ivfpq_topk"](spark, sf_dir).collect()
+    assert len(approx) > 0
+    hits = 0
+    for r in approx:
+        if (r.qid, r.nid) in exact:
+            assert r.cosine == exact[(r.qid, r.nid)]
+            hits += 1
+    assert hits / len(approx) > 0.45, f"IVF-PQ recall too low: {hits}/{len(approx)}"
+    # determinism: seeded IVF trainer + pinned PQ trajectory +
+    # fixed-point ADC sums -> two runs agree exactly
+    again = QUERIES["ann_ivfpq_topk"](spark, sf_dir).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
 def test_ann_ivf_incremental_tracks_full_ivf(spark, sf_dir):
     """The incrementally-grown disk index (half corpus built, half
     appended assign-only) must search the SAME corpus the one-shot IVF
@@ -130,6 +154,43 @@ def test_ann_ivf_incremental_tracks_full_ivf(spark, sf_dir):
     # deterministic rebuild: same trainer contract as ann_ivf_topk
     again = QUERIES["ann_ivf_incremental"](spark, sf_dir).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_ann_recall_report_matches_adhoc_recall(spark, sf_dir):
+    """The first-class recall panel must agree EXACTLY with recall
+    recomputed ad hoc from the method outputs (same set comparison on
+    (qid, nid), zero-candidate queries counted as recall 0), and every
+    method must clear its floor (LSH 0.3, IVF 0.6, IVF-PQ 0.45 — the
+    macro denominator is |Q|*K, stricter than the subset tests'
+    per-emitted-row one)."""
+    exact = {
+        (r.qid, r.nid)
+        for r in QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    qids = {q for q, _ in exact}
+    k = len(exact) // len(qids)
+    panel = {
+        r.method: r for r in QUERIES["ann_recall_report"](spark, sf_dir).collect()
+    }
+    assert set(panel) == {"lsh", "ivf", "ivfpq"}
+    for method, key in (
+        ("lsh", "ann_lsh_topk"),
+        ("ivf", "ann_ivf_topk"),
+        ("ivfpq", "ann_ivfpq_topk"),
+    ):
+        approx = QUERIES[key](spark, sf_dir).collect()
+        hits = {q: 0 for q in qids}
+        for r in approx:
+            if (r.qid, r.nid) in exact:
+                hits[r.qid] += 1
+        row = panel[method]
+        assert row.n_queries == len(qids)
+        assert row.macro_recall == sum(hits.values()) / (len(qids) * k)
+        assert row.min_recall == min(hits.values()) / k
+        assert row.perfect_queries == sum(1 for h in hits.values() if h == k)
+    assert panel["lsh"].macro_recall > 0.3
+    assert panel["ivf"].macro_recall > 0.6
+    assert panel["ivfpq"].macro_recall > 0.45
 
 
 def test_boilerplate_flag_fires_on_dup_families(spark, sf_dir):

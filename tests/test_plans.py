@@ -433,3 +433,20 @@ def test_r12_funnel_mix_pq_plan_hygiene(spark, sf_dir):
     assert "EvalPython" not in p and "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p  # every join is keyed
     assert "BroadcastHashJoin" in p  # codebook/centroid joins broadcast
+
+
+def test_r12_ann_keys_plan_hygiene(spark, sf_dir):
+    """IVF-PQ and the recall panel: no cartesian products anywhere
+    (candidate generation is the cell equi-join; the panel's joins are
+    keyed on (qid, nid)); the per-query tables (LUT, cell term,
+    shortlist rerank queries) broadcast. ArrowEvalPython appears only
+    for the IVF assign pandas_udf — never row-at-a-time EvalPython."""
+    p = plan(spark, sf_dir, "ann_ivfpq_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p  # Arrow-batched assign only
+
+    p = plan(spark, sf_dir, "ann_recall_report")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
