@@ -69,6 +69,11 @@ EXCLUDED: dict[str, str] = {
         "ngram_jaccard; production feeds LSH candidates; benched at "
         "sf0.01 in small_sf_ab"
     ),
+    "dedup_eval_report": (
+        "scores method pairs against the source-blocked exact-pair "
+        "truth (near-quadratic per block by design, same contract as "
+        "ngram_jaccard); benched at sf0.01 in small_sf_ab"
+    ),
     "triangle_count": (
         "full-graph exact triangle count is O(E^1.5) — structurally "
         "supra-linear (first-decade probe 6.8x); the production "

@@ -1076,3 +1076,100 @@ def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+# ------------------------------------------------- near-dup method eval
+
+@query("dedup_eval_report")  # grades hash-specific methods -> rows-only
+def dedup_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup method eval panel — ann_recall_report's sibling for
+    the text-dedup family: per candidate-generation method (MinHash
+    band LSH, SimHash hamming<=3 bands) its pair-level precision and
+    recall against EXACT n-gram Jaccard >= MINHASH_TAU ground truth.
+    This is the panel a dedup owner reads before retuning
+    MINHASH_PERMS/LSH_BANDS or swapping methods: recall prices missed
+    duplicates, precision prices the exact-verify work wasted on false
+    candidates.
+
+    Evaluation universe: WITHIN-SOURCE pairs — the slice where exact
+    truth is computable at any scale (the ngram_jaccard blocked
+    verifier; global all-pairs truth cannot exist at 100 TB, so the
+    honest eval evaluates where truth exists — the standard sampled-
+    universe protocol). Method pair sets are restricted to the same
+    universe before scoring, so precision/recall compare like with
+    like; the universe restriction is reported via n_truth.
+
+    SimHash is graded CROSS-METRIC (its criterion is hamming, not
+    Jaccard): its row measures how well bit-majority signatures track
+    shingle-set overlap on this corpus — the number that decides
+    whether the cheaper signature family is good enough to replace
+    MinHash for a given corpus.
+
+    Exactness: every cell is an exact BIGINT count; the two ratios
+    divide exact integers (0-pair/0-truth guards emit 0.0). Both
+    methods and the truth are xxhash64-deterministic, so the panel
+    reproduces bit-for-bit.
+
+    Scale shape: truth is the blocked exact verifier (near-quadratic
+    per source block BY DESIGN — this key therefore lives in bench's
+    small_sf_ab section beside ngram_jaccard, its named exclusion
+    reason); both method legs keep their linear band-bucket layouts;
+    scoring adds two doc_id-keyed source joins and a (doc_a, doc_b)
+    equi-join per method; output is 2 rows."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    truth = materialize_once(
+        exact_jaccard_pairs(d, None, MINHASH_TAU).select("doc_a", "doc_b")
+    )
+    src_a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    src_b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    docs_sh = materialize_once(
+        with_shingles(d).select("doc_id", "shingles")
+    )
+    mh_pairs = minhash_candidate_pairs(docs_sh)
+    sim_sigs = d.select(
+        "doc_id",
+        F.transform(ws_tokens("text"), lambda tok: F.xxhash64(tok)).alias(
+            "hs"
+        ),
+    ).select("doc_id", _simhash_from_hashes("hs").alias("sig"))
+    sim_pairs = hamming_band_pairs(sim_sigs).select("doc_a", "doc_b")
+
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+
+    def leg(name: str, pairs: DataFrame) -> DataFrame:
+        u = (
+            pairs.join(src_a, "doc_a")
+            .join(src_b, "doc_b")
+            .where(F.col("src_a") == F.col("src_b"))
+            .select("doc_a", "doc_b")
+        )
+        counts = u.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count("*").cast("long").alias("n_hits")
+        ).crossJoin(u.agg(F.count("*").cast("long").alias("n_pairs")))
+        return n_truth.crossJoin(counts).select(
+            F.lit(name).alias("method"),
+            "n_truth",
+            "n_pairs",
+            "n_hits",
+            F.when(F.col("n_pairs") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_hits").cast("double")
+                / F.col("n_pairs").cast("double")
+            )
+            .alias("precision"),
+            F.when(F.col("n_truth") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_hits").cast("double")
+                / F.col("n_truth").cast("double")
+            )
+            .alias("recall"),
+        )
+
+    return leg("minhash_lsh", mh_pairs).unionByName(
+        leg("simhash_hamming", sim_pairs)
+    )

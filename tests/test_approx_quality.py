@@ -193,6 +193,30 @@ def test_ann_recall_report_matches_adhoc_recall(spark, sf_dir):
     assert panel["ivfpq"].macro_recall > 0.45
 
 
+def test_dedup_eval_report_consistent_with_truth(spark, sf_dir):
+    """The dedup method-eval panel: its n_truth must equal the
+    oracle-backed ngram_jaccard pair count (same blocked exact
+    verifier, same tau), every cell must satisfy the set algebra
+    (hits <= pairs, hits <= truth, ratios = exact divisions), and
+    MinHash candidate recall must be total on this corpus (the
+    synthetic duplicate families are near-exact copies, which share
+    every band)."""
+    truth_n = len(QUERIES["ngram_jaccard"](spark, sf_dir).collect())
+    rows = {
+        r.method: r
+        for r in QUERIES["dedup_eval_report"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"minhash_lsh", "simhash_hamming"}
+    for r in rows.values():
+        assert r.n_truth == truth_n
+        assert r.n_hits <= min(r.n_pairs, r.n_truth)
+        if r.n_pairs:
+            assert r.precision == r.n_hits / r.n_pairs
+        if r.n_truth:
+            assert r.recall == r.n_hits / r.n_truth
+    assert rows["minhash_lsh"].recall == 1.0
+
+
 def test_boilerplate_flag_fires_on_dup_families(spark, sf_dir):
     """Non-degeneracy: the synthetic corpus's duplicate families repeat
     shingles across >=3 docs of a source, so the detector must flag a

@@ -450,3 +450,12 @@ def test_r12_ann_keys_plan_hygiene(spark, sf_dir):
     p = plan(spark, sf_dir, "ann_recall_report")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+    # dedup_eval_report: the blocked-truth join carries non-equi
+    # conjuncts (size band) on top of the block equi-key, the method
+    # legs stay band-bucket equi-joins, and the only nested-loop joins
+    # are the broadcast one-row count frames; SimHash's signature UDF
+    # is the family's Arrow-batched one, never row-at-a-time
+    p = plan(spark, sf_dir, "dedup_eval_report")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
