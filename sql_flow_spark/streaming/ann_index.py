@@ -317,6 +317,81 @@ class IncrementalIVF:
             )
         return df
 
+    def recall_audit(self, queries: DataFrame, topk: int = 5) -> DataFrame:
+        """Scheduled search-quality audit: grade ``search()`` against a
+        brute-force exact-cosine scan of the SAME indexed corpus and
+        return one row — (n_queries, macro_recall, min_recall,
+        perfect_queries), the ann_recall_report contract pointed at the
+        live index. The two monitors are complementary: the per-batch
+        cell-occupancy PSI fires on ingest DISTRIBUTION shift (cheap,
+        every batch), this audit measures the resulting search
+        degradation DIRECTLY (one full corpus pass — run it on the
+        retrain-decision cadence, not per batch). recall = exact
+        integer hits / (|Q| * topk), no order-sensitive double sums.
+
+        Scale shape: the exact leg broadcasts the (small) query batch
+        and makes one pass over the index table (no cell pruning — the
+        whole point is to see what probing missed); the approx leg is
+        ``search()`` with its pruned scan; scoring joins |Q|*topk-row
+        frames."""
+        q = queries.select(
+            F.col(self.id_col).alias("qid"),
+            F.col(self.emb_col).alias("ea"),
+            F.sqrt(sq_norm_dec(F.col(self.emb_col))).alias("qnrm"),
+        )
+        scored = (
+            self.index_df()
+            .crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid",
+                F.col("vec_id").alias("nid"),
+                (
+                    dot_dec(F.col("ea"), F.col("embedding"))
+                    / (F.col("qnrm") * F.col("nrm"))
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc(), F.col("nid")
+        )
+        exact = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= topk)
+            .select("qid", "nid")
+            .localCheckpoint(eager=True)
+        )
+        hits = (
+            self.search(queries, topk)
+            .select("qid", "nid")
+            .join(F.broadcast(exact), ["qid", "nid"])
+            .groupBy("qid")
+            .agg(F.count("*").alias("hits"))
+        )
+        per_q = (
+            exact.select("qid")
+            .distinct()
+            .join(hits, "qid", "left")
+            .select(
+                F.coalesce(F.col("hits"), F.lit(0))
+                .cast("long")
+                .alias("hits")
+            )
+        )
+        return per_q.agg(
+            F.count("*").cast("long").alias("n_queries"),
+            (
+                F.sum("hits").cast("double")
+                / (F.count("*") * F.lit(topk)).cast("double")
+            ).alias("macro_recall"),
+            (F.min("hits").cast("double") / F.lit(float(topk))).alias(
+                "min_recall"
+            ),
+            F.sum((F.col("hits") == topk).cast("long"))
+            .cast("long")
+            .alias("perfect_queries"),
+        )
+
     def search(self, queries: DataFrame, topk: int = 5) -> DataFrame:
         """Probe nprobe cells per query, exact-cosine rerank inside
         them. The cell IN-filter reaches the scan as a partition

