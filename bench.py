@@ -104,6 +104,7 @@ SMALL_SF_AB = (
     "ngram_jaccard",
     "containment_pairs",
     "dedup_minhash_lsh",
+    "dedup_eval_report",
     "triangle_count",
     "triangle_count_sparse",
 )
@@ -183,6 +184,48 @@ def run_stream_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n_rows
 
 
+def _host_sample() -> dict:
+    """Host contention telemetry at a point in time: 1-minute loadavg
+    plus the cumulative CPU jiffies from /proc/stat. Recorded at run
+    start and end so a reader can compute the window's steal share —
+    the objective contended-run detector (the r10/r12 dedup-family
+    'regressions' were co-tenant noise that took a whole verdict cycle
+    to adjudicate from timings alone; hypervisor steal settles it in
+    one field)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # cpu user nice system idle iowait irq softirq steal
+        v = [int(x) for x in parts[1:9]]
+        jiffies = {
+            "user": v[0] + v[1],
+            "system": v[2],
+            "idle": v[3],
+            "iowait": v[4],
+            "irq": v[5] + v[6],
+            "steal": v[7],
+        }
+    except OSError:  # non-Linux fallback: loadavg still recorded
+        jiffies = {}
+    return {"loadavg_1m": round(os.getloadavg()[0], 2), "jiffies": jiffies}
+
+
+def _host_window(start: dict, end: dict) -> dict:
+    """Start/end samples + the derived steal share over the window."""
+    out = {"start": start, "end": end}
+    sj, ej = start.get("jiffies"), end.get("jiffies")
+    if sj and ej:
+        delta = {k: ej[k] - sj[k] for k in ej}
+        total = sum(delta.values())
+        out["steal_pct"] = round(
+            100.0 * delta.get("steal", 0) / max(total, 1), 2
+        )
+        out["idle_pct"] = round(
+            100.0 * delta.get("idle", 0) / max(total, 1), 2
+        )
+    return out
+
+
 def _bench_confs():
     # The engine default split size (128 MiB) is the cluster setting;
     # the local bench reads single small parquet files, so use small
@@ -206,6 +249,7 @@ def graph_phase(sf_dir: str, out_path: str) -> None:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    host_start = _host_sample()
 
     # Graph family first, in its own subprocess = genuinely fresh JVM
     # (stopping a SparkContext does not reset the gateway JVM's codegen
@@ -279,6 +323,7 @@ def main():
         },
         "excluded": EXCLUDED,
         "small_sf_ab": {"sf": 0.01, "queries": small_ab},
+        "host": _host_window(host_start, _host_sample()),
     }
     full_line = json.dumps(payload, separators=(",", ":"))
 
