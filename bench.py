@@ -126,10 +126,31 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def reclaim_between_keys(spark) -> None:
+    """Reclaim predecessors' localCheckpoint blocks BEFORE a key's
+    timing starts: ContextCleaner frees a block only after the py4j
+    proxy is gone (Python gc) AND the JVM processes its weak refs
+    (JVM gc — whose periodic fallback is 30 min). Without both nudges
+    a 200-key warm session accumulates blocks until late keys measure
+    storage-memory GC pressure instead of their own plan (r12: a
+    quiet-pair run grew checkpoint-heavy keys WITHIN the key —
+    filter_funnel sampled [4.8, 9.6, 21.1] while the calmer run's heap
+    held 2.3s). Runs once per KEY, not per sample: a full GC unloads
+    generated codegen classes, so per-sample collection taxed every
+    repeat sample ~0.3-1s of re-JIT (measured +23% on the whole
+    window) — per-key keeps the steady-state samples warm while still
+    bounding accumulation to one key's own blocks."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
+
 def sample_one(spark, name: str, sf_dir: str):
     """2-or-3-sample protocol: returns (value, samples, spread).
     spread = (max-min)/min over the first two samples — recorded so
     the payload shows how trustworthy each number is."""
+    reclaim_between_keys(spark)
     s = [run_one(spark, name, sf_dir), run_one(spark, name, sf_dir)]
     spread = (max(s) - min(s)) / max(min(s), 1e-9)
     if spread > SPREAD_GATE:
@@ -294,6 +315,7 @@ def main():
     small_ab: dict[str, float] = {}
     if os.path.isdir(SMALL_SF_DIR):
         for name in SMALL_SF_AB:
+            reclaim_between_keys(spark)
             small_ab[name] = round(run_one(spark, name, SMALL_SF_DIR), 3)
 
     total = round(sum(timings.values()), 3)
