@@ -243,6 +243,33 @@ class HeavyHittersConf:
 
 
 @dataclass
+class AnnIndexConf:
+    """``pipeline.ann_index:`` — maintain the disk-resident
+    incremental IVF ANN index from the stream (streaming/ann_index.py):
+    the FIRST batch trains the coarse quantizer and seeds the index
+    (or an existing index at ``index_dir`` is loaded and appended to);
+    every later micro-batch appends assign-only with the per-batch
+    cell-occupancy PSI retrain flag. With ``audit_queries_path`` set,
+    every ``audit_every``-th batch also runs ``recall_audit`` — the
+    brute-force-graded search-quality row — and logs it (WARNING below
+    ``audit_min_recall``, INFO otherwise); rows land in ``audit_dir``
+    as batch-keyed parquet when given (replay-idempotent overwrite,
+    the family's exactly-once discipline)."""
+
+    index_dir: str
+    id_column: str = "vec_id"
+    embedding_column: str = "embedding"
+    k: int = 16
+    nprobe: int = 4
+    audit_queries_path: Optional[str] = None
+    audit_queries_format: str = "parquet"
+    audit_every: int = 0  # 0 = never audit
+    audit_topk: int = 5
+    audit_min_recall: float = 0.5
+    audit_dir: Optional[str] = None
+
+
+@dataclass
 class RollupConf:
     """``pipeline.rollup:`` — maintained per-key aggregate table
     across micro-batches (streaming/rollup.py): mergeable partials to
@@ -269,6 +296,7 @@ class PipelineConf:
     drift_monitor: Optional[DriftMonitorConf] = None
     heavy_hitters: Optional[HeavyHittersConf] = None
     rollup: Optional[RollupConf] = None
+    ann_index: Optional[AnnIndexConf] = None
 
 
 @dataclass
@@ -418,6 +446,11 @@ def new_from_dict(conf: dict) -> Conf:
             ),
             rollup=(
                 RollupConf(**p["rollup"]) if p.get("rollup") else None
+            ),
+            ann_index=(
+                AnnIndexConf(**p["ann_index"])
+                if p.get("ann_index")
+                else None
             ),
         ),
     )

@@ -62,6 +62,7 @@ class Pipeline:
         drift_monitor: Optional[cfg.DriftMonitorConf] = None,
         heavy_hitters: Optional[cfg.HeavyHittersConf] = None,
         rollup: Optional[cfg.RollupConf] = None,
+        ann_index: Optional[cfg.AnnIndexConf] = None,
     ):
         self.spark = spark
         self.source = source
@@ -151,6 +152,11 @@ class Pipeline:
                 keys=rollup.keys,
                 aggs=rollup.aggs,
             )
+        # ANN index leg (config pipeline.ann_index): first batch
+        # builds (or an existing index loads), later batches append
+        # assign-only; optional scheduled recall audit.
+        self._ann_conf = ann_index
+        self._ann = None
 
     def _apply_dedupe(self, df: DataFrame, streaming: bool) -> DataFrame:
         """Source-side exactly-once per key (config ``pipeline.dedupe``,
@@ -221,7 +227,96 @@ class Pipeline:
             self._guarded_leg(
                 "batch", "rollup", lambda: self._rollup.process_batch(df, 0)
             )
+        if self._ann_conf is not None:
+            self._guarded_leg(
+                "batch", "ann_index", lambda: self._ann_index_step(df, 0)
+            )
         return result
+
+    def _ann_index_step(self, df: DataFrame, batch_id: int) -> None:
+        """One micro-batch through the incremental IVF index
+        (streaming/ann_index.py): batch 0 with no index on disk TRAINS
+        and seeds it (the build corpus is that batch); an existing
+        index is loaded once and appended to assign-only. The PSI
+        retrain flag logs at WARNING; the optional scheduled recall
+        audit runs every ``audit_every`` batches."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from sql_flow_spark.streaming.ann_index import IncrementalIVF
+
+        c = self._ann_conf
+        vecs = df.select(
+            F.col(c.id_column), F.col(c.embedding_column)
+        )
+        if self._ann is None:
+            if os.path.exists(os.path.join(c.index_dir, "_meta.json")):
+                self._ann = IncrementalIVF.load(self.spark, c.index_dir)
+            else:
+                self._ann = IncrementalIVF.build(
+                    self.spark,
+                    c.index_dir,
+                    vecs,
+                    id_col=c.id_column,
+                    emb_col=c.embedding_column,
+                    k=c.k,
+                    nprobe=c.nprobe,
+                )
+                logger.info(
+                    "ann_index: trained + seeded %s from batch %s",
+                    c.index_dir, batch_id,
+                )
+                self._maybe_ann_audit(batch_id)
+                return
+        verdict = self._ann.append_batch(vecs, batch_id)
+        if verdict.get("needs_retrain"):
+            logger.warning(
+                "ann_index: batch %s occupancy PSI %.3f exceeds the act "
+                "level — schedule a retrain (frozen centroids no longer "
+                "fit the ingest distribution)",
+                batch_id, verdict.get("psi", float("nan")),
+            )
+        self._maybe_ann_audit(batch_id)
+
+    def _maybe_ann_audit(self, batch_id: int) -> None:
+        c = self._ann_conf
+        if not c.audit_every or not c.audit_queries_path:
+            return
+        if batch_id % c.audit_every != 0:
+            return
+        import os
+
+        from pyspark.sql import functions as F
+
+        q = (
+            self.spark.read.format(c.audit_queries_format)
+            .load(c.audit_queries_path)
+            .select(F.col(c.id_column), F.col(c.embedding_column))
+        )
+        row = self._ann.recall_audit(q, topk=c.audit_topk).collect()[0]
+        log = (
+            logger.warning
+            if row.macro_recall < c.audit_min_recall
+            else logger.info
+        )
+        log(
+            "ann_index recall audit at batch %s: macro %.3f, min %.3f, "
+            "%s/%s queries perfect (floor %.3f)",
+            batch_id, row.macro_recall, row.min_recall,
+            row.perfect_queries, row.n_queries, c.audit_min_recall,
+        )
+        if c.audit_dir:
+            self.spark.createDataFrame(
+                [(
+                    batch_id, row.n_queries, row.macro_recall,
+                    row.min_recall, row.perfect_queries,
+                )],
+                "batch_id long, n_queries long, macro_recall double, "
+                "min_recall double, perfect_queries long",
+            ).write.mode("overwrite").parquet(
+                os.path.join(c.audit_dir, f"b={batch_id}")
+            )
 
     def _report_heavy_hitters(self, df: DataFrame, batch_id: int) -> None:
         result = self._heavy_hitters.fold_batch(df, batch_id)
@@ -357,6 +452,11 @@ class Pipeline:
                 self._guarded_leg(
                     ctx, "rollup",
                     lambda: self._rollup.process_batch(batch_df, batch_id),
+                )
+            if self._ann_conf is not None:
+                self._guarded_leg(
+                    ctx, "ann_index",
+                    lambda: self._ann_index_step(batch_df, batch_id),
                 )
         finally:
             if stateful:
@@ -497,6 +597,7 @@ def new_pipeline_from_conf(
         drift_monitor=p.drift_monitor,
         heavy_hitters=p.heavy_hitters,
         rollup=p.rollup,
+        ann_index=p.ann_index,
     )
 
 

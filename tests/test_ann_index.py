@@ -237,3 +237,129 @@ def test_occupancy_psi_zero_when_identical():
     assert occupancy_psi(ref, ref, 4) == 0.0
     assert occupancy_psi({0: 100}, ref, 4) > RETRAIN_PSI
     assert math.isfinite(occupancy_psi({3: 10}, {0: 10}, 4))
+
+
+def _write_pq(path, rows, mtime):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float64())
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_pipeline_ann_index_leg_e2e(spark, tmp_path):
+    """Config-surface wiring (pipeline.ann_index): the first
+    micro-batch trains + seeds the index, later batches append
+    assign-only, and the scheduled recall audit writes its batch-keyed
+    parquet row every audit_every-th batch — all driven by the same
+    foreachBatch read the handler leg uses."""
+    from sql_flow_spark import config as cfg
+    from sql_flow_spark.handlers import InferredBatch
+    from sql_flow_spark.pipeline import Pipeline
+    from sql_flow_spark.sinks import MemorySink
+    from sql_flow_spark.sources import FileSource
+    from sql_flow_spark.streaming.ann_index import IncrementalIVF
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # batch 0: the three-cluster corpus (trains + seeds); batches 1-2:
+    # in-distribution arrivals on clusters 0 and 1
+    corpus = [
+        (vid, v)
+        for ci, c in enumerate(
+            (
+                [1.0] + [0.0] * (DIM - 1),
+                [0.0, 1.0] + [0.0] * (DIM - 2),
+                [0.0, 0.0, 1.0] + [0.0] * (DIM - 3),
+            )
+        )
+        for vid, v in zip(
+            range(ci * 100, ci * 100 + 40), _vecs(40, c, 11 + ci)
+        )
+    ]
+    _write_pq(str(in_dir / "b0.parquet"), corpus, 1_700_000_000)
+    _write_pq(
+        str(in_dir / "b1.parquet"),
+        [(1000 + i, v) for i, v in enumerate(_vecs(25, [1.0] + [0.0] * 7, 31))],
+        1_700_000_100,
+    )
+    _write_pq(
+        str(in_dir / "b2.parquet"),
+        [(2000 + i, v) for i, v in enumerate(_vecs(25, [0.0, 1.0] + [0.0] * 6, 32))],
+        1_700_000_200,
+    )
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    _write_pq(
+        str(qdir / "q.parquet"),
+        [
+            (9_000_000, [1.0] + [0.0] * (DIM - 1)),
+            (9_000_001, [0.0, 1.0] + [0.0] * (DIM - 2)),
+        ],
+        1_700_000_000,
+    )
+
+    pipe = Pipeline(
+        spark=spark,
+        source=FileSource(
+            str(in_dir), format="parquet", max_files_per_trigger=1
+        ),
+        handler=InferredBatch("SELECT vec_id FROM batch"),
+        sink=MemorySink(),
+        ann_index=cfg.AnnIndexConf(
+            index_dir=str(tmp_path / "ivf"),
+            k=4,
+            nprobe=2,
+            audit_queries_path=str(qdir),
+            audit_every=1,
+            audit_topk=5,
+            audit_dir=str(tmp_path / "audits"),
+        ),
+    )
+    q = pipe.start(available_now=True, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    # index: seeded from batch 0, grown by batches 1-2
+    idx = IncrementalIVF.load(spark, str(tmp_path / "ivf"))
+    hits = idx.search(
+        spark.createDataFrame(
+            [(9_000_000, [1.0] + [0.0] * (DIM - 1))],
+            "vec_id long, embedding array<double>",
+        ),
+        topk=10,
+    ).collect()
+    assert any(1000 <= r.nid < 1100 for r in hits), "appended searchable"
+
+    # audit rows: one per batch (audit_every=1), recall perfect on the
+    # separated clusters
+    audits = spark.read.parquet(str(tmp_path / "audits")).collect()
+    got = {r.batch_id: r for r in audits}
+    assert set(got) == {0, 1, 2}
+    for r in audits:
+        assert r.n_queries == 2
+        assert 0.0 <= r.macro_recall <= 1.0
+    assert got[2].macro_recall == 1.0, (
+        "in-cluster queries on separated clusters must audit perfect"
+    )
+
+
+def test_ann_index_example_config_parses():
+    from sql_flow_spark import config as cfg
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "streaming.ann.index.yml"
+    )
+    conf = cfg.new_from_path(path)
+    ai = conf.pipeline.ann_index
+    assert ai is not None
+    assert ai.index_dir and ai.audit_queries_path and ai.audit_dir
+    assert ai.audit_every == 5 and ai.k == 16 and ai.nprobe == 4
+    assert cfg.validate_dict(cfg.render_config(path)) == []
