@@ -261,6 +261,11 @@ class AnnIndexConf:
     embedding_column: str = "embedding"
     k: int = 16
     nprobe: int = 4
+    # pq_k > 0: build also trains residual-PQ codebooks (faiss IVFADC),
+    # rows carry a codes column, and the scheduled audit grades the ADC
+    # serving path (search_pq) instead of raw-vector search
+    pq_k: int = 0
+    pq_sub_dim: int = 8
     audit_queries_path: Optional[str] = None
     audit_queries_format: str = "parquet"
     audit_every: int = 0  # 0 = never audit

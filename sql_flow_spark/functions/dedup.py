@@ -1085,7 +1085,8 @@ def dedup_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup method eval panel — ann_recall_report's sibling for
     the text-dedup family: per candidate-generation method (MinHash
     band LSH, SimHash hamming<=3 bands) its pair-level precision and
-    recall against EXACT n-gram Jaccard >= MINHASH_TAU ground truth.
+    recall against EXACT n-gram Jaccard >= NGRAM_JACCARD_TAU ground
+    truth (the blocked verifier's own tau).
     This is the panel a dedup owner reads before retuning
     MINHASH_PERMS/LSH_BANDS or swapping methods: recall prices missed
     duplicates, precision prices the exact-verify work wasted on false
@@ -1118,8 +1119,14 @@ def dedup_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join per method; output is 2 rows."""
     t = load_tables(spark, sf_dir, ("documents",))
     d = t["documents"]
+    # truth tau = the ngram_jaccard verifier's threshold, NOT
+    # MINHASH_TAU: the two constants are equal today but independently
+    # tunable, and retuning the LSH verify threshold must not silently
+    # move this panel's ground truth (ADVICE r12)
     truth = materialize_once(
-        exact_jaccard_pairs(d, None, MINHASH_TAU).select("doc_a", "doc_b")
+        exact_jaccard_pairs(d, None, NGRAM_JACCARD_TAU).select(
+            "doc_a", "doc_b"
+        )
     )
     src_a = d.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")

@@ -437,6 +437,50 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(queries_df, TOP_K)
 
 
+@query("ann_ivfpq_incremental")  # approximate + disk index -> rows-only
+def ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF-PQ serving path: ann_ivfpq_topk's residual-PQ
+    ADC quantizer wired into the incremental disk index
+    (streaming/ann_index.py). build(pq_k=16) trains the coarse
+    quantizer AND per-subspace residual codebooks on half the corpus,
+    every written row carries its 8 codeword ids, the other half is
+    appended WITHOUT retraining (assign + encode — one Arrow matmul
+    pass, no shuffle), and queries are served by ``search_pq``: ADC
+    scoring over the partition-pruned, COLUMN-PRUNED candidate scan
+    (codes read, raw embeddings untouched), exact-cosine rerank on the
+    top-50 shortlist only.
+
+    This closes the 100 TB ANN story: per-batch ingest is O(batch)
+    map-only; the serving scan reads 4 bytes of codes per candidate
+    instead of 512 bytes of float64 (the faiss IVFADC memory-bandwidth
+    economics on an object-store layout); retraining stays a
+    monitored, deliberate event (occupancy PSI). Recall vs brute force
+    and determinism are pinned in tests/test_approx_quality.py; the
+    restart/replay/compaction contracts in tests/test_ann_index.py."""
+    import hashlib
+    import tempfile
+
+    from sql_flow_spark.streaming.ann_index import IncrementalIVF
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = t["embeddings"]
+    corpus = e.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 2 == 0)
+    )
+    arrivals = e.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 2 == 1)
+    )
+    queries_df = e.where(F.col("vec_id") < N_QUERIES)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"sfs-ann-ivfpq-{tag}")
+    idx = IncrementalIVF.build(
+        spark, index_dir, corpus, k=IVF_K, nprobe=IVF_NPROBE + 2,
+        pq_k=IVFPQ_PQ_K, pq_sub_dim=PQ_SUB_DIM,
+    )
+    idx.append_batch(arrivals, 0)
+    return idx.search_pq(queries_df, TOP_K, shortlist=IVFPQ_SHORTLIST)
+
+
 @query("ann_recall_report")  # grades seeded approx methods -> rows-only
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN quality-eval panel: per approximate method (multi-table
@@ -1159,6 +1203,7 @@ def _pq_train(
     seed_lo: int = 0,
     k: int = PQ_K,
     iters: int = PQ_ITERS,
+    seed_ids: "list[int] | None" = None,
 ):
     """Distributed per-subspace Lloyd training over an exploded
     (vec_id, dim, sub, val) fact: PQ_ITERS iterations of exact
@@ -1177,12 +1222,24 @@ def _pq_train(
     argmin window reuses that partitioning and the update shuffles
     map-side partials onto the k*64-key codebook space; codebooks
     localCheckpoint per iteration so plans stay one iteration deep."""
-    cent = e.filter(
-        (F.col("vec_id") >= seed_lo) & (F.col("vec_id") < seed_lo + k)
-    ).select(
-        (F.col("vec_id") - seed_lo).cast("int").alias("cluster"), "dim",
-        F.col("val").alias("c"),
-    )
+    if seed_ids is not None:
+        # arbitrary (non-contiguous) seed vectors — the disk-index
+        # path, where ids carry no [lo, lo+k) contract; cluster id =
+        # position in the caller's (sorted, deterministic) list
+        m = e.sparkSession.createDataFrame(
+            [(int(v), i) for i, v in enumerate(seed_ids)],
+            "vec_id long, cluster int",
+        )
+        cent = e.join(F.broadcast(m), "vec_id").select(
+            "cluster", "dim", F.col("val").alias("c")
+        )
+    else:
+        cent = e.filter(
+            (F.col("vec_id") >= seed_lo) & (F.col("vec_id") < seed_lo + k)
+        ).select(
+            (F.col("vec_id") - seed_lo).cast("int").alias("cluster"), "dim",
+            F.col("val").alias("c"),
+        )
     assign = None
     wv = Window.partitionBy("vec_id", "sub").orderBy("dist", "cluster")
     for _ in range(iters):

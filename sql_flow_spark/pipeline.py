@@ -253,6 +253,44 @@ class Pipeline:
         if self._ann is None:
             if os.path.exists(os.path.join(c.index_dir, "_meta.json")):
                 self._ann = IncrementalIVF.load(self.spark, c.index_dir)
+                # the saved meta wins for data-layout fields, but a
+                # column-name mismatch would select one set of names
+                # and read another — fail fast with the real cause
+                # instead of an opaque append-time resolution error;
+                # nprobe is a search-time knob, so the LIVE config
+                # applies (ADVICE r12)
+                if (self._ann.id_col, self._ann.emb_col) != (
+                    c.id_column, c.embedding_column
+                ):
+                    raise ValueError(
+                        f"ann_index at {c.index_dir} was built with "
+                        f"columns ({self._ann.id_col}, "
+                        f"{self._ann.emb_col}) but pipeline.ann_index "
+                        f"configures ({c.id_column}, "
+                        f"{c.embedding_column}); point index_dir at a "
+                        "fresh directory or fix the column config"
+                    )
+                if (c.pq_k > 0) != self._ann.pq:
+                    logger.warning(
+                        "ann_index: config pq_k=%s but the loaded index "
+                        "was built %s PQ codes — serving follows the "
+                        "index (PQ is fixed at build time; retrain to "
+                        "change it)",
+                        c.pq_k, "with" if self._ann.pq else "without",
+                    )
+                if self._ann.k != c.k:
+                    logger.warning(
+                        "ann_index: config k=%s ignored — the loaded "
+                        "index was trained with k=%s (k is fixed at "
+                        "build time; retrain to change it)",
+                        c.k, self._ann.k,
+                    )
+                if self._ann.nprobe != c.nprobe:
+                    logger.info(
+                        "ann_index: applying config nprobe=%s over the "
+                        "saved %s", c.nprobe, self._ann.nprobe,
+                    )
+                    self._ann.nprobe = c.nprobe
             else:
                 self._ann = IncrementalIVF.build(
                     self.spark,
@@ -262,6 +300,8 @@ class Pipeline:
                     emb_col=c.embedding_column,
                     k=c.k,
                     nprobe=c.nprobe,
+                    pq_k=c.pq_k,
+                    pq_sub_dim=c.pq_sub_dim,
                 )
                 logger.info(
                     "ann_index: trained + seeded %s from batch %s",
@@ -294,7 +334,21 @@ class Pipeline:
             .load(c.audit_queries_path)
             .select(F.col(c.id_column), F.col(c.embedding_column))
         )
-        row = self._ann.recall_audit(q, topk=c.audit_topk).collect()[0]
+        # with PQ enabled the audit grades the path actually serving:
+        # ADC + shortlist rerank, not raw-vector search
+        row = self._ann.recall_audit(
+            q, topk=c.audit_topk, pq=self._ann.pq
+        ).collect()[0]
+        if row.n_queries == 0:
+            # bad path/glob or everything filtered: macro/min_recall
+            # are NULL — a monitoring misconfiguration must not crash
+            # the leg (ADVICE r12)
+            logger.warning(
+                "ann_index recall audit at batch %s: query set %s "
+                "produced 0 queries — audit skipped",
+                batch_id, c.audit_queries_path,
+            )
+            return
         log = (
             logger.warning
             if row.macro_recall < c.audit_min_recall

@@ -44,6 +44,8 @@ import math
 import os
 from typing import Callable, Optional
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -52,6 +54,7 @@ from sql_flow_spark.functions.similarity import (
     dot_dec,
     ivf_assign,
     ivf_centroids,
+    safe_cos,
     sq_norm_dec,
 )
 from sql_flow_spark.streaming.compaction import (
@@ -105,6 +108,8 @@ class IncrementalIVF:
         id_col: str = "vec_id",
         emb_col: str = "embedding",
         nprobe: int = 4,
+        pq_sub_dim: int = 8,
+        pq_codebook=None,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -113,11 +118,20 @@ class IncrementalIVF:
         self.id_col = id_col
         self.emb_col = emb_col
         self.nprobe = nprobe
+        self.pq_sub_dim = pq_sub_dim
+        # (n_sub, pq_k, pq_sub_dim) ndarray or None (PQ off). NaN rows
+        # mark codewords that lost every member during training — the
+        # encoder never selects them, the LUT zeroes them.
+        self.pq_codebook = pq_codebook
         self._mc = MarkerCommit(index_dir, FOLD_SLOTS)
 
     @property
     def k(self) -> int:
         return len(self.centroids)
+
+    @property
+    def pq(self) -> bool:
+        return self.pq_codebook is not None
 
     # ------------------------------------------------------ lifecycle
 
@@ -131,19 +145,86 @@ class IncrementalIVF:
         emb_col: str = "embedding",
         k: int = 16,
         nprobe: int = 4,
+        pq_k: int = 0,
+        pq_sub_dim: int = 8,
     ) -> "IncrementalIVF":
         """Train the coarse quantizer on the corpus (bounded sample —
         ivf_centroids' contract), assign + write the corpus as the
-        seed partition, freeze the occupancy profile."""
+        seed partition, freeze the occupancy profile. With ``pq_k`` > 0
+        the build also trains residual-PQ codebooks (faiss IVFADC —
+        ann_ivfpq_topk's quantizer pointed at the disk index): every
+        written row then carries a ``codes`` column (one codeword id
+        per ``pq_sub_dim``-wide subspace of the vector's residual to
+        its cell centroid), and ``search_pq`` serves ADC-shortlisted
+        queries reading those codes instead of raw vectors."""
         cent = ivf_centroids(corpus, emb_col=emb_col, id_col=id_col, k=k)
         idx = cls(
             spark, index_dir, cent, {}, id_col=id_col,
-            emb_col=emb_col, nprobe=nprobe,
+            emb_col=emb_col, nprobe=nprobe, pq_sub_dim=pq_sub_dim,
         )
+        if pq_k > 0:
+            idx.pq_codebook = idx._train_pq(corpus, pq_k)
         occ = idx._write_batch(corpus, SEED_BATCH)
         idx.ref_occupancy = occ
         idx._save_meta()
         return idx
+
+    def _train_pq(self, corpus: DataFrame, pq_k: int):
+        """Train per-subspace codebooks on the CELL RESIDUALS of the
+        build corpus (x − c_cell — residuals are small, so codewords
+        describe within-cell structure; the flat-PQ variant measured
+        recall 0.075 in ann_ivfpq_topk's A/B). Training is
+        functions/similarity._pq_train's pinned distributed Lloyd
+        trajectory; seeds are the pq_k smallest vec_ids (deterministic,
+        id-contract-free). Returns the (n_sub, pq_k, sub_dim) codebook;
+        codewords that lost every member stay NaN (never encoded to,
+        zeroed in the LUT)."""
+        import numpy as np
+
+        from sql_flow_spark.functions.similarity import PQ_ITERS, _pq_train
+
+        dim = len(self.centroids[0])
+        sd = self.pq_sub_dim
+        if dim % sd:
+            raise ValueError(
+                f"embedding dim {dim} is not divisible by pq_sub_dim {sd}"
+            )
+        n_sub = dim // sd
+        cent_df = self.spark.createDataFrame(
+            [
+                (int(c), int(d), float(v))
+                for c, row in enumerate(self.centroids)
+                for d, v in enumerate(row)
+            ],
+            "cell int, dim int, cval double",
+        )
+        assigned = self._assigned_base(corpus)
+        fact = (
+            assigned.select(
+                "vec_id", "cell",
+                F.posexplode("embedding").alias("dim", "rawval"),
+            )
+            .join(F.broadcast(cent_df), ["cell", "dim"])
+            .select(
+                "vec_id",
+                F.col("dim").cast("int").alias("dim"),
+                F.floor(F.col("dim") / F.lit(sd)).cast("int").alias("sub"),
+                (F.col("rawval") - F.col("cval")).alias("val"),
+            )
+        )
+        seed_ids = [
+            r[0]
+            for r in assigned.select("vec_id")
+            .distinct()
+            .orderBy("vec_id")
+            .limit(pq_k)
+            .collect()
+        ]
+        _, cb = _pq_train(fact, k=pq_k, iters=PQ_ITERS, seed_ids=seed_ids)
+        book = np.full((n_sub, pq_k, sd), np.nan, dtype=np.float64)
+        for r in cb.collect():
+            book[r["dim"] // sd, r["cluster"], r["dim"] % sd] = r["c"]
+        return book
 
     @classmethod
     def load(cls, spark: SparkSession, index_dir: str) -> "IncrementalIVF":
@@ -151,6 +232,7 @@ class IncrementalIVF:
 
         with open(os.path.join(index_dir, _META)) as f:
             meta = json.load(f)
+        book = meta.get("pq_codebook")
         return cls(
             spark,
             index_dir,
@@ -159,10 +241,25 @@ class IncrementalIVF:
             id_col=meta["id_col"],
             emb_col=meta["emb_col"],
             nprobe=meta["nprobe"],
+            pq_sub_dim=meta.get("pq_sub_dim", 8),
+            pq_codebook=(
+                None if book is None
+                else np.array(book, dtype=np.float64)
+            ),
         )
 
     def _save_meta(self) -> None:
         os.makedirs(self.index_dir, exist_ok=True)
+        book = None
+        if self.pq_codebook is not None:
+            # JSON has no NaN — dead codewords serialize as null
+            book = [
+                [
+                    [None if v != v else float(v) for v in cw]
+                    for cw in sub
+                ]
+                for sub in self.pq_codebook
+            ]
         with open(os.path.join(self.index_dir, _META), "w") as f:
             json.dump(
                 {
@@ -171,19 +268,56 @@ class IncrementalIVF:
                     "id_col": self.id_col,
                     "emb_col": self.emb_col,
                     "nprobe": self.nprobe,
+                    "pq_sub_dim": self.pq_sub_dim,
+                    "pq_codebook": book,
                 },
                 f,
             )
 
     # -------------------------------------------------------- append
 
-    def _assigned(self, df: DataFrame) -> DataFrame:
+    def _assigned_base(self, df: DataFrame) -> DataFrame:
         return df.select(
             F.col(self.id_col).alias("vec_id"),
             F.col(self.emb_col).alias("embedding"),
             F.sqrt(sq_norm_dec(F.col(self.emb_col))).alias("nrm"),
             ivf_assign(F.col(self.emb_col), self.centroids, 1)[0].alias("cell"),
         )
+
+    def _assigned(self, df: DataFrame) -> DataFrame:
+        out = self._assigned_base(df)
+        if self.pq:
+            out = out.withColumn(
+                "codes", self._pq_encode(F.col("embedding"), F.col("cell"))
+            )
+        return out
+
+    def _pq_encode(self, emb, cell):
+        """Residual-PQ encoder: per row, residual = x − c_cell, then
+        per subspace the nearest codeword id (L2, ties → lowest id).
+        One Arrow-batched numpy pass per batch — centroids + codebook
+        ride the closure (k*dim + n_sub*pq_k*sub_dim doubles,
+        broadcast-sized); map-only, no shuffle: append stays O(batch)."""
+        from pyspark.sql.types import ArrayType, IntegerType
+
+        cent = self.centroids
+        book = self.pq_codebook  # (n_sub, pq_k, sd); NaN = dead codeword
+        sd = self.pq_sub_dim
+        n_sub = book.shape[0]
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def _enc(embs: pd.Series, cells: pd.Series) -> pd.Series:
+            mat = np.stack(embs.to_numpy()).astype(np.float64)
+            res = mat - cent[cells.to_numpy(dtype=np.int64)]
+            out = np.empty((len(mat), n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                seg = res[:, s * sd:(s + 1) * sd]  # (n, sd)
+                d = ((seg[:, None, :] - book[s][None, :, :]) ** 2).sum(-1)
+                d = np.where(np.isnan(d), np.inf, d)  # dead codewords
+                out[:, s] = np.argmin(d, axis=1)
+            return pd.Series(list(out))
+
+        return _enc(emb, cell)
 
     def _write_batch(self, df: DataFrame, batch_id: int) -> dict[int, int]:
         """Assign + write one batch to ``b=<id>`` (idempotent overwrite,
@@ -290,9 +424,12 @@ class IncrementalIVF:
         if wm is None and self._mc.has_dir(SEED_BATCH):
             cond = cond | (F.col("b") == SEED_BATCH)
         target = self._mc.inactive_slot(slot)
+        cols = ["vec_id", "embedding", "nrm", "cell"] + (
+            ["codes"] if self.pq else []
+        )
         (
             df.where(cond)
-            .select("vec_id", "embedding", "nrm", "cell")
+            .select(*cols)
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(f"{self.index_dir}/b={target}")
@@ -317,8 +454,11 @@ class IncrementalIVF:
             )
         return df
 
-    def recall_audit(self, queries: DataFrame, topk: int = 5) -> DataFrame:
-        """Scheduled search-quality audit: grade ``search()`` against a
+    def recall_audit(
+        self, queries: DataFrame, topk: int = 5, pq: bool = False
+    ) -> DataFrame:
+        """Scheduled search-quality audit: grade ``search()`` (or the
+        ADC serving path ``search_pq()`` when ``pq=True``) against a
         brute-force exact-cosine scan of the SAME indexed corpus and
         return one row — (n_queries, macro_recall, min_recall,
         perfect_queries), the ann_recall_report contract pointed at the
@@ -339,6 +479,10 @@ class IncrementalIVF:
             F.col(self.emb_col).alias("ea"),
             F.sqrt(sq_norm_dec(F.col(self.emb_col))).alias("qnrm"),
         )
+        # dropDuplicates mirrors search(): the index permits duplicate
+        # vec_ids (re-inserts, post-replay seed rows — compact()
+        # docstring), and a duplicated vector must not occupy multiple
+        # exact top-k slots or its hits double-count (ADVICE r12).
         scored = (
             self.index_df()
             .crossJoin(F.broadcast(q))
@@ -346,11 +490,13 @@ class IncrementalIVF:
             .select(
                 "qid",
                 F.col("vec_id").alias("nid"),
-                (
-                    dot_dec(F.col("ea"), F.col("embedding"))
-                    / (F.col("qnrm") * F.col("nrm"))
+                safe_cos(
+                    dot_dec(F.col("ea"), F.col("embedding")),
+                    F.col("qnrm"),
+                    F.col("nrm"),
                 ).alias("cosine"),
             )
+            .dropDuplicates(["qid", "nid"])
         )
         w = Window.partitionBy("qid").orderBy(
             F.col("cosine").desc(), F.col("nid")
@@ -361,9 +507,11 @@ class IncrementalIVF:
             .select("qid", "nid")
             .localCheckpoint(eager=True)
         )
+        approx = (
+            self.search_pq(queries, topk) if pq else self.search(queries, topk)
+        )
         hits = (
-            self.search(queries, topk)
-            .select("qid", "nid")
+            approx.select("qid", "nid")
             .join(F.broadcast(exact), ["qid", "nid"])
             .groupBy("qid")
             .agg(F.count("*").alias("hits"))
@@ -413,10 +561,141 @@ class IncrementalIVF:
         scored = cand.select(
             "qid",
             F.col("vec_id").alias("nid"),
-            (
-                dot_dec(F.col("ea"), F.col("embedding"))
-                / (F.col("qnrm") * F.col("nrm"))
+            safe_cos(
+                dot_dec(F.col("ea"), F.col("embedding")),
+                F.col("qnrm"),
+                F.col("nrm"),
             ).alias("cosine"),
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc(), F.col("nid")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= topk)
+            .select("qid", "nid", "cosine", "rank")
+        )
+
+    def search_pq(
+        self,
+        queries: DataFrame,
+        topk: int = 5,
+        shortlist: int | None = None,
+    ) -> DataFrame:
+        """The ADC serving path (faiss IVFADC — ann_ivfpq_topk's plan
+        pointed at the disk index): probe nprobe cells per query, rank
+        ALL candidates by asymmetric distance on the stored residual-PQ
+        ``codes`` (4 bits–1 byte per subspace read from the index, the
+        raw ``embedding`` column never deserialized — columnar pruning
+        makes the candidate scan read bytes-per-vector, the
+        memory-bandwidth win that serves billion-vector cells), then
+        exact-cosine rerank only the per-query ``shortlist`` (default
+        10*topk) survivors. Same output contract as ``search()``:
+        (qid, nid, cosine, rank).
+
+        Scale shape: the query batch is collected once (it is already
+        broadcast-sized by search()'s own contract) to build the
+        per-query LUTs — |Q| * (k + n_sub*pq_k) doubles riding the
+        encode closure; ADC scoring is a MAP over the partition-pruned,
+        column-pruned candidate scan (no join, no shuffle); the only
+        shuffles are the two per-qid top-k windows, over |cand| and
+        |Q|*shortlist rows. ADC ranks dot(q, c_cell + r̂)/|x| — true
+        norms ride the index rows, |q| is rank-neutral per query."""
+        if not self.pq:
+            raise ValueError(
+                f"index {self.index_dir} has no PQ codes — build with "
+                "pq_k > 0 (or use search())"
+            )
+        qrows = queries.select(
+            F.col(self.id_col).alias("qid"),
+            F.col(self.emb_col).alias("emb"),
+        ).collect()
+        if not qrows:
+            return self.search(queries, topk)  # empty in, empty out
+        short = shortlist if shortlist is not None else 10 * topk
+        cent = self.centroids  # (k, dim)
+        book = np.nan_to_num(self.pq_codebook)  # dead codewords -> 0
+        sd = self.pq_sub_dim
+        n_sub = book.shape[0]
+        # per-query ADC tables: cell_terms[qid][c] = q . c_cell,
+        # lut[qid][s, cw] = q_sub . codeword  (driver-side, tiny)
+        tables = {}
+        for r in qrows:
+            qv = np.asarray(r["emb"], dtype=np.float64)
+            lut = np.array(
+                [book[s] @ qv[s * sd:(s + 1) * sd] for s in range(n_sub)]
+            )
+            tables[int(r["qid"])] = (cent @ qv, lut)
+
+        @F.pandas_udf("double")
+        def _adc(qids: pd.Series, cells: pd.Series, codes: pd.Series) -> pd.Series:
+            qa = qids.to_numpy(dtype=np.int64)
+            ca = cells.to_numpy(dtype=np.int64)
+            cd = np.stack(codes.to_numpy()).astype(np.int64)
+            out = np.zeros(len(qa), dtype=np.float64)
+            subs = np.arange(n_sub)
+            for qid in np.unique(qa):
+                m = qa == qid
+                ct, lut = tables[int(qid)]
+                out[m] = ct[ca[m]] + lut[subs[None, :], cd[m]].sum(axis=1)
+            return pd.Series(out)
+
+        q = queries.select(
+            F.col(self.id_col).alias("qid"),
+            F.explode(
+                ivf_assign(F.col(self.emb_col), self.centroids, self.nprobe)
+            ).alias("qcell"),
+        )
+        # candidate scan: ids + codes only — the embedding column is
+        # pruned at the parquet reader, cells outside the probe set at
+        # the partition filter
+        cand = (
+            self.index_df()
+            .select("vec_id", "nrm", "cell", "codes")
+            .join(F.broadcast(q), F.col("cell") == F.col("qcell"))
+            .where(F.col("vec_id") != F.col("qid"))
+            .dropDuplicates(["qid", "vec_id"])
+        )
+        adc = cand.select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.when(F.col("nrm") == 0, F.lit(0.0))
+            .otherwise(
+                _adc(F.col("qid"), F.col("cell"), F.col("codes"))
+                / F.col("nrm")
+            )
+            .alias("adc_score"),
+        )
+        ws = Window.partitionBy("qid").orderBy(
+            F.col("adc_score").desc(), F.col("nid")
+        )
+        sl = (
+            adc.withColumn("srank", F.row_number().over(ws))
+            .where(F.col("srank") <= short)
+            .select("qid", "nid")
+        )
+        qv = queries.select(
+            F.col(self.id_col).alias("qid"),
+            F.col(self.emb_col).alias("ea"),
+            F.sqrt(sq_norm_dec(F.col(self.emb_col))).alias("qnrm"),
+        )
+        emb_side = (
+            self.index_df()
+            .select(F.col("vec_id").alias("nid"), "embedding", "nrm")
+            .dropDuplicates(["nid"])
+        )
+        scored = (
+            sl.join(emb_side, "nid")
+            .join(F.broadcast(qv), "qid")
+            .select(
+                "qid",
+                "nid",
+                safe_cos(
+                    dot_dec(F.col("ea"), F.col("embedding")),
+                    F.col("qnrm"),
+                    F.col("nrm"),
+                ).alias("cosine"),
+            )
         )
         w = Window.partitionBy("qid").orderBy(
             F.col("cosine").desc(), F.col("nid")

@@ -164,6 +164,53 @@ def test_recall_audit_matches_adhoc_and_covers_appends(spark, tmp_path):
     assert both.n_queries == 3
 
 
+def test_recall_audit_with_duplicate_ids_and_zero_norms(spark, tmp_path):
+    """Two ADVICE-r12 regressions in one index state: (a) a vec_id
+    re-inserted in a later batch is duplicated across b= partitions —
+    the audit's exact leg must dedup (qid, nid) like search() does, or
+    duplicates occupy multiple exact top-k slots AND each duplicate
+    row joins the single search hit, double-counting; on separated
+    clusters the audit must still read perfect. (b) a zero-norm
+    indexed vector (failed-embedding convention) must not abort the
+    audit under ANSI mode — safe_cos parks it at cosine 0."""
+    index_dir = str(tmp_path / "ivf")
+    idx = IncrementalIVF.build(spark, index_dir, _corpus_df(spark), k=4, nprobe=2)
+    # re-insert 20 cluster-0 vectors under a NEW batch id with the
+    # SAME vec_ids -> duplicated rows across b=-1 and b=0
+    dup = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_vecs(20, [1.0] + [0.0] * 7, 100))],
+        "vec_id long, embedding array<double>",
+    )
+    idx.append_batch(dup, 0)
+    # plus one zero vector (norm 0) in another batch
+    idx.append_batch(
+        spark.createDataFrame(
+            [(7777, [0.0] * DIM)], "vec_id long, embedding array<double>"
+        ),
+        1,
+    )
+    assert idx.index_df().count() == 120 + 20 + 1
+    q = spark.createDataFrame(
+        [
+            (9_000_000, [1.0] + [0.0] * (DIM - 1)),
+            (9_000_001, [0.0, 1.0] + [0.0] * (DIM - 2)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    row = idx.recall_audit(q, topk=5).collect()[0]
+    assert row.n_queries == 2
+    assert row.macro_recall == 1.0 and row.min_recall == 1.0
+    assert row.perfect_queries == 2
+    # a zero-norm QUERY must also run clean (cos 0 against everything
+    # -> it simply recalls whatever deterministic tie-break both legs
+    # agree on; the job must not abort)
+    qz = spark.createDataFrame(
+        [(9_000_009, [0.0] * DIM)], "vec_id long, embedding array<double>"
+    )
+    rz = idx.recall_audit(qz, topk=5).collect()[0]
+    assert rz.n_queries == 1 and 0.0 <= rz.macro_recall <= 1.0
+
+
 def test_append_replay_is_idempotent(spark, tmp_path):
     index_dir = str(tmp_path / "ivf")
     idx = IncrementalIVF.build(spark, index_dir, _corpus_df(spark), k=4, nprobe=2)
@@ -230,6 +277,104 @@ def test_streaming_append_e2e(spark, tmp_path):
     assert not any(v["needs_retrain"] for v in verdicts.values())
     total = idx.index_df().count()
     assert total == 120 + 54  # seed corpus + both streamed batches
+
+
+def test_pq_build_search_reload_replay_compact(spark, tmp_path):
+    """The residual-PQ serving path on the disk index, full lifecycle:
+    build(pq_k) stores a codes column and the codebook in _meta;
+    search_pq's ADC+rerank is perfect on separated clusters when the
+    shortlist covers the probed cells; reload reproduces results
+    bit-for-bit; append encodes codes for new vectors (replay
+    idempotent); compact preserves the codes column; the PQ-graded
+    recall_audit reads perfect on this fixture."""
+    index_dir = str(tmp_path / "ivf")
+    corpus = _corpus_df(spark)
+    idx = IncrementalIVF.build(
+        spark, index_dir, corpus, k=4, nprobe=2, pq_k=4, pq_sub_dim=4
+    )
+    assert idx.pq and idx.pq_codebook.shape == (2, 4, 4)
+    assert "codes" in idx.index_df().columns
+
+    q = spark.createDataFrame(
+        [
+            (9_000_000, [1.0] + [0.0] * (DIM - 1)),
+            (9_000_001, [0.0, 1.0] + [0.0] * (DIM - 2)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    hits = idx.search_pq(q, topk=5).collect()
+    assert len(hits) == 10
+    # default shortlist (50) covers the whole probed cell here, so the
+    # exact rerank makes the PQ path agree with plain IVF search
+    ivf_hits = idx.search(q, topk=5).collect()
+    assert sorted((r.qid, r.nid, r.rank) for r in hits) == sorted(
+        (r.qid, r.nid, r.rank) for r in ivf_hits
+    )
+    row = idx.recall_audit(q, topk=5, pq=True).collect()[0]
+    assert row.macro_recall == 1.0 and row.perfect_queries == 2
+
+    # pure-ADC ranking (shortlist == topk): within a tight cluster all
+    # vectors share codes (ties), but ADC MUST discriminate across
+    # cells — every survivor comes from the query's own cluster
+    adc_only = idx.search_pq(q, topk=5, shortlist=5).collect()
+    assert len(adc_only) == 10
+    for r in adc_only:
+        lo = 0 if r.qid == 9_000_000 else 40
+        assert lo <= r.nid < lo + 40, f"ADC leaked cross-cluster: {r}"
+
+    # reload: codebook round-trips through _meta.json, results identical
+    idx2 = IncrementalIVF.load(spark, index_dir)
+    assert idx2.pq and idx2.pq_codebook.shape == (2, 4, 4)
+    hits2 = idx2.search_pq(q, topk=5).collect()
+    assert sorted(map(tuple, hits2)) == sorted(map(tuple, hits))
+
+    # append: new vectors get encoded, replay stays idempotent
+    batch = spark.createDataFrame(
+        [(1000 + i, v) for i, v in enumerate(_vecs(20, [1.0] + [0.0] * 7, 7))],
+        "vec_id long, embedding array<double>",
+    )
+    idx.append_batch(batch, 0)
+    n1 = idx.index_df().count()
+    idx.append_batch(batch, 0)
+    assert idx.index_df().count() == n1 == 140
+    grown = idx.search_pq(q, topk=10).collect()
+    assert any(1000 <= r.nid < 1100 for r in grown), "appended searchable"
+
+    # zero-norm indexed vector: safe path, no abort; also makes batch 0
+    # foldable (compact never touches the NEWEST live batch)
+    idx.append_batch(
+        spark.createDataFrame(
+            [(7777, [0.0] * DIM)], "vec_id long, embedding array<double>"
+        ),
+        1,
+    )
+
+    # compact folds seed + batch 0 but keeps codes; PQ search still perfect
+    assert idx.compact(force=True) > 0
+    assert "codes" in idx.index_df().columns
+    row3 = idx.recall_audit(q, topk=5, pq=True).collect()[0]
+    assert row3.macro_recall == 1.0
+
+    # zero-norm query: safe path, no abort
+    qz = spark.createDataFrame(
+        [(9_000_009, [0.0] * DIM)], "vec_id long, embedding array<double>"
+    )
+    assert len(idx.search_pq(qz, topk=5).collect()) == 5
+
+
+def test_search_pq_requires_pq_index(spark, tmp_path):
+    import pytest
+
+    idx = IncrementalIVF.build(
+        spark, str(tmp_path / "ivf"), _corpus_df(spark), k=4, nprobe=2
+    )
+    assert not idx.pq
+    q = spark.createDataFrame(
+        [(9_000_000, [1.0] + [0.0] * (DIM - 1))],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="no PQ codes"):
+        idx.search_pq(q, topk=5)
 
 
 def test_occupancy_psi_zero_when_identical():
@@ -349,6 +494,133 @@ def test_pipeline_ann_index_leg_e2e(spark, tmp_path):
     assert got[2].macro_recall == 1.0, (
         "in-cluster queries on separated clusters must audit perfect"
     )
+
+
+def test_pipeline_ann_index_pq_leg_e2e(spark, tmp_path):
+    """pipeline.ann_index with pq_k: batch 0 trains coarse + PQ
+    codebooks, later batches append with codes, and the scheduled
+    audit grades the ADC serving path (search_pq) — perfect on
+    separated clusters with the default covering shortlist."""
+    from sql_flow_spark import config as cfg
+    from sql_flow_spark.handlers import InferredBatch
+    from sql_flow_spark.pipeline import Pipeline
+    from sql_flow_spark.sinks import MemorySink
+    from sql_flow_spark.sources import FileSource
+    from sql_flow_spark.streaming.ann_index import IncrementalIVF
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus = [
+        (vid, v)
+        for ci, c in enumerate(
+            (
+                [1.0] + [0.0] * (DIM - 1),
+                [0.0, 1.0] + [0.0] * (DIM - 2),
+                [0.0, 0.0, 1.0] + [0.0] * (DIM - 3),
+            )
+        )
+        for vid, v in zip(
+            range(ci * 100, ci * 100 + 40), _vecs(40, c, 61 + ci)
+        )
+    ]
+    _write_pq(str(in_dir / "b0.parquet"), corpus, 1_700_000_000)
+    _write_pq(
+        str(in_dir / "b1.parquet"),
+        [(1000 + i, v) for i, v in enumerate(_vecs(25, [1.0] + [0.0] * 7, 71))],
+        1_700_000_100,
+    )
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    _write_pq(
+        str(qdir / "q.parquet"),
+        [
+            (9_000_000, [1.0] + [0.0] * (DIM - 1)),
+            (9_000_001, [0.0, 1.0] + [0.0] * (DIM - 2)),
+        ],
+        1_700_000_000,
+    )
+    pipe = Pipeline(
+        spark=spark,
+        source=FileSource(
+            str(in_dir), format="parquet", max_files_per_trigger=1
+        ),
+        handler=InferredBatch("SELECT vec_id FROM batch"),
+        sink=MemorySink(),
+        ann_index=cfg.AnnIndexConf(
+            index_dir=str(tmp_path / "ivf"),
+            k=4,
+            nprobe=2,
+            pq_k=4,
+            pq_sub_dim=4,
+            audit_queries_path=str(qdir),
+            audit_every=1,
+            audit_topk=5,
+            audit_dir=str(tmp_path / "audits"),
+        ),
+    )
+    q = pipe.start(available_now=True, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    idx = IncrementalIVF.load(spark, str(tmp_path / "ivf"))
+    assert idx.pq and idx.pq_codebook.shape == (2, 4, 4)
+    assert "codes" in idx.index_df().columns
+    audits = spark.read.parquet(str(tmp_path / "audits")).collect()
+    got = {r.batch_id: r for r in audits}
+    assert set(got) == {0, 1}
+    assert got[0].macro_recall == 1.0, (
+        "PQ-graded audit must be perfect while the 10*topk shortlist "
+        "covers the probed cell (40 candidates at batch 0)"
+    )
+    # batch 1 grows the cluster-0 cell past the shortlist (65 > 50);
+    # identical within-cluster codes tie under ADC, so recall may dip —
+    # the audit MEASURES that, and must stay high on this geometry
+    assert got[1].macro_recall >= 0.8
+
+
+def test_pipeline_ann_load_path_honors_live_config(spark, tmp_path):
+    """ADVICE r12: the load path used to take every knob from
+    _meta.json and silently ignore the live config. Now (a) a column-
+    name mismatch fails fast with the real cause, (b) the config's
+    nprobe (a search-time knob) overrides the saved one, (c) a k
+    mismatch is ignored with a warning (k is fixed at build time)."""
+    import pytest
+
+    from sql_flow_spark import config as cfg
+    from sql_flow_spark.handlers import InferredBatch
+    from sql_flow_spark.pipeline import Pipeline
+    from sql_flow_spark.sinks import MemorySink
+    from sql_flow_spark.sources import MemorySource
+
+    index_dir = str(tmp_path / "ivf")
+    IncrementalIVF.build(spark, index_dir, _corpus_df(spark), k=4, nprobe=2)
+    batch = spark.createDataFrame(
+        [(1000 + i, v) for i, v in enumerate(_vecs(10, [1.0] + [0.0] * 7, 7))],
+        "vec_id long, embedding array<double>",
+    )
+
+    def _pipe(**ann_kw):
+        return Pipeline(
+            spark=spark,
+            source=MemorySource(),  # invoke(batch) bypasses the read
+            handler=InferredBatch("SELECT * FROM batch"),
+            sink=MemorySink(),
+            ann_index=cfg.AnnIndexConf(index_dir=index_dir, **ann_kw),
+        )
+
+    # (a) config+batch agree on doc_id but the SAVED index was built
+    # on vec_id -> fail fast naming both column sets (previously this
+    # surfaced only as an opaque append-time resolution error)
+    with pytest.raises(ValueError, match="doc_id"):
+        _pipe(id_column="doc_id").invoke(
+            batch.withColumnRenamed("vec_id", "doc_id")
+        )
+
+    # (b)+(c): nprobe applied from config, k mismatch tolerated
+    pipe = _pipe(k=8, nprobe=3)
+    pipe.invoke(batch)
+    assert pipe._ann is not None
+    assert pipe._ann.nprobe == 3
+    assert pipe._ann.k == 4  # build-time k wins
 
 
 def test_ann_index_example_config_parses():

@@ -64,6 +64,62 @@ def test_embedding_lsh_subset_of_exact_blocked(spark, sf_dir):
             assert r.cosine == exact[(r.vec_a, r.vec_b)]
 
 
+def test_embedding_lsh_recalls_exact_pairs(spark, sf_dir):
+    """Recall floor for the LSH-blocked near-dup path (r13 staleness
+    sweep: this key previously had soundness-only pins): every pair
+    the exact label-blocked variant emits at EMB_DUP_TAU must also be
+    recalled by the sign-LSH candidate generation — near-dup
+    embeddings agree on most hyperplane signs, so an 8-table x 4-bit
+    layout band-matches them (recall 1.0 measured at sf0.001)."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["dedup_embedding"](spark, sf_dir).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["dedup_embedding_lsh"](spark, sf_dir).collect()
+    }
+    assert exact, "fixture must plant at least one near-dup pair"
+    assert exact <= got, f"LSH missed exact pairs: {sorted(exact - got)[:5]}"
+
+
+def test_dedup_clusters_lsh_coarsens_blocked_clusters(spark, sf_dir):
+    """The duplicate_edges coarsening contract, pinned (r13 staleness
+    sweep: the production LSH resolver previously had no semantic
+    test): the LSH edge set verifies candidates at the SAME tau as the
+    blocked twin but searches GLOBALLY (cross-source) — with MinHash
+    candidate recall total on this corpus (pinned by the eval panel),
+    LSH edges are a superset of blocked edges, so LSH families may
+    only MERGE blocked families, never split them: all members of any
+    blocked cluster share one LSH cluster. Plus the keeper invariants
+    both resolvers guarantee."""
+    blocked = QUERIES["dedup_clusters"](spark, sf_dir).collect()
+    lsh_rows = QUERIES["dedup_clusters_lsh"](spark, sf_dir).collect()
+    lsh = {r.doc_id: r.cluster_id for r in lsh_rows}
+    from collections import defaultdict
+
+    fams = defaultdict(list)
+    for r in blocked:
+        fams[r.cluster_id].append(r.doc_id)
+    multi = [m for m in fams.values() if len(m) > 1]
+    assert multi, "fixture must contain at least one duplicate family"
+    for members in multi:
+        cids = {lsh.get(d) for d in members}
+        assert len(cids) == 1 and None not in cids, (
+            f"blocked family {sorted(members)} split across LSH "
+            f"clusters {cids}"
+        )
+    # keeper invariants on the production resolver
+    for r in lsh_rows:
+        assert r.is_keeper == (r.doc_id == r.cluster_id)
+        assert r.cluster_id <= r.doc_id
+    by_cluster = defaultdict(list)
+    for r in lsh_rows:
+        by_cluster[r.cluster_id].append(r.doc_id)
+    for cid, mem in by_cluster.items():
+        assert cid == min(mem)
+
+
 def test_approx_distinct_close_to_exact(spark, sf_dir):
     exact = {
         r.event_type: r.n_users
@@ -156,6 +212,34 @@ def test_ann_ivf_incremental_tracks_full_ivf(spark, sf_dir):
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
 
 
+def test_ann_ivfpq_incremental_tracks_exact(spark, sf_dir):
+    """The disk-resident IVF-PQ serving path (build half with
+    pq_k=16, append half encode-only, serve via search_pq's ADC +
+    rerank): shared pairs carry the family's bit-identical cosine;
+    recall clears a floor between nothing and the one-shot paths'
+    (half-corpus quantizers price both the cell boundaries AND the
+    codebooks — measured 0.45 at sf0.001 vs ann_ivfpq_topk's 0.55 and
+    ann_ivf_incremental's 0.5); the whole pipeline (seeded IVF
+    trainer, pinned PQ trajectory, idempotent index writes, ADC)
+    reproduces exactly across runs."""
+    exact = {
+        (r.qid, r.nid): r.cosine
+        for r in QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    approx = QUERIES["ann_ivfpq_incremental"](spark, sf_dir).collect()
+    assert len(approx) > 0
+    hits = 0
+    for r in approx:
+        if (r.qid, r.nid) in exact:
+            assert r.cosine == exact[(r.qid, r.nid)]
+            hits += 1
+    assert hits / len(exact) > 0.35, (
+        f"disk IVF-PQ recall too low: {hits}/{len(exact)}"
+    )
+    again = QUERIES["ann_ivfpq_incremental"](spark, sf_dir).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
 def test_ann_recall_report_matches_adhoc_recall(spark, sf_dir):
     """The first-class recall panel must agree EXACTLY with recall
     recomputed ad hoc from the method outputs (same set comparison on
@@ -215,6 +299,39 @@ def test_dedup_eval_report_consistent_with_truth(spark, sf_dir):
         if r.n_truth:
             assert r.recall == r.n_hits / r.n_truth
     assert rows["minhash_lsh"].recall == 1.0
+
+
+def test_heaps_law_fit_positive_slope_on_open_vocab(spark, tmp_path):
+    """The synthetic corpus's closed word list saturates inside
+    tranche 0, so the registered key honestly reports the degenerate
+    beta=0 case at every SF — leaving the beta>0 slope path untested
+    (r12 verdict item 6). This fixture synthesizes an OPEN vocabulary:
+    each doc carries mostly common words plus ~20/sqrt(i) unique ones,
+    so cumulative vocabulary grows ~ sqrt(N) and a correct OLS on the
+    ln-ln points must recover 0 < beta < 1 with a strong fit."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    common = [f"common{c}" for c in range(50)]
+    rows = []
+    for i in range(200):
+        k = max(1, int(20 / math.sqrt(i + 1)))
+        toks = [common[(i * 7 + j) % 50] for j in range(100 - k)]
+        toks += [f"w{i}_{j}" for j in range(k)]
+        rows.append((i, " ".join(toks)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    row = QUERIES["heaps_law_fit"](spark, str(tmp_path)).collect()[0]
+    assert row.n_points == 10
+    assert 0.0 < row.heaps_beta < 1.0, row
+    assert row.r2 > 0.8, row
 
 
 def test_boilerplate_flag_fires_on_dup_families(spark, sf_dir):
