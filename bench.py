@@ -81,6 +81,13 @@ EXCLUDED: dict[str, str] = {
         "pipeline); exact stays oracle-green and benched at sf0.01 in "
         "small_sf_ab"
     ),
+    "ann_recall_report": (
+        "the 4-job eval panel (3 ANN searches + 1 brute-force exact "
+        "scan) — its three method legs are each benched individually "
+        "in the headline, so the panel's cost is audit overhead, not "
+        "an engine measurement; benched at sf0.01 in small_sf_ab "
+        "(r12 verdict item 4)"
+    ),
 }
 
 # Every registry key gets a bench number (r6 verdict item 3); sorted
@@ -107,6 +114,7 @@ SMALL_SF_AB = (
     "dedup_eval_report",
     "triangle_count",
     "triangle_count_sparse",
+    "ann_recall_report",
 )
 SMALL_SF_DIR = "/root/testdata/sf0.01"
 

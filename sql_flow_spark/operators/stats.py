@@ -1065,25 +1065,18 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KM_DAY_US = 86_400_000_000.0  # epoch-µs per day (float: both engines
-# do the identical IEEE division; day numbers ≪ 2^53 so floor is exact).
-# Used ONLY by the r10 diagnostic twins below — the production key now
-# derives days via pure integer date arithmetic (datediff), no floats.
-_KM_LN_SCALE = 1_000_000.0  # legacy 6dp ln fixed point (lnfp twin only)
 _KM_OUT_SCALE = 1_000_000.0  # 6dp rounding of the survival double
 
 
-def _km_risk(spark: SparkSession, sf_dir: str, datediff_days: bool):
+def _km_risk(spark: SparkSession, sf_dir: str):
     """Integer life-table for the repeat-purchase KM estimator: one
     row per distinct time-to-event value t with exact BIGINT columns
-    (t, d events, c censorings, n_risk at-risk count).
-
-    ``datediff_days`` selects the day derivation: True = pure integer
-    date arithmetic (datediff from the epoch date — zero floats, zero
-    timezone surface; the production path), False = the legacy
-    floor(epoch_us / 86.4e9) float division the r8/r9 contracts used
-    (kept verbatim so the r10 diagnostic twins reproduce the exact
-    historical integer pipeline the driver kept failing AROUND).
+    (t, d events, c censorings, n_risk at-risk count). Days derive
+    via pure integer date arithmetic (datediff from the epoch date —
+    zero floats, zero timezone surface). The r10 diagnostic twins
+    that preserved the legacy float-epoch/ln-fixed-point paths were
+    retired in r13 after their green r12 driver rows closed the
+    r8/r9 hash investigation (VERDICT r12 item 3).
 
     Scale shape: one shuffle onto o_custkey (bounded per-customer
     distinct-day sets), then everything runs on DISTINCT t values —
@@ -1091,14 +1084,9 @@ def _km_risk(spark: SparkSession, sf_dir: str, datediff_days: bool):
     so the unpartitioned cumulative window is over a calendar-sized
     table and cannot grow with data volume."""
     t = load_tables(spark, sf_dir, ("orders",))
-    if datediff_days:
-        day = F.datediff(
-            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
-        )
-    else:
-        day = F.floor(
-            F.unix_micros("o_orderdate").cast("double") / F.lit(_KM_DAY_US)
-        )
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+    )
     od = t["orders"].select("o_custkey", day.cast("long").alias("day"))
     cust = od.groupBy("o_custkey").agg(
         F.array_sort(F.collect_set("day")).alias("ds")
@@ -1131,7 +1119,7 @@ def _km_risk(spark: SparkSession, sf_dir: str, datediff_days: bool):
 
 def _km_core_sql(day_expr: str) -> str:
     """DuckDB CTE chain mirroring _km_risk (shared by the production
-    oracle and both diagnostic twins; only the day derivation varies)."""
+    oracle; the day derivation is a parameter)."""
     return f"""
     od AS (
       SELECT o_custkey, {day_expr} AS day
@@ -1167,12 +1155,6 @@ _KM_DAY_DATEDIFF = (
     "CAST(datediff('day', DATE '1970-01-01',"
     " CAST(o_orderdate AS DATE)) AS BIGINT)"
 )
-_KM_DAY_EPOCH = (
-    "CAST(floor(CAST(epoch_us(o_orderdate) AS DOUBLE)"
-    f" / {_KM_DAY_US}) AS BIGINT)"
-)
-
-
 @query(
     "kaplan_meier_retention",
     oracle=f"""
@@ -1223,10 +1205,9 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolling the identical expression sequence. Extinction (d = n)
     needs no special case: the factor is exactly 0.0 and the product
     stays 0.0. Output rounding floor(s·1e6+0.5)/1e6 uses IEEE ops
-    only on bit-identical inputs. The r10 diagnostic twins
-    km_retention_ints / km_retention_lnfp preserve the historical
-    epoch-float and ln-fixed-point paths so the driver run bisects
-    WHERE the old contract diverged.
+    only on bit-identical inputs. (The r10 diagnostic twins that
+    bisected the historical r8/r9 divergence were retired in r13
+    after landing green driver rows in r12.)
 
     Scale shape: see _km_risk — one custkey shuffle, then all later
     stages (including the grouped-map recurrence) operate on distinct
@@ -1236,7 +1217,7 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    risk = _km_risk(spark, sf_dir, datediff_days=True)
+    risk = _km_risk(spark, sf_dir)
 
     def _surv(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("t").reset_index(drop=True)
@@ -1267,108 +1248,6 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-
-@query(
-    "km_retention_ints",
-    oracle=f"""
-    WITH {_km_core_sql(_KM_DAY_EPOCH)}
-    SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored
-    FROM risk WHERE d > 0
-    """,
-)
-def km_retention_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R10 DIAGNOSTIC TWIN (a): the kaplan_meier_retention life table
-    with ONLY its integer columns, derived via the LEGACY
-    floor(epoch_us/86.4e9) day path the r8/r9 contracts used — zero
-    floats in the output, zero libm anywhere. kaplan_meier_retention
-    failed the driver hash deterministically in r8 AND r9 under two
-    different float contracts while matching rows+schema and passing
-    the local replica exactly; the r9 margin audit proved ulp-level
-    libm drift cannot flip either contract (tightest site 1.2e7 ulps
-    from a boundary). This twin splits the remaining search space: a
-    red driver row here means the divergence is in the integer
-    day/epoch arithmetic or the driver's hasher, not float math at
-    all; green localizes it to the float columns (see the lnfp twin).
-    Retire after one driver round (VERDICT r9 item 1)."""
-    risk = _km_risk(spark, sf_dir, datediff_days=False)
-    return risk.where(F.col("d") > 0).select(
-        F.col("t").alias("t_days"),
-        "n_risk",
-        F.col("d").alias("n_events"),
-        F.col("c").alias("n_censored"),
-    )
-
-
-@query(
-    "km_retention_lnfp",
-    oracle=f"""
-    WITH {_km_core_sql(_KM_DAY_EPOCH)},
-    lns AS (
-      SELECT t, d, c, n_risk,
-             CASE WHEN d < n_risk THEN
-               CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
-                          * {_KM_LN_SCALE} + 0.5) AS DECIMAL(30,0))
-             ELSE CAST(0 AS DECIMAL(30,0)) END AS lnterm,
-             CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS ext
-      FROM risk
-    )
-    SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored,
-           CASE WHEN MAX(ext) OVER (
-                  ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                  AND CURRENT ROW) = 1
-                THEN CAST(NULL AS BIGINT)
-                ELSE CAST(SUM(lnterm) OVER (
-                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND CURRENT ROW) AS BIGINT)
-           END AS ln_survival_fp
-    FROM lns
-    QUALIFY d > 0
-    """,
-)
-def km_retention_lnfp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R10 DIAGNOSTIC TWIN (b): the r9 contract's ln_survival_fp
-    column (6dp fixed-point ln(1−d/n) terms, exact DECIMAL cumulative
-    sum, NULL after extinction) over the legacy epoch day path —
-    exactly the column the r9 redesign bet on, minus the exp-derived
-    survival double. Read together with km_retention_ints: ints green
-    + this red pins the divergence on the driver environment's ln()
-    (coarser than 1e-11 absolute — far outside normal libm, e.g. a
-    fast-math vectorized build); ints green + this green pins it on
-    the exp()/survival column or NULL ordering semantics in the
-    hasher. Retire after one driver round (VERDICT r9 item 1)."""
-    risk = _km_risk(spark, sf_dir, datediff_days=False)
-    lnterm = F.when(
-        F.col("d") < F.col("n_risk"),
-        F.floor(
-            F.log(
-                F.lit(1.0)
-                - F.col("d").cast("double") / F.col("n_risk").cast("double")
-            )
-            * F.lit(_KM_LN_SCALE)
-            + F.lit(0.5)
-        ).cast("decimal(30,0)"),
-    ).otherwise(F.lit(0).cast("decimal(30,0)"))
-    ext = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
-    lns = risk.select(
-        "t", "d", "c", "n_risk", lnterm.alias("lnterm"), ext.alias("ext")
-    )
-    w_cum = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    extinct = F.max("ext").over(w_cum) == 1
-    ln_fp = F.when(extinct, F.lit(None).cast("long")).otherwise(
-        F.sum("lnterm").over(w_cum).cast("long")
-    )
-    return (
-        lns.select(
-            F.col("t").alias("t_days"),
-            "n_risk",
-            F.col("d").alias("n_events"),
-            F.col("c").alias("n_censored"),
-            ln_fp.alias("ln_survival_fp"),
-        )
-        .where(F.col("n_events") > 0)
-    )
 
 @query(
     "skyline_parts",
