@@ -26,7 +26,11 @@ from sql_flow_spark.functions.similarity import (
     sq_norm_dec,
 )
 from sql_flow_spark.functions.mat import materialize_once
-from sql_flow_spark.functions.textops import O_NORMALIZE, fingerprint
+from sql_flow_spark.functions.textops import (
+    O_NORMALIZE,
+    fingerprint,
+    normalize_text,
+)
 from sql_flow_spark.registry import query
 from sql_flow_spark.tables import load_tables
 
@@ -673,6 +677,107 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(is_dup).cast("double")
                 / F.count("*").cast("double")
             ).alias("dup_chunk_ratio"),
+        )
+    )
+
+
+# ------------------------------------------- paragraph-level exact dedup
+
+# Paragraph boundary: one or more blank lines. Lee et al. 2022's
+# finding is that duplication is SUBSTRING-level and clusters on
+# natural document units (boilerplate headers/footers, license blocks,
+# navigation chrome) — chunk_dedup's fixed 16-word grid straddles
+# those boundaries, so a repeated paragraph whose start is offset
+# inside the grid hashes differently per host document. Splitting on
+# the author's own paragraph marks aligns the fingerprint to the unit
+# that actually repeats.
+PARA_SPLIT = r"\n{2,}"
+
+
+@query(
+    "paragraph_dedup",
+    oracle=f"""
+    WITH paras AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\n{{2,}}')) AS p
+        FROM documents
+      ) WHERE trim(p) <> ''
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5({O_NORMALIZE.format(expr='p')}) AS pf,
+             CAST(len(regexp_split_to_array(trim(p), '\\s+')) AS BIGINT)
+               AS ptoks
+      FROM paras
+    ),
+    counts AS (SELECT pf, CAST(COUNT(*) AS BIGINT) AS c FROM fp GROUP BY pf)
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_paras,
+      CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+      CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS dup_para_ratio,
+      CAST(SUM(ptoks) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN c > 1 THEN ptoks ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(ptoks) AS DOUBLE) AS dup_token_mass
+    FROM fp JOIN counts USING (pf)
+    GROUP BY doc_id
+    """,
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact dedup — the boundary-aligned
+    sibling of chunk_dedup: split each document on blank lines, hash
+    each paragraph's NORMALIZED text (lower/strip-punct/collapse-ws —
+    the dedup_exact fingerprint applied per paragraph, so boilerplate
+    survives formatting jitter), and report per document how much of
+    its paragraph count AND token mass also occurs elsewhere in the
+    corpus (count > 1 globally, self-repeats included). dup_token_mass
+    is the number a curation owner prices removal by: a doc that is
+    90% repeated license text costs 90% of its tokens, however many
+    paragraphs that is. On the single-paragraph synthetic corpus every
+    doc honestly degenerates to one paragraph (= dedup_exact
+    semantics); the multi-paragraph split path is pinned by a planted
+    fixture in tests/test_functions.py.
+
+    Exactness: fingerprints and counts are exact; the two ratios
+    divide exact integers.
+
+    Scale shape: identical budget to chunk_dedup — a narrow split +
+    explode, ONE hash shuffle on the 128-bit paragraph key with
+    map-side partials, the join back reusing that exchange, and a
+    doc_id agg. No pairs, no similarity math: linear end to end.
+
+    Reference parity: none — the reference (sqlflow/sql.py) has no
+    dedup operators; this extends the brief's training-data ladder."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    paras = (
+        d.select(
+            "doc_id", F.explode(F.split("text", PARA_SPLIT)).alias("p")
+        )
+        .where(F.trim("p") != "")
+        .select(
+            "doc_id",
+            F.md5(normalize_text(F.col("p"))).alias("pf"),
+            F.size(F.split(F.trim("p"), r"\s+")).cast("long").alias("ptoks"),
+        )
+    )
+    counts = paras.groupBy("pf").agg(F.count("*").cast("long").alias("c"))
+    dup = F.when(F.col("c") > 1, F.lit(1)).otherwise(F.lit(0))
+    dup_toks = F.when(F.col("c") > 1, F.col("ptoks")).otherwise(F.lit(0))
+    return (
+        paras.join(counts, "pf")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(dup).cast("long").alias("n_dup_paras"),
+            (
+                F.sum(dup).cast("double") / F.count("*").cast("double")
+            ).alias("dup_para_ratio"),
+            F.sum("ptoks").cast("long").alias("n_tokens"),
+            (
+                F.sum(dup_toks).cast("double")
+                / F.sum("ptoks").cast("double")
+            ).alias("dup_token_mass"),
         )
     )
 

@@ -274,6 +274,55 @@ class IncrementalIVF:
                 f,
             )
 
+    def rebuild(
+        self,
+        new_index_dir: str,
+        k: int | None = None,
+        nprobe: int | None = None,
+        pq_k: int | None = None,
+        pq_sub_dim: int | None = None,
+    ) -> "IncrementalIVF":
+        """The RETRAIN verb — what ``needs_retrain`` schedules: train
+        fresh coarse (and, if enabled, residual-PQ) quantizers on the
+        CURRENT index contents and seed a NEW index directory with
+        them, so the occupancy profile re-freezes around the data that
+        actually arrived. Blue/green by design: an object-store index
+        cannot be retrained in place while readers probe it, so the
+        old directory stays live until the caller swaps serving to the
+        returned index and deletes the old path. Parameters default to
+        the current index's (pq_k from the stored codebook shape);
+        duplicate vec_ids (re-inserts) collapse to one row, making the
+        rebuild also the point where re-inserted vectors stop being
+        double-stored.
+
+        Scale shape: one pass over the old index (the corpus read),
+        then build()'s budget — a bounded-sample centroid fit, the
+        PQ Lloyd trajectory on the residual fact, and one partitioned
+        seed write."""
+        if pq_k is None and self.pq:
+            pq_k = self.pq_codebook.shape[1]
+        corpus = (
+            self.index_df()
+            .select(
+                F.col("vec_id").alias(self.id_col),
+                F.col("embedding").alias(self.emb_col),
+            )
+            .dropDuplicates([self.id_col])
+        )
+        return IncrementalIVF.build(
+            self.spark,
+            new_index_dir,
+            corpus,
+            id_col=self.id_col,
+            emb_col=self.emb_col,
+            k=k if k is not None else self.k,
+            nprobe=nprobe if nprobe is not None else self.nprobe,
+            pq_k=pq_k or 0,
+            pq_sub_dim=(
+                pq_sub_dim if pq_sub_dim is not None else self.pq_sub_dim
+            ),
+        )
+
     # -------------------------------------------------------- append
 
     def _assigned_base(self, df: DataFrame) -> DataFrame:
@@ -455,7 +504,11 @@ class IncrementalIVF:
         return df
 
     def recall_audit(
-        self, queries: DataFrame, topk: int = 5, pq: bool = False
+        self,
+        queries: DataFrame,
+        topk: int = 5,
+        pq: bool = False,
+        shortlist: int | None = None,
     ) -> DataFrame:
         """Scheduled search-quality audit: grade ``search()`` (or the
         ADC serving path ``search_pq()`` when ``pq=True``) against a
@@ -508,7 +561,9 @@ class IncrementalIVF:
             .localCheckpoint(eager=True)
         )
         approx = (
-            self.search_pq(queries, topk) if pq else self.search(queries, topk)
+            self.search_pq(queries, topk, shortlist=shortlist)
+            if pq
+            else self.search(queries, topk)
         )
         hits = (
             approx.select("qid", "nid")
@@ -618,14 +673,27 @@ class IncrementalIVF:
         sd = self.pq_sub_dim
         n_sub = book.shape[0]
         # per-query ADC tables: cell_terms[qid][c] = q . c_cell,
-        # lut[qid][s, cw] = q_sub . codeword  (driver-side, tiny)
+        # lut[qid][s, cw] = q_sub . codeword  (driver-side, tiny);
+        # probed = union of every query's nprobe cells — known BEFORE
+        # the plan, so BOTH scans below carry a literal cell IN-filter
+        # that prunes at the Hive partition index (without it the
+        # rerank leg's embedding read would scan every cell)
         tables = {}
+        qcell_rows: list[tuple[int, int]] = []
         for r in qrows:
             qv = np.asarray(r["emb"], dtype=np.float64)
             lut = np.array(
                 [book[s] @ qv[s * sd:(s + 1) * sd] for s in range(n_sub)]
             )
             tables[int(r["qid"])] = (cent @ qv, lut)
+            qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
+            sims = cent @ qn
+            for c in np.argsort(-sims)[: self.nprobe]:
+                qcell_rows.append((int(r["qid"]), int(c)))
+        # the driver-side assignment is AUTHORITATIVE for this search:
+        # the probe frame and the scans' literal cell filter come from
+        # the same arithmetic, so no candidate can fall between them
+        probed_lit = sorted({c for _, c in qcell_rows})
 
         @F.pandas_udf("double")
         def _adc(qids: pd.Series, cells: pd.Series, codes: pd.Series) -> pd.Series:
@@ -640,17 +708,13 @@ class IncrementalIVF:
                 out[m] = ct[ca[m]] + lut[subs[None, :], cd[m]].sum(axis=1)
             return pd.Series(out)
 
-        q = queries.select(
-            F.col(self.id_col).alias("qid"),
-            F.explode(
-                ivf_assign(F.col(self.emb_col), self.centroids, self.nprobe)
-            ).alias("qcell"),
-        )
+        q = self.spark.createDataFrame(qcell_rows, "qid long, qcell int")
         # candidate scan: ids + codes only — the embedding column is
         # pruned at the parquet reader, cells outside the probe set at
-        # the partition filter
+        # the partition index (literal IN on the partition column)
         cand = (
             self.index_df()
+            .where(F.col("cell").isin(probed_lit))
             .select("vec_id", "nrm", "cell", "codes")
             .join(F.broadcast(q), F.col("cell") == F.col("qcell"))
             .where(F.col("vec_id") != F.col("qid"))
@@ -679,8 +743,12 @@ class IncrementalIVF:
             F.col(self.emb_col).alias("ea"),
             F.sqrt(sq_norm_dec(F.col(self.emb_col))).alias("qnrm"),
         )
+        # rerank reads raw vectors ONLY from the probed cells (every
+        # shortlist member lives there by construction) — the same
+        # partition pruning as the candidate scan, on the heavy column
         emb_side = (
             self.index_df()
+            .where(F.col("cell").isin(probed_lit))
             .select(F.col("vec_id").alias("nid"), "embedding", "nrm")
             .dropDuplicates(["nid"])
         )

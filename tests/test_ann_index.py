@@ -635,3 +635,61 @@ def test_ann_index_example_config_parses():
     assert ai.index_dir and ai.audit_queries_path and ai.audit_dir
     assert ai.audit_every == 5 and ai.k == 16 and ai.nprobe == 4
     assert cfg.validate_dict(cfg.render_config(path)) == []
+
+
+def test_rebuild_after_drift_restores_profile(spark, tmp_path):
+    """The retrain verb closes the monitoring loop: a batch from an
+    untrained direction trips the PSI flag on the OLD index; rebuild()
+    trains fresh quantizers on everything that arrived (blue/green
+    into a new dir), after which (a) the new index holds every vector
+    exactly once (a planted re-insert collapses), (b) the same shifted
+    mix no longer trips the retrain flag (the occupancy profile now
+    includes the shifted cluster), (c) shifted queries search clean,
+    and (d) a PQ index stays a PQ index with the same codebook shape."""
+    idx = IncrementalIVF.build(
+        spark, str(tmp_path / "v1"), _corpus_df(spark),
+        k=4, nprobe=2, pq_k=4, pq_sub_dim=4,
+    )
+    shifted = spark.createDataFrame(
+        [(5000 + i, v) for i, v in enumerate(
+            _vecs(120, [0.0] * (DIM - 1) + [-1.0], 42)
+        )] + [(0, [1.0] + [0.0] * (DIM - 1))],  # re-insert of seed id 0
+        "vec_id long, embedding array<double>",
+    )
+    assert idx.append_batch(shifted, 0)["needs_retrain"]
+
+    idx2 = idx.rebuild(str(tmp_path / "v2"))
+    assert idx2.pq and idx2.pq_codebook.shape == (2, 4, 4)
+    assert idx2.nprobe == idx.nprobe and idx2.k == idx.k
+    # every distinct vector exactly once: 120 seed + 120 shifted
+    # (the re-inserted id 0 collapsed)
+    assert idx2.index_df().count() == 240
+    assert idx2.index_df().select("vec_id").distinct().count() == 240
+
+    # a batch mirroring v2's own occupancy profile (1/6 per original
+    # cluster, 1/2 shifted — what the rebuilt index was trained on) is
+    # in-profile; the same direction mix tripped v1
+    mix = spark.createDataFrame(
+        [(9000 + i, v) for i, v in enumerate(
+            _vecs(15, [1.0] + [0.0] * 7, 81)
+            + _vecs(15, [0.0, 1.0] + [0.0] * 6, 83)
+            + _vecs(15, [0.0, 0.0, 1.0] + [0.0] * 5, 84)
+            + _vecs(45, [0.0] * (DIM - 1) + [-1.0], 82)
+        )],
+        "vec_id long, embedding array<double>",
+    )
+    assert not idx2.append_batch(mix, 0)["needs_retrain"]
+
+    # shifted-direction queries now audit clean on the serving path
+    # (shortlist sized to cover the 165-member shifted cell: its
+    # near-identical vectors share PQ codes, so a sub-cell shortlist
+    # honestly reports ADC tie-break loss instead of probing failure)
+    q = spark.createDataFrame(
+        [(9_000_000, [0.0] * (DIM - 1) + [-1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    row = idx2.recall_audit(q, topk=5, pq=True, shortlist=200).collect()[0]
+    assert row.n_queries == 1 and row.macro_recall == 1.0
+    # and the default-shortlist number is the tie-break-bounded one
+    row_d = idx2.recall_audit(q, topk=5, pq=True).collect()[0]
+    assert 0.0 <= row_d.macro_recall <= 1.0

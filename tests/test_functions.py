@@ -475,3 +475,54 @@ def test_bpe_apply_engines_agree(spark, sf_dir):
         .collect()
     }
     assert fast == exact
+
+
+def test_paragraph_dedup_catches_offset_boilerplate(spark, tmp_path):
+    """The multi-paragraph split path (the synthetic corpus is
+    single-paragraph, so the registered oracle only proves the
+    degenerate case): a boilerplate paragraph shared by three docs at
+    DIFFERENT word offsets — the exact situation chunk_dedup's fixed
+    16-word grid mis-hashes — must be flagged in all three hosts with
+    the right token mass, normalization must absorb case/punctuation
+    jitter, and unique docs must report zero duplication."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sql_flow_spark.operators import QUERIES
+
+    boiler = "this dataset is licensed under the example license v2"
+    docs = [
+        # offsets 0 / 7 / 13 words before the boilerplate paragraph
+        (0, boiler + "\n\nalpha beta gamma delta"),
+        (1, "one two three four five six seven\n\n"
+            + "This DATASET is licensed, under the example LICENSE v2!\n\n"
+            + "tail words here"),
+        (2, "a b c d e f g h i j k l m\n\n" + boiler),
+        (3, "entirely unique content with no repeats\n\nanother unique one"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r
+        for r in QUERIES["paragraph_dedup"](spark, str(tmp_path)).collect()
+    }
+    assert got[0].n_paras == 2 and got[0].n_dup_paras == 1
+    assert got[1].n_paras == 3 and got[1].n_dup_paras == 1
+    assert got[2].n_paras == 2 and got[2].n_dup_paras == 1
+    assert got[3].n_paras == 2 and got[3].n_dup_paras == 0
+    assert got[3].dup_token_mass == 0.0
+    # 9-token boilerplate out of 9+4 tokens in doc 0
+    assert got[0].n_tokens == 13
+    assert got[0].dup_token_mass == 9 / 13
+    # chunk_dedup's grid straddles these offsets: the same corpus
+    # through the 16-word chunker finds NO duplicate chunk mass
+    chunks = {
+        r.doc_id: r.n_dup_chunks
+        for r in QUERIES["chunk_dedup"](spark, str(tmp_path)).collect()
+    }
+    assert all(v == 0 for v in chunks.values()), chunks
