@@ -266,6 +266,14 @@ class AnnIndexConf:
     # serving path (search_pq) instead of raw-vector search
     pq_k: int = 0
     pq_sub_dim: int = 8
+    # rebuild_on_drift: index_dir becomes a GENERATION ROOT
+    # (index_dir/g0, g1, ... + a CURRENT pointer file); when a batch's
+    # occupancy PSI flags needs_retrain, the leg rebuilds blue/green
+    # into the next generation (IncrementalIVF.rebuild), atomically
+    # bumps CURRENT, and keeps appending to the new index — the old
+    # generation stays on disk for in-flight readers. Off by default:
+    # retraining stays a logged, scheduled event.
+    rebuild_on_drift: bool = False
     audit_queries_path: Optional[str] = None
     audit_queries_format: str = "parquet"
     audit_every: int = 0  # 0 = never audit

@@ -233,13 +233,64 @@ class Pipeline:
             )
         return result
 
+    def _ann_generation(self) -> tuple[str, int]:
+        """(active index dir, generation). Without rebuild_on_drift
+        the configured index_dir IS the index; with it, index_dir is a
+        generation root — ``g<N>`` subdirs plus a CURRENT pointer file
+        (atomic rename on rotation, absent = generation 0)."""
+        import os
+
+        c = self._ann_conf
+        if not c.rebuild_on_drift:
+            return c.index_dir, 0
+        cur = os.path.join(c.index_dir, "CURRENT")
+        gen = 0
+        if os.path.exists(cur):
+            with open(cur) as f:
+                gen = int(f.read().strip())
+        return os.path.join(c.index_dir, f"g{gen}"), gen
+
+    def _ann_rotate(self, batch_id: int, psi: float) -> None:
+        """Blue/green retrain into the next generation: rebuild the
+        quantizers on everything indexed so far (IncrementalIVF.
+        rebuild), then atomically bump CURRENT. The old generation
+        stays on disk for in-flight readers; appends continue into the
+        new one. Restart safety: a crash between rebuild and the
+        pointer rename just leaves an unreferenced g<N+1> that the
+        next rotation overwrites idempotently."""
+        import os
+
+        import shutil
+
+        c = self._ann_conf
+        _, gen = self._ann_generation()
+        new_dir = os.path.join(c.index_dir, f"g{gen + 1}")
+        # CURRENT still references g<gen>, so g<gen+1> is unreferenced
+        # by construction — clear any half-written remains of a crashed
+        # prior rotation before seeding (stale b= dirs behind a fresh
+        # seed would double-count at read time)
+        shutil.rmtree(new_dir, ignore_errors=True)
+        self._ann = self._ann.rebuild(new_dir)
+        cur = os.path.join(c.index_dir, "CURRENT")
+        tmp = cur + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(gen + 1))
+        os.replace(tmp, cur)  # COMMIT
+        logger.warning(
+            "ann_index: batch %s occupancy PSI %.3f tripped the act "
+            "level — rebuilt blue/green into generation g%s (g%s left "
+            "on disk for readers)",
+            batch_id, psi, gen + 1, gen,
+        )
+
     def _ann_index_step(self, df: DataFrame, batch_id: int) -> None:
         """One micro-batch through the incremental IVF index
         (streaming/ann_index.py): batch 0 with no index on disk TRAINS
         and seeds it (the build corpus is that batch); an existing
         index is loaded once and appended to assign-only. The PSI
-        retrain flag logs at WARNING; the optional scheduled recall
-        audit runs every ``audit_every`` batches."""
+        retrain flag logs at WARNING — or, with rebuild_on_drift,
+        triggers the blue/green generation rotation; the optional
+        scheduled recall audit runs every ``audit_every`` batches."""
         import os
 
         from pyspark.sql import functions as F
@@ -247,12 +298,13 @@ class Pipeline:
         from sql_flow_spark.streaming.ann_index import IncrementalIVF
 
         c = self._ann_conf
+        active_dir, _ = self._ann_generation()
         vecs = df.select(
             F.col(c.id_column), F.col(c.embedding_column)
         )
         if self._ann is None:
-            if os.path.exists(os.path.join(c.index_dir, "_meta.json")):
-                self._ann = IncrementalIVF.load(self.spark, c.index_dir)
+            if os.path.exists(os.path.join(active_dir, "_meta.json")):
+                self._ann = IncrementalIVF.load(self.spark, active_dir)
                 # the saved meta wins for data-layout fields, but a
                 # column-name mismatch would select one set of names
                 # and read another — fail fast with the real cause
@@ -263,7 +315,7 @@ class Pipeline:
                     c.id_column, c.embedding_column
                 ):
                     raise ValueError(
-                        f"ann_index at {c.index_dir} was built with "
+                        f"ann_index at {active_dir} was built with "
                         f"columns ({self._ann.id_col}, "
                         f"{self._ann.emb_col}) but pipeline.ann_index "
                         f"configures ({c.id_column}, "
@@ -294,7 +346,7 @@ class Pipeline:
             else:
                 self._ann = IncrementalIVF.build(
                     self.spark,
-                    c.index_dir,
+                    active_dir,
                     vecs,
                     id_col=c.id_column,
                     emb_col=c.embedding_column,
@@ -305,18 +357,21 @@ class Pipeline:
                 )
                 logger.info(
                     "ann_index: trained + seeded %s from batch %s",
-                    c.index_dir, batch_id,
+                    active_dir, batch_id,
                 )
                 self._maybe_ann_audit(batch_id)
                 return
         verdict = self._ann.append_batch(vecs, batch_id)
         if verdict.get("needs_retrain"):
-            logger.warning(
-                "ann_index: batch %s occupancy PSI %.3f exceeds the act "
-                "level — schedule a retrain (frozen centroids no longer "
-                "fit the ingest distribution)",
-                batch_id, verdict.get("psi", float("nan")),
-            )
+            if c.rebuild_on_drift:
+                self._ann_rotate(batch_id, verdict.get("psi", float("nan")))
+            else:
+                logger.warning(
+                    "ann_index: batch %s occupancy PSI %.3f exceeds the "
+                    "act level — schedule a retrain (frozen centroids no "
+                    "longer fit the ingest distribution)",
+                    batch_id, verdict.get("psi", float("nan")),
+                )
         self._maybe_ann_audit(batch_id)
 
     def _maybe_ann_audit(self, batch_id: int) -> None:

@@ -693,3 +693,113 @@ def test_rebuild_after_drift_restores_profile(spark, tmp_path):
     # and the default-shortlist number is the tie-break-bounded one
     row_d = idx2.recall_audit(q, topk=5, pq=True).collect()[0]
     assert 0.0 <= row_d.macro_recall <= 1.0
+
+
+def test_pipeline_rebuild_on_drift_rotates_generation(spark, tmp_path):
+    """The closed monitoring loop (pipeline.ann_index.rebuild_on_drift):
+    index_dir becomes a generation root; the drifted micro-batch trips
+    the PSI flag and the leg rebuilds blue/green into g1 and bumps the
+    CURRENT pointer atomically; the old g0 stays on disk for readers;
+    a RESTARTED pipeline resolves CURRENT and appends to g1."""
+    from sql_flow_spark import config as cfg
+    from sql_flow_spark.handlers import InferredBatch
+    from sql_flow_spark.pipeline import Pipeline
+    from sql_flow_spark.sinks import MemorySink
+    from sql_flow_spark.sources import FileSource
+    from sql_flow_spark.streaming.ann_index import IncrementalIVF
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus = [
+        (vid, v)
+        for ci, c in enumerate(
+            (
+                [1.0] + [0.0] * (DIM - 1),
+                [0.0, 1.0] + [0.0] * (DIM - 2),
+                [0.0, 0.0, 1.0] + [0.0] * (DIM - 3),
+            )
+        )
+        for vid, v in zip(
+            range(ci * 100, ci * 100 + 40), _vecs(40, c, 91 + ci)
+        )
+    ]
+    _write_pq(str(in_dir / "b0.parquet"), corpus, 1_700_000_000)
+    # batch 1: an untrained direction — trips PSI, triggers rotation
+    _write_pq(
+        str(in_dir / "b1.parquet"),
+        [(5000 + i, v) for i, v in enumerate(
+            _vecs(90, [0.0] * (DIM - 1) + [-1.0], 95)
+        )],
+        1_700_000_100,
+    )
+    root = str(tmp_path / "ivfroot")
+
+    def _pipe():
+        return Pipeline(
+            spark=spark,
+            source=FileSource(
+                str(in_dir), format="parquet", max_files_per_trigger=1
+            ),
+            handler=InferredBatch("SELECT vec_id FROM batch"),
+            sink=MemorySink(),
+            ann_index=cfg.AnnIndexConf(
+                index_dir=root, k=4, nprobe=2, rebuild_on_drift=True
+            ),
+        )
+
+    q = _pipe().start(
+        available_now=True, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    cur = os.path.join(root, "CURRENT")
+    assert os.path.exists(cur) and open(cur).read().strip() == "1"
+    assert os.path.exists(os.path.join(root, "g0", "_meta.json"))  # blue
+    g1 = IncrementalIVF.load(spark, os.path.join(root, "g1"))
+    # rebuilt from everything indexed: 120 seed + 90 shifted
+    assert g1.index_df().count() == 210
+    # shifted queries search clean on the rotated index
+    hits = g1.search(
+        spark.createDataFrame(
+            [(9_000_000, [0.0] * (DIM - 1) + [-1.0])],
+            "vec_id long, embedding array<double>",
+        ),
+        topk=5,
+    ).collect()
+    assert all(5000 <= r.nid < 5100 for r in hits)
+
+    # restart: a NEW pipeline resuming the SAME checkpoint resolves
+    # CURRENT=g1 and appends only the new file; a batch mirroring g1's
+    # own profile (120 original : 90 shifted ≈ 4:3) stays in-profile,
+    # so no further rotation
+    _write_pq(
+        str(in_dir / "b2.parquet"),
+        [(7000 + i, v) for i, v in enumerate(
+            _vecs(14, [1.0] + [0.0] * 7, 97)
+            + _vecs(14, [0.0, 1.0] + [0.0] * 6, 98)
+            + _vecs(14, [0.0, 0.0, 1.0] + [0.0] * 5, 99)
+            + _vecs(30, [0.0] * (DIM - 1) + [-1.0], 96)
+        )],
+        1_700_000_200,
+    )
+    q2 = _pipe().start(
+        available_now=True, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(180)
+    assert open(cur).read().strip() == "1"
+    assert IncrementalIVF.load(
+        spark, os.path.join(root, "g1")
+    ).index_df().select("vec_id").distinct().count() == 210 + 72
+
+
+def test_ann_ivfpq_example_config_parses():
+    from sql_flow_spark import config as cfg
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "streaming.ann.ivfpq.yml"
+    )
+    conf = cfg.new_from_path(path)
+    ai = conf.pipeline.ann_index
+    assert ai is not None
+    assert ai.pq_k == 16 and ai.pq_sub_dim == 8 and ai.rebuild_on_drift
+    assert cfg.validate_dict(cfg.render_config(path)) == []
