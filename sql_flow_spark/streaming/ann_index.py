@@ -34,6 +34,16 @@ write — no shuffle, no driver traffic beyond the k-sized occupancy
 counts. Search reads only nprobe/k of the index (partition pruning),
 broadcasts the query batch, exact-reranks inside probed cells — the
 ann_ivf_topk plan against a disk-resident, incrementally-grown index.
+
+The serving tier (r13): ``build(pq_k=...)`` additionally trains
+residual-PQ codebooks (faiss IVFADC — ann_ivfpq_topk's quantizer) so
+every row carries a ``codes`` column; ``search_pq`` ranks candidates
+by asymmetric distance reading ONLY the codes (partition- and
+column-pruned scan) and exact-reranks the shortlist;
+``recall_audit(pq=True)`` grades that live path against brute force.
+``rebuild()`` is the retrain verb the PSI flag schedules — blue/green
+into a fresh directory (pipeline.ann_index.rebuild_on_drift automates
+the rotation behind a generation root + atomic CURRENT pointer).
 """
 
 from __future__ import annotations
@@ -93,11 +103,11 @@ def occupancy_psi(
 
 
 class IncrementalIVF:
-    """A disk-resident IVF index that grows per micro-batch.
+    """A disk-resident IVF(-PQ) index that grows per micro-batch.
 
     Build once (``build``), append forever (``append_batch`` /
-    ``attach``), search anytime (``search``), rebuild when
-    ``needs_retrain`` fires."""
+    ``attach``), search anytime (``search`` exact-in-cell /
+    ``search_pq`` ADC), ``rebuild()`` when ``needs_retrain`` fires."""
 
     def __init__(
         self,
