@@ -782,6 +782,161 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- content-defined chunk dedup (CDC)
+
+# A token is a chunk boundary when its md5 starts with '0' — a
+# content-defined predicate with P = 1/16, i.e. mean chunk ~16 tokens
+# (chunk_dedup's granularity). Content-defined boundaries are the
+# production fix for BOTH fixed-grid failure modes: unlike
+# chunk_dedup's grid they are OFFSET-INVARIANT (the same run of words
+# produces the same boundaries wherever it sits in a document), and
+# unlike paragraph_dedup they need no authored structure (this
+# synthetic corpus has none). The same rolling/content-defined
+# boundary trick underlies rsync, backup dedup stores, and
+# winnowing-style substring dedup. md5 because BOTH engines compute
+# the identical digest (xxhash64 exists only Spark-side).
+CDC_BOUNDARY_HEX = "0"
+# chunks shorter than this cannot be flagged duplicated: a 1-2 token
+# chunk is a stopword bigram that repeats everywhere — counting it as
+# duplicate mass would be noise, the standard CDC min-size rule
+CDC_MIN_TOKENS = 5
+
+
+@query(
+    "cdc_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tok, i,
+             CASE WHEN substr(md5(tok), 1, 1) = '{CDC_BOUNDARY_HEX}'
+                  THEN 1 ELSE 0 END AS b
+      FROM (
+        SELECT doc_id, unnest({O_TOKENS}) AS tok,
+               generate_subscripts({O_TOKENS}, 1) AS i
+        FROM documents
+      )
+    ),
+    grouped AS (
+      SELECT doc_id, tok, i,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, grp,
+             md5(string_agg(tok, ' ' ORDER BY i)) AS ck,
+             CAST(COUNT(*) AS BIGINT) AS ctoks
+      FROM grouped GROUP BY doc_id, grp
+    ),
+    counts AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS c FROM chunks GROUP BY ck)
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(CASE WHEN c > 1 AND ctoks >= {CDC_MIN_TOKENS}
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      CAST(SUM(CASE WHEN c > 1 AND ctoks >= {CDC_MIN_TOKENS}
+               THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS dup_chunk_ratio,
+      CAST(SUM(ctoks) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN c > 1 AND ctoks >= {CDC_MIN_TOKENS}
+               THEN ctoks ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(ctoks) AS DOUBLE) AS dup_token_mass
+    FROM chunks JOIN counts USING (ck)
+    GROUP BY doc_id
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunk exact dedup — the OFFSET-INVARIANT member
+    of the substring-dedup ladder (chunk_dedup = fixed grid,
+    paragraph_dedup = authored boundaries, this = content-defined
+    boundaries): a new chunk starts at every token whose md5 begins
+    with '{CDC_BOUNDARY_HEX}' (P=1/16, mean chunk ~16 tokens), so a
+    repeated run of words chunks IDENTICALLY in every host document
+    regardless of where it sits — the property the planted fixture
+    pins against chunk_dedup's grid, which misses the same run at
+    unaligned offsets. Per document: chunk count, duplicated-chunk
+    count/ratio and token mass (a chunk is duplicated when its exact
+    content occurs elsewhere in the corpus, self-repeats included,
+    and it spans >= {CDC_MIN_TOKENS} tokens — the CDC min-size rule
+    that keeps ubiquitous stopword fragments out of the dup mass).
+
+    Exactness: boundaries and chunk fingerprints are md5 on identical
+    strings in both engines; counts are exact BIGINTs; the two ratios
+    divide exact integers.
+
+    Scale shape: chunk assembly is a PER-ROW array fold (F.aggregate
+    over the token array — whole-stage codegen, zero shuffle, no
+    window: the first cut of this operator exploded tokens through a
+    per-doc running-sum window + regroup and measured ~6x slower),
+    then chunk_dedup's exact budget — a narrow explode, ONE hash
+    shuffle on the 128-bit chunk key with map-side partials, and the
+    doc_id rollup. Linear end to end, no pairs.
+
+    Reference parity: none — the reference (sqlflow/sql.py) has no
+    dedup operators; this extends the brief's training-data ladder."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+
+    def is_b(tok):
+        return F.substring(F.md5(tok), 1, 1) == CDC_BOUNDARY_HEX
+
+    # fold state: chunks closed so far + the open chunk; a boundary
+    # token closes the open chunk (if any) and starts a new one. The
+    # no-open-chunk sentinel is NULL, not '' — an empty-text document
+    # tokenizes to one '' token, which is a REAL (1-token) chunk in
+    # both engines (the adversarial sweep caught the '' sentinel
+    # silently dropping those docs).
+    empty = F.array().cast("array<string>")
+    fold = F.aggregate(
+        ws_tokens("text"),
+        F.struct(empty.alias("done"), F.lit(None).cast("string").alias("cur")),
+        lambda acc, tok: F.struct(
+            F.when(
+                acc["cur"].isNotNull() & is_b(tok),
+                F.array_append(acc["done"], acc["cur"]),
+            ).otherwise(acc["done"]).alias("done"),
+            F.when(acc["cur"].isNull(), tok)
+            .when(is_b(tok), tok)
+            .otherwise(F.concat(acc["cur"], F.lit(" "), tok))
+            .alias("cur"),
+        ),
+        lambda acc: F.when(
+            acc["cur"].isNotNull(), F.array_append(acc["done"], acc["cur"])
+        ).otherwise(acc["done"]),
+    )
+    # token count = space count + 1 (chunks are single-space joined by
+    # construction) — no re-split, no array materialization
+    chunks = d.select(
+        "doc_id", F.explode(fold).alias("chunk")
+    ).select(
+        "doc_id",
+        F.md5("chunk").alias("ck"),
+        (
+            F.length("chunk")
+            - F.length(F.replace(F.col("chunk"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long").alias("ctoks"),
+    )
+    counts = chunks.groupBy("ck").agg(F.count("*").cast("long").alias("c"))
+    dup = F.when(
+        (F.col("c") > 1) & (F.col("ctoks") >= CDC_MIN_TOKENS), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        chunks.join(counts, "ck")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            (
+                F.sum(dup).cast("double") / F.count("*").cast("double")
+            ).alias("dup_chunk_ratio"),
+            F.sum("ctoks").cast("long").alias("n_tokens"),
+            (
+                F.sum(dup * F.col("ctoks")).cast("double")
+                / F.sum("ctoks").cast("double")
+            ).alias("dup_token_mass"),
+        )
+    )
+
+
 @query(
     "dedup_family_sizes",
     oracle=f"""

@@ -102,6 +102,38 @@ def occupancy_psi(
     return psi
 
 
+def prune_generations(root: str, keep: int = 2) -> list[int]:
+    """Disk hygiene for the rebuild_on_drift generation layout: delete
+    ``g<N>`` directories older than the newest ``keep`` generations at
+    or below CURRENT (generations ABOVE the pointer are never touched —
+    an in-flight rotation owns them). Keeping at least 2 preserves the
+    blue/green contract: readers that resolved CURRENT just before a
+    rotation can still be scanning the previous generation. Returns the
+    pruned generation numbers. Pure filesystem — call it from the
+    maintenance cadence that also runs compact()."""
+    import re
+    import shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    cur_path = os.path.join(root, "CURRENT")
+    if not os.path.exists(cur_path):
+        return []
+    with open(cur_path) as f:
+        current = int(f.read().strip())
+    gens = sorted(
+        int(m.group(1))
+        for d in os.listdir(root)
+        if (m := re.fullmatch(r"g(\d+)", d))
+        and os.path.isdir(os.path.join(root, d))
+    )
+    victims = [g for g in gens if g <= current][:-keep]
+    for g in victims:
+        shutil.rmtree(os.path.join(root, f"g{g}"), ignore_errors=True)
+        logger.info("ann index %s: pruned generation g%s", root, g)
+    return victims
+
+
 class IncrementalIVF:
     """A disk-resident IVF(-PQ) index that grows per micro-batch.
 

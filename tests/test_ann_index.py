@@ -803,3 +803,37 @@ def test_ann_ivfpq_example_config_parses():
     assert ai is not None
     assert ai.pq_k == 16 and ai.pq_sub_dim == 8 and ai.rebuild_on_drift
     assert cfg.validate_dict(cfg.render_config(path)) == []
+
+
+def test_prune_generations_keeps_blue_green_window(tmp_path):
+    """Generation pruning: only generations at or below CURRENT are
+    candidates, the newest `keep` of them survive (blue/green window),
+    in-flight generations above the pointer are never touched, and a
+    root without a CURRENT pointer (non-rotating layout) is a no-op."""
+    import pytest
+
+    from sql_flow_spark.streaming.ann_index import prune_generations
+
+    root = tmp_path / "ivfroot"
+    for g in range(4):
+        (root / f"g{g}").mkdir(parents=True)
+        (root / f"g{g}" / "_meta.json").write_text("{}")
+    (root / "g9").mkdir()  # in-flight rotation above the pointer
+    (root / "CURRENT").write_text("3")
+
+    assert prune_generations(str(root), keep=2) == [0, 1]
+    assert not (root / "g0").exists() and not (root / "g1").exists()
+    assert (root / "g2").exists() and (root / "g3").exists()
+    assert (root / "g9").exists()
+
+    # idempotent; keep=1 trims down to CURRENT only
+    assert prune_generations(str(root), keep=2) == []
+    assert prune_generations(str(root), keep=1) == [2]
+    assert (root / "g3").exists()
+
+    with pytest.raises(ValueError):
+        prune_generations(str(root), keep=0)
+
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    assert prune_generations(str(plain)) == []

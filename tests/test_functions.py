@@ -526,3 +526,54 @@ def test_paragraph_dedup_catches_offset_boilerplate(spark, tmp_path):
         for r in QUERIES["chunk_dedup"](spark, str(tmp_path)).collect()
     }
     assert all(v == 0 for v in chunks.values()), chunks
+
+
+def test_cdc_chunk_dedup_is_offset_invariant(spark, tmp_path):
+    """The content-defined chunker's defining property: a repeated run
+    of words produces the SAME interior chunk in every host document
+    regardless of offset, because boundaries depend on token content
+    ('gamma' and 'nu' are md5-boundary tokens; verified in-test), not
+    position. The fixed 16-word grid chunker on the same corpus finds
+    nothing: the run sits at different, non-grid-aligned offsets and
+    every grid chunk mixes in host-unique filler."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sql_flow_spark.functions.dedup import CDC_BOUNDARY_HEX
+    from sql_flow_spark.operators import QUERIES
+
+    run = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "nu xi omicron pi rho")
+    # pin the fixture's own premise: gamma/nu are boundaries, so the
+    # interior chunk "gamma..kappa" (8 tokens >= CDC_MIN_TOKENS) is
+    # fully inside the run; everything else leaks into host filler
+    bounds = [w for w in run.split()
+              if hashlib.md5(w.encode()).hexdigest()[0] == CDC_BOUNDARY_HEX]
+    assert bounds == ["gamma", "nu"]
+
+    docs = [
+        (0, " ".join(f"hosta{i}" for i in range(7)) + " " + run + " "
+            + " ".join(f"taila{i}" for i in range(3))),
+        (1, " ".join(f"hostb{i}" for i in range(12)) + " " + run + " "
+            + " ".join(f"tailb{i}" for i in range(5))),
+        (2, " ".join(f"uniq{i}" for i in range(30))),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    cdc = {r.doc_id: r for r in
+           QUERIES["cdc_chunk_dedup"](spark, str(tmp_path)).collect()}
+    assert cdc[0].n_dup_chunks >= 1 and cdc[1].n_dup_chunks >= 1
+    assert cdc[0].dup_token_mass >= 8 / cdc[0].n_tokens
+    assert cdc[2].n_dup_chunks == 0 and cdc[2].dup_token_mass == 0.0
+
+    grid = {r.doc_id: r.n_dup_chunks for r in
+            QUERIES["chunk_dedup"](spark, str(tmp_path)).collect()}
+    assert all(v == 0 for v in grid.values()), grid
