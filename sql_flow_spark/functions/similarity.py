@@ -850,6 +850,126 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- hard-negative mining
+
+HNM_K = TOP_K  # hard negatives returned per anchor
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH norms AS ({O_NORMS_CTE}),
+    pairs AS (
+      SELECT q.vec_id AS qid, q.label AS qlabel,
+             c.vec_id AS nid, c.label AS nlabel,
+             q.embedding AS ea, c.embedding AS eb
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+      SELECT qid, qlabel, nid, nlabel,
+             {o_safe_cos(o_dot_dec('ea', 'eb'), 'qn.nrm', 'cn.nrm')} AS cosine
+      FROM pairs
+      JOIN norms qn ON qn.vec_id = qid
+      JOIN norms cn ON cn.vec_id = nid
+    ),
+    neg AS (
+      SELECT * FROM (
+        SELECT qid, qlabel, nid, nlabel, cosine, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+        FROM scored WHERE nlabel <> qlabel
+      ) WHERE rnk <= {HNM_K}
+    ),
+    pos AS (
+      SELECT qid, MAX(cosine) AS pos_cosine
+      FROM scored WHERE nlabel = qlabel GROUP BY qid
+    )
+    SELECT qid,
+           CAST(qlabel AS INTEGER) AS anchor_label,
+           nid,
+           CAST(nlabel AS INTEGER) AS neg_label,
+           cosine,
+           CAST(rnk AS INTEGER) AS rank,
+           pos_cosine,
+           pos_cosine - cosine AS margin
+    FROM neg LEFT JOIN pos USING (qid)
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the data-prep
+    step behind triplet/InfoNCE batches — Schroff et al. 2015's
+    semi-hard protocol expressed relationally): per anchor (the
+    standard {N_QUERIES}-query set), the {HNM_K} HIGHEST-cosine corpus
+    vectors whose label DIFFERS from the anchor's — the negatives a
+    random sampler almost never finds and the loss learns most from —
+    each row carrying the anchor's best same-label cosine and the
+    margin (pos − neg). margin <= 0 rows are the violations a
+    curriculum scheduler feeds first; margin in (0, alpha) is the
+    classic semi-hard band.
+
+    Exactness: cosines are the family's exact fixed-point dot /
+    safe_cos doubles, identical in both engines; MAX and the
+    subtraction operate on those identical doubles; ranks carry total
+    tiebreaks (cosine desc, nid). Anchors with no same-label corpus
+    vector emit NULL pos_cosine/margin (honest absence, not 0).
+
+    Scale shape: ann_cosine_topk's budget — anchors broadcast, ONE
+    corpus scan scores all pairs, per-anchor top-k windows over
+    |Q|-keyed partitions, plus a |Q|-row positive-max agg that reuses
+    the same scored frame. The label filter rides the scan; at 100 TB
+    the mining cost IS the scan, exactly once. Swap the exact scan for
+    the IVF/PQ candidate path when anchors number millions — the
+    scoring and margin algebra are unchanged.
+
+    Reference parity: none — the reference (sqlflow/sql.py) has no
+    embedding operators; this extends the brief's training-data
+    toolkit."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = _with_norm(t["embeddings"])
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "qlabel",
+        "nid",
+        "nlabel",
+        safe_cos(
+            dot_dec(F.col("ea"), F.col("eb")), F.col("qnrm"), F.col("cnrm")
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    neg = (
+        scored.where(F.col("nlabel") != F.col("qlabel"))
+        .withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= HNM_K)
+    )
+    pos = (
+        scored.where(F.col("nlabel") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.max("cosine").alias("pos_cosine"))
+    )
+    return neg.join(pos, "qid", "left").select(
+        "qid",
+        F.col("qlabel").cast("int").alias("anchor_label"),
+        "nid",
+        F.col("nlabel").cast("int").alias("neg_label"),
+        "cosine",
+        F.col("rnk").cast("int").alias("rank"),
+        "pos_cosine",
+        (F.col("pos_cosine") - F.col("cosine")).alias("margin"),
+    )
+
+
 # ------------------------------------------- centroid-distance outliers
 
 @query(

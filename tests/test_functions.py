@@ -577,3 +577,50 @@ def test_cdc_chunk_dedup_is_offset_invariant(spark, tmp_path):
     grid = {r.doc_id: r.n_dup_chunks for r in
             QUERIES["chunk_dedup"](spark, str(tmp_path)).collect()}
     assert all(v == 0 for v in grid.values()), grid
+
+
+def test_hard_negative_mining_margin_semantics(spark, tmp_path):
+    """Planted geometry: anchor 0's nearest corpus vector is a
+    WRONG-label one (the hard negative, closer than its best
+    same-label positive), so the rank-1 negative must be that vector
+    with margin < 0 (a violation row); the farther wrong-label vector
+    ranks second with a larger margin; pos_cosine is the anchor's best
+    same-label cosine; an anchor class absent from the corpus yields
+    NULL pos_cosine/margin, not zeros."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sql_flow_spark.operators import QUERIES
+
+    def vec(x, y):
+        return [x, y] + [0.0] * 6
+
+    rows = [(0, 0, vec(1.0, 0.0)), (1, 9, vec(0.0, 1.0))]
+    rows += [(i, 5, vec(-1.0, float(i))) for i in range(2, 8)]  # fillers
+    rows += [
+        (8, 0, vec(0.9, 0.4359)),   # anchor 0's best positive (cos≈0.90)
+        (9, 1, vec(0.999, 0.0447)), # hard negative, cos≈0.999 > positive
+        (10, 1, vec(0.5, 0.866)),   # easier negative, cos≈0.5
+        (11, 9, vec(0.0, 1.0)),     # anchor 1's positive
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "label": pa.array([r[1] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[2] for r in rows], pa.list_(pa.float64())
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    got = QUERIES["hard_negative_mining"](spark, str(tmp_path)).collect()
+    a0 = sorted((r for r in got if r.qid == 0), key=lambda r: r.rank)
+    assert a0[0].nid == 9 and a0[0].margin < 0, a0[0]
+    assert a0[1].nid != 9 and a0[1].margin > a0[0].margin
+    assert all(r.neg_label != 0 for r in a0)
+    assert abs(a0[0].pos_cosine - 0.9) < 0.01  # cos(anchor0, vec 8)
+    # anchor 2 (label 5, no same-label corpus vector): honest NULLs
+    a2 = [r for r in got if r.qid == 2]
+    assert a2 and all(
+        r.pos_cosine is None and r.margin is None for r in a2
+    )
