@@ -850,6 +850,143 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------- embedding isotropy QA
+
+# 6dp fixed point for the S_d^2 terms (S_d can reach n in magnitude,
+# so S_d^2*1e6 stays far inside DECIMAL(38,0) at any realistic label
+# size) — the per-label 64-term sum must be partitioning-invariant
+# like every other cross-engine sum.
+_ISO_SQ_SCALE = 1_000_000.0
+
+
+@query(
+    "embedding_isotropy_report",
+    oracle=f"""
+    WITH norms AS ({O_NORMS_CTE}),
+    lab AS (
+      SELECT e.vec_id, e.label, e.embedding, n.nrm
+      FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+    ),
+    u AS (
+      SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+             CAST(v AS DOUBLE) / nrm AS uv
+      FROM (SELECT label, nrm, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM lab WHERE nrm > 0)
+    ),
+    s AS (
+      SELECT label, dim, {_o_pi_fsum('uv')} AS sd
+      FROM u GROUP BY label, dim
+    ),
+    q AS (
+      SELECT label,
+             CAST(SUM(CAST(floor(sd * sd * {_ISO_SQ_SCALE} + 0.5)
+                           AS DECIMAL(38,0))) AS DOUBLE)
+               / {_ISO_SQ_SCALE} AS qsum
+      FROM s GROUP BY label
+    ),
+    nstats AS (
+      SELECT label,
+             CAST(SUM(CASE WHEN nrm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs,
+             CAST(SUM(CASE WHEN nrm > 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_zero_norm,
+             {_o_pi_fsum('CASE WHEN nrm > 0 THEN nrm ELSE 0 END')} AS nrm_sum,
+             MIN(CASE WHEN nrm > 0 THEN nrm END) AS min_norm,
+             MAX(nrm) AS max_norm
+      FROM lab GROUP BY label
+    )
+    SELECT n.label AS label, n_vecs, n_zero_norm,
+           CASE WHEN n_vecs >= 2 THEN
+             (qsum - CAST(n_vecs AS DOUBLE))
+               / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE))
+           END AS mean_cosine,
+           CASE WHEN n_vecs >= 1
+                THEN nrm_sum / CAST(n_vecs AS DOUBLE) END AS mean_norm,
+           min_norm, max_norm
+    FROM nstats n LEFT JOIN q ON q.label = n.label
+    """,
+)
+def embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy/collapse QA per label (Ethayarajh
+    2019's anisotropy measure as a panel): the mean pairwise cosine of
+    the label's UNIT vectors via the sum-vector identity
+    mean_{{i≠j}} cos = (||Σu||² − n) / (n(n−1)) — near 0 = isotropic
+    (healthy spread), approaching 1 = the space has collapsed onto a
+    cone (the failure mode that silently breaks cosine dedup
+    thresholds, semdedup pruning, and contrastive training batches).
+    Plus the norm health columns (mean/min/max norm, zero-norm count —
+    the failed-embedding-job signal) a pipeline alerts on before
+    trusting any downstream cosine operator.
+
+    Exactness: norms are the family's exact fixed-point sq-norm
+    doubles; unit components divide identical doubles; per-(label,dim)
+    sums and the per-label Σ||u||-squared-terms are fixed-point
+    DECIMAL (partitioning-invariant); the final expression is IEEE
+    arithmetic on identical doubles. Zero-norm vectors are EXCLUDED
+    from the cosine/mean-norm legs and counted honestly; single-vector
+    labels emit NULL mean_cosine (no pairs exist).
+
+    Scale shape: ONE corpus pass — explode to (label, dim) partials
+    (map-side combine onto a labels×64 key space), a labels-sized
+    rollup, and a norm agg riding the same scan. No pairs anywhere:
+    the identity turns the O(n²) definition into O(n·d), which is why
+    this panel can run on every ingest batch at 100 TB.
+
+    Reference parity: none — the reference (sqlflow/sql.py) has no
+    embedding operators; this extends the brief's training-data
+    toolkit."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    lab = _with_norm(t["embeddings"])
+    nz = lab.where(F.col("nrm") > 0)
+    u = nz.select(
+        "label",
+        "nrm",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "label", "dim", (F.col("v").cast("double") / F.col("nrm")).alias("uv")
+    )
+    s = u.groupBy("label", "dim").agg(_pi_fsum(F.col("uv")).alias("sd"))
+    q = s.groupBy("label").agg(
+        (
+            F.sum(
+                F.floor(
+                    F.col("sd") * F.col("sd") * F.lit(_ISO_SQ_SCALE)
+                    + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(_ISO_SQ_SCALE)
+        ).alias("qsum")
+    )
+    nstats = lab.groupBy("label").agg(
+        F.sum(F.when(F.col("nrm") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_vecs"),
+        F.sum(F.when(F.col("nrm") > 0, 0).otherwise(1))
+        .cast("long")
+        .alias("n_zero_norm"),
+        _pi_fsum(
+            F.when(F.col("nrm") > 0, F.col("nrm")).otherwise(F.lit(0.0))
+        ).alias("nrm_sum"),
+        F.min(F.when(F.col("nrm") > 0, F.col("nrm"))).alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+    nd = F.col("n_vecs").cast("double")
+    return nstats.join(q, "label", "left").select(
+        "label",
+        "n_vecs",
+        "n_zero_norm",
+        F.when(
+            F.col("n_vecs") >= 2,
+            (F.col("qsum") - nd) / (nd * (nd - F.lit(1.0))),
+        ).alias("mean_cosine"),
+        F.when(F.col("n_vecs") >= 1, F.col("nrm_sum") / nd).alias(
+            "mean_norm"
+        ),
+        "min_norm",
+        "max_norm",
+    )
+
+
 # ---------------------------------------------- hard-negative mining
 
 HNM_K = TOP_K  # hard negatives returned per anchor

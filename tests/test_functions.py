@@ -624,3 +624,58 @@ def test_hard_negative_mining_margin_semantics(spark, tmp_path):
     assert a2 and all(
         r.pos_cosine is None and r.margin is None for r in a2
     )
+
+
+def test_embedding_isotropy_detects_collapse(spark, tmp_path):
+    """Planted geometry: a COLLAPSED label (identical vectors) must
+    read mean_cosine ~= 1, an isotropic label (orthogonal vectors)
+    ~= 0, a single-vector label NULL (no pairs), and zero-norm vectors
+    are counted but excluded from every cosine/norm leg. Plus the
+    identity check on real data: the one-pass sum-vector formula must
+    equal brute-force all-pairs mean cosine."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sql_flow_spark.operators import QUERIES
+
+    def vec(d):
+        out = [0.0] * 8
+        out[d] = 1.0
+        return out
+
+    rows = [(i, 0, vec(0)) for i in range(4)]          # collapsed
+    rows += [(10 + d, 1, vec(d)) for d in range(4)]    # orthogonal
+    rows += [(20, 2, vec(3))]                          # singleton
+    rows += [(30, 3, [0.0] * 8), (31, 3, vec(1)), (32, 3, vec(1))]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "label": pa.array([r[1] for r in rows], pa.int64()),
+            "embedding": pa.array([r[2] for r in rows], pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    got = {r.label: r for r in
+           QUERIES["embedding_isotropy_report"](spark, str(tmp_path)).collect()}
+    assert abs(got[0].mean_cosine - 1.0) < 1e-6          # collapse reads 1
+    assert abs(got[1].mean_cosine) < 1e-6                # isotropy reads 0
+    assert got[2].mean_cosine is None and got[2].n_vecs == 1
+    assert got[3].n_zero_norm == 1 and got[3].n_vecs == 2
+    assert abs(got[3].mean_cosine - 1.0) < 1e-6          # zero-norm excluded
+    assert got[3].min_norm > 0
+
+    # identity vs brute force on the real table
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {}
+    for r in emb.collect():
+        vecs.setdefault(r.label, []).append(np.array(r.embedding))
+    report = {r.label: r.mean_cosine for r in
+              QUERIES["embedding_isotropy_report"](
+                  spark, "/root/testdata/sf0.001").collect()}
+    lbl = sorted(vecs)[0]
+    us = [v / np.linalg.norm(v) for v in vecs[lbl]]
+    brute = float(np.mean([u @ w for u, w in itertools.combinations(us, 2)]))
+    assert abs(report[lbl] - brute) < 1e-6, (report[lbl], brute)
