@@ -519,35 +519,84 @@ def embedding_near_dup_pairs(
             b, (F.col("blk_a") == F.col("blk_b")) & (F.col("vec_a") < F.col("vec_b"))
         )
     else:
+        from sql_flow_spark.functions.mat import materialize_once
         from sql_flow_spark.functions.similarity import (
+            LSH_BITS,
             _hyperplanes,
             embedding_dim,
             lsh_buckets,
         )
 
         dim = embedding_dim(emb, emb_col)
-        with_bucket = emb.select(
+        # r13 (guide §2.3/§8): the band join used to CARRY both raw
+        # vectors through the bucket exchange and then dropDuplicates
+        # the pairs — shuffling ~0.5 KB of payload per candidate twice.
+        # Now the join moves (id, bucket, 8-int bucket array) only; a
+        # pair is emitted exactly once, by its FIRST matching table
+        # (bucket ids fold the table index in their high bits, so the
+        # dedup is a filter, not an exchange); vectors are attached to
+        # the surviving candidates afterwards by id (planner picks
+        # broadcast when the vector table is small; keyed join at
+        # scale — the candidate-verify shape).
+        buckets_df = materialize_once(
+            emb.select(
+                F.col(id_col).alias(id_col),
+                lsh_buckets(F.col(emb_col), _hyperplanes(dim)).alias(
+                    "buckets"
+                ),
+            )
+        )
+        a = buckets_df.select(
+            F.col(id_col).alias("vec_a"), F.col("buckets").alias("ba"),
+            F.explode("buckets").alias("bucket"),
+        )
+        b = buckets_df.select(
+            F.col(id_col).alias("vec_b"), F.col("buckets").alias("bb"),
+            F.explode("buckets").alias("bucket_b"),
+        )
+        cand_ids = (
+            a.join(
+                b,
+                (F.col("bucket") == F.col("bucket_b"))
+                & (F.col("vec_a") < F.col("vec_b")),
+            )
+            .where(
+                F.shiftright(F.col("bucket"), LSH_BITS)
+                == F.expr(
+                    "array_position(zip_with(ba, bb, (x, y) -> x = y),"
+                    " true) - 1"
+                )
+            )
+            .select("vec_a", "vec_b")
+        )
+        vecs = emb.select(
             F.col(id_col).alias(id_col),
             F.col(emb_col).alias(emb_col),
             F.sqrt(sq_norm_dec(F.col(emb_col))).alias("nrm"),
-            lsh_buckets(F.col(emb_col), _hyperplanes(dim)).alias("buckets"),
         )
-        a = with_bucket.select(
-            F.col(id_col).alias("vec_a"), F.col(emb_col).alias("ea"),
-            F.col("nrm").alias("nrm_a"), F.explode("buckets").alias("bucket"),
+        cand = cand_ids.join(
+            vecs.select(
+                F.col(id_col).alias("vec_a"), F.col(emb_col).alias("ea"),
+                F.col("nrm").alias("nrm_a"),
+            ),
+            "vec_a",
+        ).join(
+            vecs.select(
+                F.col(id_col).alias("vec_b"), F.col(emb_col).alias("eb"),
+                F.col("nrm").alias("nrm_b"),
+            ),
+            "vec_b",
         )
-        b = with_bucket.select(
-            F.col(id_col).alias("vec_b"), F.col(emb_col).alias("eb"),
-            F.col("nrm").alias("nrm_b"), F.explode("buckets").alias("bucket_b"),
-        )
-        cand = a.join(
-            b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
-        ).dropDuplicates(["vec_a", "vec_b"])
+    # dot_dec_fast: bit-identical fixed-point dot with the codegen
+    # fast path — the candidate-pair cosine is the family's hottest
+    # per-row cost (r13, see similarity.dot_dec_fast)
+    from sql_flow_spark.functions.similarity import dot_dec_fast
+
     return cand.select(
         "vec_a",
         "vec_b",
         safe_cos(
-            dot_dec(F.col("ea"), F.col("eb")), F.col("nrm_a"), F.col("nrm_b")
+            dot_dec_fast("ea", "eb"), F.col("nrm_a"), F.col("nrm_b")
         ).alias("cosine"),
     ).where(F.col("cosine") >= tau)
 

@@ -38,7 +38,7 @@ from sql_flow_spark.functions.dedup import ws_tokens
 from sql_flow_spark.functions.mat import materialize_once
 from sql_flow_spark.functions.similarity import (
     O_NORMS_CTE,
-    dot_dec,
+    dot_dec_fast,
     safe_cos,
     sq_norm_dec,
 )
@@ -282,7 +282,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("doc_id"),
             safe_cos(
-                dot_dec(F.col("embedding"), F.col("qe")),
+                dot_dec_fast("embedding", "qe"),
                 F.col("nrm"),
                 F.col("qnrm"),
             ).alias("cosine"),

@@ -59,6 +59,59 @@ def sq_norm_dec(a: Column) -> Column:
     return dot_dec(a, a)
 
 
+# Schema width of the embeddings table (TESTDATA.md contract; also
+# _PI_DIMS below). The fast dot kernel unrolls to this width and
+# falls back to the generic fold for any other array length.
+_DOT_UNROLL_DIMS = 64
+# Σ|term| bound under which a chain of integer-valued doubles sums
+# exactly (every partial stays < 2^53 ≈ 9.0e15): unit-ish embedding
+# components give |term| <= ~1e12, 64 of them <= ~6.4e13 — three
+# orders of magnitude inside the bound.
+_DOT_EXACT_BOUND = "4.5E15D"
+
+
+def _dot_term_sql(a: str, b: str, i: int) -> str:
+    return (
+        f"cast(floor(cast({a}[{i}] as double) * cast({b}[{i}] as double)"
+        f" * {_DOT_SCALE:.1f}D + 0.5D) as double)"
+    )
+
+
+def dot_dec_fast(a: str, b: str) -> Column:
+    """dot_dec over SQL column names, with a codegen fast path.
+
+    Bit-identical to ``dot_dec`` by construction (r13 optimization
+    round): when both arrays are exactly ``_DOT_UNROLL_DIMS`` wide AND
+    the sum of |fixed-point terms| stays under ``_DOT_EXACT_BOUND``,
+    the terms (the identical floor(x*y*SCALE + 0.5) doubles — floor of
+    a double is integer-valued and exact below 2^53) are summed as
+    DOUBLES: every partial sum of integer-valued doubles bounded by
+    Σ|t| < 2^53 is exact, so the result equals the decimal fold term
+    for term. Any other shape (wrong width, nulls pushing the abs-sum
+    guard to NULL, magnitudes beyond the documented unit-ish domain)
+    falls back to the original zip_with/aggregate DECIMAL(38,0) fold
+    in the same expression. Measured ~2.4x on the 2M-pair kernel
+    benchmark (OPTIMIZATION_r13.md) — the interpreted higher-order
+    fold is the single hottest per-row cost of the embedding family.
+
+    Use where the inputs are plain column names (the hot pair stages);
+    ``dot_dec`` stays the general Column-level API."""
+    n = _DOT_UNROLL_DIMS
+    sd = " + ".join(_dot_term_sql(a, b, i) for i in range(n))
+    sabs = " + ".join(f"abs({_dot_term_sql(a, b, i)})" for i in range(n))
+    fb = (
+        f"cast(aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" cast(floor(cast(x as double) * cast(y as double)"
+        f" * {_DOT_SCALE:.1f}D + 0.5D) as decimal(30,0))),"
+        f" cast(0 as decimal(38,0)), (acc, v) -> acc + v) as double)"
+    )
+    return F.expr(
+        f"(case when size({a}) = {n} and size({b}) = {n}"
+        f" and ({sabs}) < {_DOT_EXACT_BOUND} then ({sd})"
+        f" else {fb} end / {_DOT_SCALE:.1f}D)"
+    )
+
+
 def cosine_cols(a: Column, b: Column) -> Column:
     return safe_cos(
         dot_dec(a, b), F.sqrt(sq_norm_dec(a)), F.sqrt(sq_norm_dec(b))
@@ -170,7 +223,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "nid",
         safe_cos(
-            dot_dec(F.col("ea"), F.col("eb")), F.col("qnrm"), F.col("cnrm")
+            dot_dec_fast("ea", "eb"), F.col("qnrm"), F.col("cnrm")
         ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -268,7 +321,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "nid",
         safe_cos(
-            dot_dec(F.col("ea"), F.col("eb")), F.col("qnrm"), F.col("cnrm")
+            dot_dec_fast("ea", "eb"), F.col("qnrm"), F.col("cnrm")
         ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -385,7 +438,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "nid",
         safe_cos(
-            dot_dec(F.col("ea"), F.col("eb")), F.col("qnrm"), F.col("cnrm")
+            dot_dec_fast("ea", "eb"), F.col("qnrm"), F.col("cnrm")
         ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -824,7 +877,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nid",
         "nlabel",
         safe_cos(
-            dot_dec(F.col("ea"), F.col("eb")), F.col("qnrm"), F.col("cnrm")
+            dot_dec_fast("ea", "eb"), F.col("qnrm"), F.col("cnrm")
         ).alias("cosine"),
     )
     wk = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -1081,7 +1134,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nid",
         "nlabel",
         safe_cos(
-            dot_dec(F.col("ea"), F.col("eb")), F.col("qnrm"), F.col("cnrm")
+            dot_dec_fast("ea", "eb"), F.col("qnrm"), F.col("cnrm")
         ).alias("cosine"),
     )
     wk = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -1316,6 +1369,12 @@ def _lloyd(
     from sql_flow_spark.functions.mat import materialize_once
 
     t = load_tables(spark, sf_dir, ("embeddings",))
+    # explicit partition count (cores, scale-adaptive — NOT a local
+    # constant): with the count left to AQE the tiny-byte fact
+    # coalesces to ONE partition and every iteration's CPU-bound
+    # fixed-point aggregate runs on a single core (r13: the dist agg
+    # measured 0.88 s on 1 task; the bytes are small but the decimal
+    # math is not)
     e = materialize_once(
         t["embeddings"]
         .select("vec_id", F.posexplode("embedding").alias("dim", "val"))
@@ -1324,7 +1383,7 @@ def _lloyd(
             F.col("dim").cast("int").alias("dim"),
             F.col("val").cast("double").alias("val"),
         )
-        .repartition("vec_id")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     cent = e.filter(F.col("vec_id") < n_clusters).select(
         F.col("vec_id").cast("int").alias("cluster"), "dim",
@@ -1451,7 +1510,11 @@ def _pq_fact(emb: DataFrame) -> DataFrame:
             ),
             F.col("val").cast("double").alias("val"),
         )
-        .repartition("vec_id")
+        # cores, not AQE's byte-sized single partition: the training
+        # aggregates over this fact are CPU-bound (see _lloyd)
+        .repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+        )
     )
 
 
@@ -1483,7 +1546,10 @@ def _pq_train(
         # arbitrary (non-contiguous) seed vectors — the disk-index
         # path, where ids carry no [lo, lo+k) contract; cluster id =
         # position in the caller's (sorted, deterministic) list
-        m = e.sparkSession.createDataFrame(
+        from sql_flow_spark.localdf import local_df
+
+        m = local_df(
+            e.sparkSession,
             [(int(v), i) for i, v in enumerate(seed_ids)],
             "vec_id long, cluster int",
         )
@@ -1661,6 +1727,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (qid, nid) sum; every shuffle key (cell, nid, qid) is the natural
     one. ADC ranks by dot(q, x̂)/|x| (true corpus norms ride the
     candidate rows; |q| is per-query constant, rank-neutral)."""
+    from sql_flow_spark.functions.mat import materialize_once
+
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     e = _with_norm(emb)
@@ -1683,19 +1751,23 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "nid", "cell", "cnrm")
 
     # (cell, dim, cval) coarse-centroid table — IVF_K*64 rows, broadcast
+    # (Arrow local frame: no 32-task Python-RDD scan, see localdf.py)
+    from sql_flow_spark.localdf import local_df
+
     cent_rows = [
         (int(cid), int(d), float(v))
         for cid, row in enumerate(cent_ivf)
         for d, v in enumerate(row)
     ]
-    cent_df = spark.createDataFrame(
-        cent_rows, "cell int, dim int, cval double"
-    )
-    # residual fact: val - c_cell[dim], per corpus vector
+    cent_df = local_df(spark, cent_rows, "cell int, dim int, cval double")
+    # residual fact: val - c_cell[dim], per corpus vector — checkpointed
+    # ONCE (r13): _pq_train re-reads its fact twice per iteration plus
+    # the seed collect, and without the materialization every pass
+    # re-ran the cell-assign pandas UDF and both joins
     res_fact = _pq_fact(
         emb.where(F.col("vec_id") >= N_QUERIES)
     )
-    res_fact = (
+    res_fact = materialize_once(
         res_fact.withColumnRenamed("val", "rawval")
         .join(
             cells.select(F.col("nid").alias("vec_id"), "cell"), "vec_id"
@@ -1776,7 +1848,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "nid",
             safe_cos(
-                dot_dec(F.col("ea"), F.col("eb")),
+                dot_dec_fast("ea", "eb"),
                 F.col("qnrm"),
                 F.col("cnrm"),
             ).alias("cosine"),
@@ -2244,11 +2316,19 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unmaterialized, each would re-run the assignment join over the
     # exploded fact; the steady cost at sf0.1 is _lloyd itself (~4.5s
     # per fresh call: 2 iterations of eager checkpoints), not the pairs
+    # partitioned by the pair-join key at core count BEFORE the
+    # checkpoint (r13): the self-join below then reuses the
+    # partitioning with zero exchange, and the CPU-bound cosine stage
+    # (measured 1.9 s on ONE task when AQE coalesced the tiny bytes)
+    # spreads across the cluster's cores
     m = materialize_once(
         t["embeddings"]
         .select("vec_id", "embedding")
         .join(assign, "vec_id")
         .withColumn("nrm", F.sqrt(sq_norm_dec(F.col("embedding"))))
+        .repartition(
+            spark.sparkContext.defaultParallelism, "cluster"
+        )
     )
     x = m.select(
         F.col("cluster"),
@@ -2263,7 +2343,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("ynrm"),
     )
     cos = safe_cos(
-        dot_dec(F.col("ea"), F.col("eb")), F.col("xnrm"), F.col("ynrm")
+        dot_dec_fast("ea", "eb"), F.col("xnrm"), F.col("ynrm")
     )
     pruned = (
         x.join(y, "cluster")

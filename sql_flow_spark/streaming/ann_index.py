@@ -61,7 +61,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sql_flow_spark.functions.similarity import (
-    dot_dec,
+    dot_dec_fast,
     ivf_assign,
     ivf_centroids,
     safe_cos,
@@ -232,7 +232,11 @@ class IncrementalIVF:
                 f"embedding dim {dim} is not divisible by pq_sub_dim {sd}"
             )
         n_sub = dim // sd
-        cent_df = self.spark.createDataFrame(
+        from sql_flow_spark.functions.mat import materialize_once
+        from sql_flow_spark.localdf import local_df
+
+        cent_df = local_df(
+            self.spark,
             [
                 (int(c), int(d), float(v))
                 for c, row in enumerate(self.centroids)
@@ -241,7 +245,13 @@ class IncrementalIVF:
             "cell int, dim int, cval double",
         )
         assigned = self._assigned_base(corpus)
-        fact = (
+        # checkpointed ONCE (r13): _pq_train reads this fact twice per
+        # iteration plus the seed join — without the materialization
+        # every pass re-ran the cell-assign pandas UDF and the
+        # centroid join; partitioned at core count because the
+        # training aggregates are CPU-bound on tiny bytes (see
+        # similarity._lloyd)
+        fact = materialize_once(
             assigned.select(
                 "vec_id", "cell",
                 F.posexplode("embedding").alias("dim", "rawval"),
@@ -253,10 +263,13 @@ class IncrementalIVF:
                 F.floor(F.col("dim") / F.lit(sd)).cast("int").alias("sub"),
                 (F.col("rawval") - F.col("cval")).alias("val"),
             )
+            .repartition(
+                self.spark.sparkContext.defaultParallelism, "vec_id"
+            )
         )
         seed_ids = [
             r[0]
-            for r in assigned.select("vec_id")
+            for r in fact.select("vec_id")
             .distinct()
             .orderBy("vec_id")
             .limit(pq_k)
@@ -586,7 +599,7 @@ class IncrementalIVF:
                 "qid",
                 F.col("vec_id").alias("nid"),
                 safe_cos(
-                    dot_dec(F.col("ea"), F.col("embedding")),
+                    dot_dec_fast("ea", "embedding"),
                     F.col("qnrm"),
                     F.col("nrm"),
                 ).alias("cosine"),
@@ -659,7 +672,7 @@ class IncrementalIVF:
             "qid",
             F.col("vec_id").alias("nid"),
             safe_cos(
-                dot_dec(F.col("ea"), F.col("embedding")),
+                dot_dec_fast("ea", "embedding"),
                 F.col("qnrm"),
                 F.col("nrm"),
             ).alias("cosine"),
@@ -750,7 +763,9 @@ class IncrementalIVF:
                 out[m] = ct[ca[m]] + lut[subs[None, :], cd[m]].sum(axis=1)
             return pd.Series(out)
 
-        q = self.spark.createDataFrame(qcell_rows, "qid long, qcell int")
+        from sql_flow_spark.localdf import local_df
+
+        q = local_df(self.spark, qcell_rows, "qid long, qcell int")
         # candidate scan: ids + codes only — the embedding column is
         # pruned at the parquet reader, cells outside the probe set at
         # the partition index (literal IN on the partition column)
@@ -801,7 +816,7 @@ class IncrementalIVF:
                 "qid",
                 "nid",
                 safe_cos(
-                    dot_dec(F.col("ea"), F.col("embedding")),
+                    dot_dec_fast("ea", "embedding"),
                     F.col("qnrm"),
                     F.col("nrm"),
                 ).alias("cosine"),
