@@ -99,32 +99,34 @@ def learn_merges(
             .groupBy("p.left", "p.right")
             .agg(F.sum("cnt").alias("pair_count"))
         )
-        best = (
+        # r13: collect the 1-row argmax directly (the TakeOrdered job
+        # IS the iteration's work) instead of localCheckpoint-ing it
+        # and re-attaching via a broadcast join — one job and one plan
+        # node fewer per merge, identical trajectory (the fold now
+        # takes the winning pair as literals).
+        best_rows = (
             pairs.orderBy(
                 F.col("pair_count").desc(), F.col("left"), F.col("right")
             )
             .limit(1)
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        best_rows = best.collect()
         if not best_rows:
             break
+        left, right = best_rows[0]["left"], best_rows[0]["right"]
         merges.append(
-            (
-                rank,
-                best_rows[0]["left"],
-                best_rows[0]["right"],
-                best_rows[0]["left"] + best_rows[0]["right"],
-                best_rows[0]["pair_count"],
-            )
+            (rank, left, right, left + right, best_rows[0]["pair_count"])
         )
-        vocab = vocab.join(F.broadcast(best)).select(
+        vocab = vocab.select(
             _merge_pair(
-                F.col("syms"), F.col("left"), F.col("right")
+                F.col("syms"), F.lit(left), F.lit(right)
             ).alias("syms"),
             "cnt",
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    from sql_flow_spark.localdf import local_df
+
+    return local_df(
+        spark,
         merges,
         "rank int, left string, right string, merged string, pair_count long",
     )

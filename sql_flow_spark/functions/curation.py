@@ -792,7 +792,10 @@ def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = per.groupBy("drop_idx").agg(
         F.count("*").alias("cnt"), F.sum("n_tokens").alias("tok")
     )
-    stages = spark.createDataFrame(
+    from sql_flow_spark.localdf import local_df
+
+    stages = local_df(
+        spark,
         [
             (1, "exact_dedup"),
             (2, "quality_floor"),

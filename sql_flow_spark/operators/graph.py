@@ -112,7 +112,25 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
-    ew = materialize_once(edges.join(outw, "src").repartition("src"))
+    # r13: repartition("src") WITHOUT a count let AQE coalesce the
+    # checkpoint to a handful of partitions, and the iteration join's
+    # required distribution (shuffle.partitions-sized) then RE-SHUFFLED
+    # the whole edge table every iteration — the event log showed the
+    # full checkpoint (239 MB deserialized at sf0.1) read AND 34 MB
+    # shuffle-written per iteration, 5x. Pinning the partition count to
+    # the session's shuffle partitioning and pre-sorting by src makes
+    # the checkpointed layout exactly what the sort-merge join needs:
+    # iterations now shuffle only the node-sized pr/inflow tables (the
+    # docstring's contract, now actually held by the plan — see
+    # plans/r13/pagerank_copurchase_{before,after}.txt).
+    n_shuffle = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ew = materialize_once(
+        edges.join(outw, "src")
+        .repartition(n_shuffle, "src")
+        .sortWithinPartitions("src")
+    )
     nodes = ew.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     nodes_n = materialize_once(nodes.join(F.broadcast(nn)))

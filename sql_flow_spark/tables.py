@@ -41,6 +41,22 @@ _NANO_TS_COLS = {"events": ("ts",)}
 # to a .first() probe — builders stay fully lazy, zero driver jobs.
 _VECTOR_COLS = {"embeddings": ("embedding",)}
 
+# Tables whose consumers do HEAVY narrow work fused into the scan
+# stage (tokenize/explode/hash over full text). A single-row-group
+# parquet file cannot be split by maxPartitionBytes, so without help
+# the whole text pipeline of a query runs on ONE task (r13
+# optimization round: char_entropy's tokenize stage measured 2.5 s of
+# single-core CPU while 31 cores idled). For these tables, when the
+# scan's parallelism is below the session default, a round-robin
+# repartition spreads the scan output across cores BEFORE the fused
+# narrow work. Scale posture: at production scale these tables arrive
+# as many files/row groups, the guard condition is false, and no
+# exchange is added; every consumer's values are partitioning-
+# independent (exact aggregates / key-partitioned windows; the one
+# partition-sensitive family — Misra-Gries heavy hitters — is
+# deterministic by its recount construction, see heavy_hitters).
+_SPREAD_SCAN_TABLES = ("documents",)
+
 
 def _array_dim_from_parquet(path: str, col: str) -> int | None:
     """Vector dimensionality by decoding ONE value of ``col`` from the
@@ -114,6 +130,10 @@ def load_tables(
                     df = df.withColumn(
                         col, F.col(col).alias(col, metadata={"dim": dim})
                     )
+        if name in _SPREAD_SCAN_TABLES:
+            par = spark.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < par:
+                df = df.repartition(par)
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df
