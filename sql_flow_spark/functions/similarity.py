@@ -759,7 +759,9 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dim").cast("int").alias("dim"),
             F.col("val").cast("double").alias("val"),
         )
-        .repartition("vec_id")
+        # cores, not AQE's byte-sized single partition — the iteration
+        # aggregates are CPU-bound fixed-point sums (see _lloyd, r13)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     v = spark.range(_PI_DIMS).select(
         F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("v")

@@ -117,27 +117,37 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # required distribution (shuffle.partitions-sized) then RE-SHUFFLED
     # the whole edge table every iteration — the event log showed the
     # full checkpoint (239 MB deserialized at sf0.1) read AND 34 MB
-    # shuffle-written per iteration, 5x. Pinning the partition count to
-    # the session's shuffle partitioning and pre-sorting by src makes
-    # the checkpointed layout exactly what the sort-merge join needs:
-    # iterations now shuffle only the node-sized pr/inflow tables (the
-    # docstring's contract, now actually held by the plan — see
-    # plans/r13/pagerank_copurchase_{before,after}.txt).
+    # shuffle-written per iteration, 5x (see
+    # plans/r13/pagerank_copurchase_stages_{before,after}.txt). The
+    # partition count is now pinned to the session shuffle
+    # partitioning for the at-scale shuffle-join path, and the
+    # iteration join strategy is chosen explicitly below (a sorted-
+    # checkpoint SMJ variant was measured and rejected: LogicalRDD
+    # drops the ordering, so the join re-sorted and SPILLED the edge
+    # table every iteration).
     n_shuffle = int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
     ew = materialize_once(
-        edges.join(outw, "src")
-        .repartition(n_shuffle, "src")
-        .sortWithinPartitions("src")
+        edges.join(outw, "src").repartition(n_shuffle, "src")
     )
     nodes = ew.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     nodes_n = materialize_once(nodes.join(F.broadcast(nn)))
+    # Join strategy for the per-iteration edge×rank join, picked
+    # DELIBERATELY (guide §3.1): the checkpointed tables carry no
+    # stats, so the planner would default to sort-merge — which
+    # re-sorts (and at sf0.1 spills) the full edge table EVERY
+    # iteration. The rank table is node-sized; up to ~5M nodes it
+    # broadcasts (edges never move at all — the right plan on any
+    # cluster whose node table fits an executor), beyond that the
+    # shuffle join on the pre-partitioned edge layout takes over.
+    n_nodes = nodes_n.count()  # checkpointed — a cheap bounded job
+    _maybe_b = F.broadcast if n_nodes <= 5_000_000 else (lambda df: df)
     pr = nodes_n.select("node", (F.lit(1.0) / F.col("n")).alias("pr"))
     for _ in range(_PR_ITERS):
         inflow = (
-            ew.join(pr, ew.src == pr.node)
+            ew.join(_maybe_b(pr), ew.src == pr.node)
             .groupBy("dst")
             .agg(
                 _pr_fsum(
