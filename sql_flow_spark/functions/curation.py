@@ -270,38 +270,54 @@ def connected_components(
     whose diameter exceeds max_iters (e.g. a long chain of pairwise
     dups), and the caller can't tell.
     """
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     both = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    both = _iter_checkpoint(both.distinct())
+    # r13: checkpointed pre-partitioned on src at the session shuffle
+    # partitioning (the same fix pagerank_copurchase got — without the
+    # explicit count AQE coalesces the checkpoint and the iteration
+    # join re-shuffles the full edge table every round).
+    both = _iter_checkpoint(both.distinct().repartition(n_shuffle, "src"))
     labels = _iter_checkpoint(
         both.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
+    # Join strategy picked deliberately (guide §3.1, mirroring
+    # pagerank_copurchase): the label table is node-sized, so up to
+    # ~5M nodes both per-iteration joins broadcast it (the edge
+    # checkpoint is never exchanged or sorted); beyond that the
+    # shuffle join runs on the pre-partitioned edge layout.
+    n_nodes = labels.count()  # checkpointed — a cheap bounded job
+    _maybe_b = F.broadcast if n_nodes <= 5_000_000 else (lambda df: df)
     changed = -1
     for _ in range(max_iters):
         neighbor_min = (
-            both.join(labels, both.src == labels.doc_id)
+            both.join(_maybe_b(labels), both.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # `chg` is computed inside the same pass (least(..) < label iff
+        # a neighbor improved the label), so convergence costs one
+        # filter-count over the checkpointed node-sized frame instead
+        # of the old labels-vs-new-labels join job.
         new_labels = _iter_checkpoint(
-            labels.join(neighbor_min, "doc_id", "left")
+            labels.join(_maybe_b(neighbor_min), "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce(F.col("nlabel"), F.col("label"))
+                    < F.col("label")
+                ).alias("chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     if changed != 0:

@@ -1062,8 +1062,15 @@ def part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is TakeOrderedAndProject. A pathologic giant basket is the skew
     risk — cap basket size upstream as LSH caps band buckets."""
     t = load_tables(spark, sf_dir, ("lineitem",))
+    # r13: pin the basket self-join to the session shuffle partitioning
+    # — the pair explosion is CPU-dense on small bytes and AQE's
+    # byte-based coalescing starved it of tasks (see graph._basket_pairs).
     pk = (
         t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            "l_orderkey",
+        )
     )
     a = pk.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
@@ -1123,7 +1130,14 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket-bounded); the item-count dim is part-cardinality and joins
     back by broadcast; the total is a one-row cross join."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    pk = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    # r13: same self-join task pin as part_copurchase_topk.
+    pk = (
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            "l_orderkey",
+        )
+    )
     tot = pk.agg(
         F.count_distinct("l_orderkey").cast("long").alias("n_orders")
     )
@@ -2123,7 +2137,17 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     support-threshold HAVING slots in before the sort for true
     Apriori-style pruning."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    b = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    # r13: pin the basket-collect stage (collect_set + the fused
+    # C(basket,3) combination explode is CPU-dense on small bytes; AQE
+    # byte-coalescing starved it of tasks — same treatment as
+    # graph._basket_pairs).
+    b = (
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            "l_orderkey",
+        )
+    )
     arr = b.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("a")
     ).where(F.size("a") >= 3)

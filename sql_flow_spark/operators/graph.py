@@ -103,7 +103,17 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_flow_spark.functions.mat import materialize_once
 
     t = load_tables(spark, sf_dir, ("lineitem",))
-    pk = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    # Same CPU-dense pair-explosion treatment as _basket_pairs (r13):
+    # pin the distinct's output to the session shuffle partitioning on
+    # the join key so the self-join runs at core count instead of
+    # AQE's byte-coalesced handful of tasks.
+    pk = (
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            "l_orderkey",
+        )
+    )
     a = pk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = pk.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
     edges = (
@@ -307,7 +317,20 @@ def _triangle_pipeline(und: DataFrame) -> DataFrame:
 
 def _basket_pairs(spark: SparkSession, sf_dir: str):
     t = load_tables(spark, sf_dir, ("lineitem",))
-    pk = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    # r13: the basket self-join is CPU-dense on small bytes (per-order
+    # pair explosion), and AQE's byte-based coalescing handed it ~5
+    # tasks at sf0.1 (stage profile: 4.3 CPU-s on 5 tasks, ~1 s wall).
+    # Pinning the distinct's output to the session shuffle partitioning
+    # on the join key keeps the explosion at core count — the same
+    # CPU-dense-reduce treatment as the Lloyd facts — and both join
+    # sides read ONE reused exchange, so no extra shuffle is added.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    pk = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .repartition(n_shuffle, "l_orderkey")
+    )
     a = pk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
     b = pk.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("b"))
     return a.join(
@@ -447,17 +470,10 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable degree joins -> single-row moment agg. No data-sized
     stage after the first DISTINCT; the moment agg is map-side partial
     everywhere."""
-    t = load_tables(spark, sf_dir, ("lineitem",))
-    pk = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a = pk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
-    b = pk.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("b")
-    )
-    und = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("a") < F.col("b")))
-        .select("a", "b")
-        .distinct()
-    )
+    # r13: share _basket_pairs (which pins the CPU-dense basket
+    # self-join to the session shuffle partitioning) instead of an
+    # unpinned inline copy of the same pair join.
+    und = _basket_pairs(spark, sf_dir).distinct()
     # und's DISTINCT already ends in an Exchange+HashAggregate; its
     # three consumers (deg's two union legs + the edge join) reuse that
     # exchange (ReusedExchange), so no persist/checkpoint is needed —
@@ -473,17 +489,27 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = und.join(da, F.col("na") == F.col("a")).join(
         db, F.col("nb") == F.col("b")
     )
-    dirv = joined.select(
-        F.col("dega").alias("dj"), F.col("degb").alias("dk")
-    ).unionAll(
-        joined.select(F.col("degb").alias("dj"), F.col("dega").alias("dk"))
-    )
-    s = dirv.agg(
-        F.count("*").cast("long").alias("m2"),
-        F.sum("dj").cast("long").alias("sj"),
-        F.sum("dk").cast("long").alias("sk"),
-        F.sum(F.col("dj") * F.col("dk")).cast("long").alias("sjk"),
-        F.sum(F.col("dj") * F.col("dj")).cast("long").alias("sjj"),
+    # r13: the directed edge list is the undirected one twice with the
+    # endpoint degrees swapped, so every directed moment is an exact
+    # integer function of ONE pass over the undirected join: m2 = 2·|E|,
+    # sj = sk = Σ(dega+degb), sjk = 2·Σ(dega·degb), sjj = Σ(dega²+degb²).
+    # Same BIGINT sums as the old unionAll of both orientations (which
+    # executed the deg join subtree twice), half the aggregated rows,
+    # one fewer join pass. The oracle still aggregates the directed
+    # list; the values are identical by symmetry.
+    s = joined.agg(
+        (F.count("*") * F.lit(2)).cast("long").alias("m2"),
+        (F.sum("dega") + F.sum("degb")).cast("long").alias("sj"),
+        (F.sum("dega") + F.sum("degb")).cast("long").alias("sk"),
+        (F.sum(F.col("dega") * F.col("degb")) * F.lit(2))
+        .cast("long")
+        .alias("sjk"),
+        (
+            F.sum(F.col("dega") * F.col("dega"))
+            + F.sum(F.col("degb") * F.col("degb"))
+        )
+        .cast("long")
+        .alias("sjj"),
     )
     n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
     num = F.col("m2").cast("double") * F.col("sjk").cast("double") - F.col(

@@ -69,6 +69,17 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps are emitted through an explicit format string so both
     engines print identical values."""
     t = load_tables(spark, sf_dir, ("orders",))
+    orders = t["orders"]
+    # r13: the single-row-group orders scan gives this query's Expand
+    # (rows × distinct-columns, the exact-NDV plan) only 1-2 tasks, so
+    # the CPU-dense partial aggregate ran near-serially (stage profile:
+    # 2.1 s on 2 tasks). Same scale-adaptive guard as
+    # tables._SPREAD_SCAN_TABLES: spread only when the scan is below
+    # the session parallelism — at 100 TB the table arrives as many
+    # row groups and no exchange is added.
+    par = spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() < par:
+        orders = orders.repartition(par)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for col, is_ts in _PROFILE_COLS:
         aggs.append(F.count(col).alias(f"nn_{col}"))
@@ -87,7 +98,7 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             aggs.append(F.min(col).cast("string").alias(f"mn_{col}"))
             aggs.append(F.max(col).cast("string").alias(f"mx_{col}"))
-    wide = t["orders"].agg(*aggs)
+    wide = orders.agg(*aggs)
     rows = F.array(
         *[
             F.struct(
