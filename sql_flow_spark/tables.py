@@ -55,7 +55,14 @@ _VECTOR_COLS = {"embeddings": ("embedding",)}
 # independent (exact aggregates / key-partitioned windows; the one
 # partition-sensitive family — Misra-Gries heavy hitters — is
 # deterministic by its recount construction, see heavy_hitters).
-_SPREAD_SCAN_TABLES = ("documents",)
+_SPREAD_SCAN_TABLES = ("documents", "embeddings")
+# "embeddings" joined r13 session 2: the sf0.1 file is one row group,
+# so the similarity family's scan-fused narrow work (norm + cell/LSH
+# assignment UDFs, and in dedup_embedding_lsh the ENTIRE band join —
+# its one save job profiled 7.4 s of CPU on 1 task) ran serially. The
+# family's values are partitioning-independent by construction:
+# fixed-point exact sums, deterministic id-ordered seeds/ties,
+# fixed hyperplanes/codebooks (pinned in tests/test_approx_quality.py).
 
 
 def _array_dim_from_parquet(path: str, col: str) -> int | None:
