@@ -438,7 +438,15 @@ class IncrementalIVF:
                 "invisible to marker-filtered readers. Build into a "
                 "fresh index dir."
             )
-        assigned = self._assigned(df)
+        # Align the write layout with partitionBy (guide §6): without
+        # this, every upstream task writes a file into every cell dir
+        # (tasks × k small files — after the r13 embeddings scan
+        # spread, 32×16 per batch; the occupancy footer pass and every
+        # index_df() read then pay per-file costs: the read-back stage
+        # profiled 882 tasks). One cheap batch-sized shuffle keyed on
+        # cell collapses it to one file per cell, the shape a 100 TB
+        # partitioned index write needs anyway.
+        assigned = self._assigned(df).repartition("cell")
         with lease_heartbeat(self.index_dir):
             (
                 assigned.write.mode("overwrite")
@@ -551,6 +559,7 @@ class IncrementalIVF:
         (
             df.where(cond)
             .select(*cols)
+            .repartition("cell")  # one file per cell (see _write_batch)
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(f"{self.index_dir}/b={target}")
