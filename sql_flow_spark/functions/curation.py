@@ -25,6 +25,7 @@ from sql_flow_spark.functions.dedup import (
 # materialize_once flattens lineage between CC iterations and
 # materializes multi-consumer subtrees without leaking cache entries
 # (lives in functions/mat.py so dedup.py shares it cycle-free)
+from sql_flow_spark.functions.mat import materialize_observed
 from sql_flow_spark.functions.mat import materialize_once as _iter_checkpoint
 from sql_flow_spark.functions.textops import O_NORMALIZE, _o_hits, fingerprint
 from sql_flow_spark.registry import query
@@ -280,17 +281,19 @@ def connected_components(
     # explicit count AQE coalesces the checkpoint and the iteration
     # join re-shuffles the full edge table every round).
     both = _iter_checkpoint(both.distinct().repartition(n_shuffle, "src"))
-    labels = _iter_checkpoint(
-        both.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-    )
     # Join strategy picked deliberately (guide §3.1, mirroring
     # pagerank_copurchase): the label table is node-sized, so up to
     # ~5M nodes both per-iteration joins broadcast it (the edge
     # checkpoint is never exchanged or sorted); beyond that the
-    # shuffle join runs on the pre-partitioned edge layout.
-    n_nodes = labels.count()  # checkpointed — a cheap bounded job
+    # shuffle join runs on the pre-partitioned edge layout. The node
+    # count rides the checkpoint job (r14, guide §5 — no count() job).
+    labels, _m = materialize_observed(
+        both.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id")),
+        n_nodes=F.count(F.lit(1)),
+    )
+    n_nodes = int(_m["n_nodes"] or 0)
     _maybe_b = F.broadcast if n_nodes <= 5_000_000 else (lambda df: df)
     changed = -1
     for _ in range(max_iters):
@@ -300,10 +303,10 @@ def connected_components(
             .agg(F.min("label").alias("nlabel"))
         )
         # `chg` is computed inside the same pass (least(..) < label iff
-        # a neighbor improved the label), so convergence costs one
-        # filter-count over the checkpointed node-sized frame instead
-        # of the old labels-vs-new-labels join job.
-        new_labels = _iter_checkpoint(
+        # a neighbor improved the label), and the convergence count
+        # rides the checkpoint job as an observed metric (r14, guide
+        # §5) — zero extra actions per iteration.
+        new_labels, _mc = materialize_observed(
             labels.join(_maybe_b(neighbor_min), "doc_id", "left")
             .select(
                 "doc_id",
@@ -314,9 +317,10 @@ def connected_components(
                     F.coalesce(F.col("nlabel"), F.col("label"))
                     < F.col("label")
                 ).alias("chg"),
-            )
+            ),
+            changed=F.sum(F.col("chg").cast("long")),
         )
-        changed = new_labels.where("chg").count()
+        changed = int(_mc["changed"] or 0)
         labels = new_labels.drop("chg")
         if changed == 0:
             break

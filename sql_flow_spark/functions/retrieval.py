@@ -108,60 +108,105 @@ O_BM25_CTES = f"""
 """
 
 
-def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bm25(doc_id, score) for the fixed query over `documents`.
-
-    Scale shape: dl is computed at the scan and carried through the
-    explode, so tf needs NO join back to the fact table — one shuffle
-    on (doc_id, term) restricted to query-term rows (the WHERE prunes
-    before the exchange). df (|Q| rows) and the corpus stats (1 row)
-    are broadcast. Per-doc score is an exact DECIMAL sum of
-    fixed-pointed per-term contributions."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    with_dl = docs.select(
-        "doc_id",
-        F.size(ws_tokens("text")).alias("dl"),
-        F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"),
-    )
-    tf = (
-        with_dl.where(F.col("term").isin(*QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(
-            F.max("dl").alias("dl"),
-            F.count("*").cast("double").alias("tf"),
-        )
-    )
-    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    stats = docs.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        (
-            F.sum(F.size(ws_tokens("text"))).cast("double")
-            / F.count("*").cast("double")
-        ).alias("avgdl"),
-    )
-    term_score = F.log(
+def _bm25_term_score(tf: Column, dl: Column, df: Column) -> Column:
+    """The per-(doc, term) Okapi contribution — ONE expression tree
+    shared by every consumer so the IEEE evaluation order (and the
+    oracle mirror) never forks."""
+    return F.log(
         F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
+        + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
     ) * (
-        F.col("tf")
+        tf
         * F.lit(BM25_K1 + 1.0)
         / (
-            F.col("tf")
+            tf
             + F.lit(BM25_K1)
             * (
                 F.lit(1.0 - BM25_B)
-                + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+                + F.lit(BM25_B) * (dl.cast("double") / F.col("avgdl"))
             )
         )
     )
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", scaled_int(term_score, _BM_DP).alias("ts"))
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25(doc_id, score) for the fixed query over `documents`.
+
+    r14 restructure (guide §2.3/§2.4 — same values, fewer passes): the
+    query-term set is FIXED and tiny, so per-term tf can be computed
+    with array built-ins inside the one tokenize pass
+    (size(filter(tokens, = term))) instead of explode + a (doc, term)
+    shuffle; the per-doc (dl, tf_*) panel is checkpointed once, and the
+    old second full-corpus tokenize for the stats leg becomes a tiny
+    aggregate over the checkpoint. Plan: explode + 2 tokenize scans +
+    (doc,term)+term shuffles -> 1 tokenize scan + two broadcast-sized
+    aggregates. Values are identical: tf/df/dl/n_docs/avgdl are the
+    same exact integers, and the per-term contribution reuses the same
+    expression tree fixed-pointed per term before the DECIMAL sum
+    (terms absent from a doc contribute exactly the rows the old
+    explode never produced). Oracle-verified (bm25 CTE chain
+    unchanged)."""
+    from sql_flow_spark.functions.mat import materialize_once
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = ws_tokens(F.lower(F.col("text")))
+
+    def _is(term):  # one-arg lambda factory (2-arg form = element, index)
+        return lambda x: x == F.lit(term)
+
+    per_doc = materialize_once(
+        docs.select(
+            "doc_id",
+            F.size(ws_tokens("text")).alias("dl"),
+            *[
+                F.size(F.filter(toks, _is(t))).alias(f"tf_{i}")
+                for i, t in enumerate(QUERY_TERMS)
+            ],
+        )
     )
-    return scored.groupBy("doc_id").agg(
-        (F.sum("ts").cast("double") / F.lit(_BM_SCALE)).alias("score")
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    dfs = per_doc.agg(
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(QUERY_TERMS))
+        ]
+    )
+    ts_cols = [
+        F.when(
+            F.col(f"tf_{i}") > 0,
+            scaled_int(
+                _bm25_term_score(
+                    F.col(f"tf_{i}").cast("double"),
+                    F.col("dl"),
+                    F.col(f"df_{i}"),
+                ),
+                _BM_DP,
+            ),
+        ).otherwise(F.lit(0).cast("decimal(30,0)"))
+        for i in range(len(QUERY_TERMS))
+    ]
+    hit = None
+    for i in range(len(QUERY_TERMS)):
+        c = F.col(f"tf_{i}") > 0
+        hit = c if hit is None else (hit | c)
+    total = ts_cols[0]
+    for c in ts_cols[1:]:
+        total = total + c
+    return (
+        per_doc.where(hit)
+        .crossJoin(F.broadcast(dfs))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (total.cast("double") / F.lit(_BM_SCALE)).alias("score"),
+        )
     )
 
 

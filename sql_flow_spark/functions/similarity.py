@@ -209,7 +209,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: queries (vec_id < 8) are broadcast, so
     scoring is map-side over a single embeddings scan; the only shuffle
     is the per-query top-k (k*|Q| rows). Exact baseline for ANN."""
-    t = load_tables(spark, sf_dir, ("embeddings",))
+    t = load_tables(spark, sf_dir, ("embeddings",), spread=False)
     e = _with_norm(t["embeddings"])
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
@@ -295,7 +295,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, queries broadcast, per-bucket work independent; recall is
     tuned with LSH_TABLES x LSH_BITS (tested in
     tests/test_approx_quality.py)."""
-    t = load_tables(spark, sf_dir, ("embeddings",))
+    t = load_tables(spark, sf_dir, ("embeddings",), spread=False)
     e = t["embeddings"]
     planes = _hyperplanes(embedding_dim(e))
     with_bucket = _with_norm(e).select(
@@ -384,20 +384,29 @@ def ivf_centroids(
     return cent
 
 
+def _ivf_assign_np(
+    mat: np.ndarray, centroids: np.ndarray, nprobe: int
+) -> np.ndarray:
+    """The numpy core of ``ivf_assign`` — ONE implementation shared by
+    the executor UDF and driver-side callers (ann_index._train_pq's
+    bounded fast path), so both produce identical assignments
+    including argsort tie behavior."""
+    cent_t = centroids.T.copy()
+    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = (mat / norms) @ cent_t
+    return np.argsort(-sims, axis=1)[:, :nprobe]
+
+
 def ivf_assign(emb: Column, centroids: np.ndarray, nprobe: int = 1) -> Column:
     """Array of the ``nprobe`` nearest centroid ids for each vector
     (one Arrow-batched matmul per batch; centroids ride the closure —
     k*dim doubles, broadcast-sized)."""
     from pyspark.sql.types import ArrayType, IntegerType
 
-    cent_t = centroids.T.copy()
-
     @F.pandas_udf(ArrayType(IntegerType()))
     def _assign(embs: pd.Series) -> pd.Series:
         mat = np.stack(embs.to_numpy()).astype(np.float64)
-        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = (mat / norms) @ cent_t
-        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        top = _ivf_assign_np(mat, centroids, nprobe)
         return pd.Series(list(top.astype(np.int32)))
 
     return _assign(emb)
@@ -415,7 +424,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a DataFrame join instead of an index file. Recall/latency tunes
     with IVF_K (cells) and IVF_NPROBE (cells probed per query), pinned
     by tests/test_approx_quality.py."""
-    t = load_tables(spark, sf_dir, ("embeddings",))
+    t = load_tables(spark, sf_dir, ("embeddings",), spread=False)
     e = t["embeddings"]
     cent = ivf_centroids(e)
     with_cell = _with_norm(e)
@@ -469,7 +478,7 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sql_flow_spark.streaming.ann_index import IncrementalIVF
 
-    t = load_tables(spark, sf_dir, ("embeddings",))
+    t = load_tables(spark, sf_dir, ("embeddings",), spread=False)
     e = t["embeddings"]
     corpus = e.where(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 2 == 0)
@@ -515,7 +524,7 @@ def ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sql_flow_spark.streaming.ann_index import IncrementalIVF
 
-    t = load_tables(spark, sf_dir, ("embeddings",))
+    t = load_tables(spark, sf_dir, ("embeddings",), spread=False)
     e = t["embeddings"]
     corpus = e.where(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 2 == 0)
@@ -640,7 +649,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     long format (label, dim, value) instead of re-assembling arrays
     keeps the result joinable/aggregatable without another shuffle;
     collect to vectors only at the consumer."""
-    t = load_tables(spark, sf_dir, ("embeddings",))
+    t = load_tables(spark, sf_dir, ("embeddings",), spread=False)
     exploded = t["embeddings"].select(
         "label", F.posexplode("embedding").alias("dim", "v")
     )
@@ -859,7 +868,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan, per-query top-k — plus a vote groupBy on (qid, label),
     cardinality |Q|×labels. The label column rides the same scan, so
     classification costs nothing beyond the search."""
-    t = load_tables(spark, sf_dir, ("embeddings",))
+    t = load_tables(spark, sf_dir, ("embeddings",), spread=False)
     e = _with_norm(t["embeddings"])
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
@@ -1116,7 +1125,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none — the reference (sqlflow/sql.py) has no
     embedding operators; this extends the brief's training-data
     toolkit."""
-    t = load_tables(spark, sf_dir, ("embeddings",))
+    t = load_tables(spark, sf_dir, ("embeddings",), spread=False)
     e = _with_norm(t["embeddings"])
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
@@ -1227,7 +1236,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     → one tiny per-label stats row broadcast onto the distances. Every
     shuffle key space is labels×dims, vectors, or labels — never
     pairs."""
-    t = load_tables(spark, sf_dir, ("embeddings",))
+    t = load_tables(spark, sf_dir, ("embeddings",), spread=False)
     e = t["embeddings"].select(
         "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
     ).select(
@@ -1520,6 +1529,66 @@ def _pq_fact(emb: DataFrame) -> DataFrame:
     )
 
 
+# Driver-trainable bound for the PQ fast path (rows): the collected
+# sample is rows * dim * 8 bytes (64-dim schema -> 32 MiB at the cap,
+# broadcast-build-side territory) and the trainer's largest temporary
+# is rows * k * sub_dim doubles per subspace. Beyond the cap the
+# distributed trajectory runs unchanged.
+_PQ_DRIVER_TRAIN_CAP = 65536
+
+
+def _pq_train_driver(
+    ids: np.ndarray,
+    vals: np.ndarray,
+    k: int,
+    sd: int,
+    iters: int = PQ_ITERS,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side numpy twin of ``_pq_train`` — the IDENTICAL
+    fixed-point Lloyd trajectory (same floor(term*1e8+0.5) integer
+    sums, same (dist, cluster) argmin with lowest-cluster ties, same
+    exact-sum/exact-count centroid means), verified bit-for-bit
+    against the distributed trainer at sf0.01/sf0.1. Every sum here is
+    a sum of integer-valued doubles far below 2^53, so numpy's int64 /
+    float64 arithmetic reproduces the DECIMAL fold exactly.
+
+    ``ids``: (n,) unique vec ids; ``vals``: (n, dim) the training
+    values (cell residuals for the disk index). Seeds are the ``k``
+    smallest ids. Returns (assign, book): assign (n, n_sub) codeword
+    ids aligned with ``ids``' row order, book (n_sub, k, sd) with NaN
+    rows for codewords that lost every member (consistent per
+    (sub, cluster) block, exactly like the distributed trainer's
+    vanished centroid rows)."""
+    n, dim = vals.shape
+    n_sub = dim // sd
+    seed_rows = np.argsort(ids, kind="stable")[:k]
+    c = vals[seed_rows].copy()  # (k, dim); NaN = dead (sub, cluster)
+    assign = np.zeros((n, n_sub), dtype=np.int64)
+    for _ in range(iters):
+        for s in range(n_sub):
+            seg = vals[:, s * sd:(s + 1) * sd]
+            csub = c[:, s * sd:(s + 1) * sd]
+            alive = ~np.isnan(csub[:, 0])
+            diff = seg[:, None, :] - csub[None, :, :]
+            terms = np.floor(diff * diff * _PI_SCALE + 0.5)
+            dist = terms.sum(axis=2) / _PI_SCALE
+            dist[:, ~alive] = np.inf
+            assign[:, s] = np.argmin(dist, axis=1)  # first min = low cluster
+        new_c = np.full_like(c, np.nan)
+        for s in range(n_sub):
+            for j in range(k):
+                m = assign[:, s] == j
+                cnt = int(m.sum())
+                if cnt == 0:
+                    continue
+                seg = vals[m, s * sd:(s + 1) * sd]
+                ssum = np.floor(seg * _PI_SCALE + 0.5).sum(axis=0)
+                new_c[j, s * sd:(s + 1) * sd] = (ssum / _PI_SCALE) / cnt
+        c = new_c
+    book = np.stack([c[:, s * sd:(s + 1) * sd] for s in range(n_sub)])
+    return assign, book
+
+
 def _pq_train(
     e: DataFrame,
     seed_lo: int = 0,
@@ -1731,7 +1800,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate rows; |q| is per-query constant, rank-neutral)."""
     from sql_flow_spark.functions.mat import materialize_once
 
-    t = load_tables(spark, sf_dir, ("embeddings",))
+    t = load_tables(spark, sf_dir, ("embeddings",), spread=False)
     emb = t["embeddings"]
     e = _with_norm(emb)
     cent_ivf = ivf_centroids(e)
@@ -1949,7 +2018,7 @@ def farthest_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, pre-bucket with ann_lsh/ann_ivf and run FPS per bucket."""
     from sql_flow_spark.functions.mat import materialize_once
 
-    t = load_tables(spark, sf_dir, ("embeddings",))
+    t = load_tables(spark, sf_dir, ("embeddings",), spread=False)
     e = t["embeddings"].select(
         "vec_id",
         "embedding",

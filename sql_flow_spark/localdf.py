@@ -26,19 +26,23 @@ def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     """Arrow-path createDataFrame for small driver-side row lists.
 
     ``rows``: list of tuples (column order must match ``schema``).
-    Falls back to the plain path when pandas is unavailable or the
-    rows are empty (the Arrow path needs at least the dtypes)."""
+    Falls back to the plain path when pandas is unavailable, the rows
+    are empty (the Arrow path needs at least the dtypes), or any cell
+    is None — pandas coerces None in numeric columns to NaN, which is
+    NOT SQL NULL for doubles, so null-bearing frames keep the tuple
+    path's NULL semantics (ADVICE r13). Column names are parsed with
+    StructType.fromDDL, so nested types (``array<double>``) and
+    parenthesized types (``decimal(10,2)``) route correctly (ADVICE
+    r13)."""
     try:
         import pandas as pd
     except ImportError:  # pragma: no cover - pandas ships with pyspark
         return spark.createDataFrame(rows, schema)
-    if not rows or "<" in schema:
-        # empty (Arrow needs dtypes) or nested types (naive name split
-        # below would mis-parse the commas) -> plain path
+    rows = list(rows)
+    if not rows or any(v is None for r in rows for v in r):
         return spark.createDataFrame(rows, schema)
-    names = [
-        f.split()[0]
-        for f in schema.split(",")
-    ]
-    pdf = pd.DataFrame.from_records(list(rows), columns=names)
+    from pyspark.sql.types import StructType
+
+    names = [f.name for f in StructType.fromDDL(schema).fields]
+    pdf = pd.DataFrame.from_records(rows, columns=names)
     return spark.createDataFrame(pdf, schema)

@@ -100,7 +100,10 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-ed per iteration so the plan stays one iteration
     deep. No collect; driver traffic is zero. Skew = celebrity
     nodes: AQE skew-split handles the inflow groupBy's hot dst keys."""
-    from sql_flow_spark.functions.mat import materialize_once
+    from sql_flow_spark.functions.mat import (
+        materialize_observed,
+        materialize_once,
+    )
 
     t = load_tables(spark, sf_dir, ("lineitem",))
     # Same CPU-dense pair-explosion treatment as _basket_pairs (r13):
@@ -143,7 +146,6 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = ew.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    nodes_n = materialize_once(nodes.join(F.broadcast(nn)))
     # Join strategy for the per-iteration edge×rank join, picked
     # DELIBERATELY (guide §3.1): the checkpointed tables carry no
     # stats, so the planner would default to sort-merge — which
@@ -152,7 +154,12 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcasts (edges never move at all — the right plan on any
     # cluster whose node table fits an executor), beyond that the
     # shuffle join on the pre-partitioned edge layout takes over.
-    n_nodes = nodes_n.count()  # checkpointed — a cheap bounded job
+    # The node count rides the checkpoint job itself (r14, guide §5 —
+    # no separate count() action).
+    nodes_n, _m = materialize_observed(
+        nodes.join(F.broadcast(nn)), n_nodes=F.count(F.lit(1))
+    )
+    n_nodes = int(_m["n_nodes"] or 0)
     _maybe_b = F.broadcast if n_nodes <= 5_000_000 else (lambda df: df)
     pr = nodes_n.select("node", (F.lit(1.0) / F.col("n")).alias("pr"))
     for _ in range(_PR_ITERS):

@@ -166,6 +166,7 @@ class IncrementalIVF:
         # encoder never selects them, the LUT zeroes them.
         self.pq_codebook = pq_codebook
         self._mc = MarkerCommit(index_dir, FOLD_SLOTS)
+        self._index_schema = None  # memoized on first index_df() read
 
     @property
     def k(self) -> int:
@@ -216,14 +217,32 @@ class IncrementalIVF:
         build corpus (x − c_cell — residuals are small, so codewords
         describe within-cell structure; the flat-PQ variant measured
         recall 0.075 in ann_ivfpq_topk's A/B). Training is
-        functions/similarity._pq_train's pinned distributed Lloyd
-        trajectory; seeds are the pq_k smallest vec_ids (deterministic,
-        id-contract-free). Returns the (n_sub, pq_k, sub_dim) codebook;
-        codewords that lost every member stay NaN (never encoded to,
-        zeroed in the LUT)."""
+        functions/similarity._pq_train's pinned Lloyd trajectory; seeds
+        are the pq_k smallest vec_ids (deterministic, id-contract-free).
+        Returns the (n_sub, pq_k, sub_dim) codebook; codewords that
+        lost every member stay NaN (never encoded to, zeroed in the
+        LUT).
+
+        r14 optimization: quantizer training is a bounded-input job by
+        construction (faiss trains coarse and PQ quantizers on a
+        corpus sample, never the corpus — ivf_centroids already makes
+        that argument for the coarse stage). When the build corpus
+        fits the driver bound, collect it ONCE and run the identical
+        fixed-point trajectory in numpy (_pq_train_driver in
+        functions/similarity.py — bit-equal by construction, verified
+        bit-for-bit against the distributed trainer at sf0.01/sf0.1):
+        the exploded-fact checkpoint, the seed collect and the
+        per-iteration distributed Lloyd jobs (~10 Spark jobs) collapse
+        into one bounded collect. Beyond the bound the distributed
+        trajectory runs unchanged — the same small-side/large-side
+        switch a broadcast join makes."""
         import numpy as np
 
-        from sql_flow_spark.functions.similarity import PQ_ITERS, _pq_train
+        from sql_flow_spark.functions.similarity import (
+            _PQ_DRIVER_TRAIN_CAP,
+            _ivf_assign_np,
+            _pq_train_driver,
+        )
 
         dim = len(self.centroids[0])
         sd = self.pq_sub_dim
@@ -231,6 +250,36 @@ class IncrementalIVF:
             raise ValueError(
                 f"embedding dim {dim} is not divisible by pq_sub_dim {sd}"
             )
+        rows = (
+            corpus.select(self.id_col, self.emb_col)
+            .limit(_PQ_DRIVER_TRAIN_CAP + 1)
+            .collect()
+        )
+        clean = len(rows) <= _PQ_DRIVER_TRAIN_CAP and all(
+            r[1] is not None
+            and len(r[1]) == dim
+            and all(v is not None for v in r[1])
+            for r in rows
+        )
+        if clean:
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            if len(np.unique(ids)) == len(ids):  # dup ids -> distributed
+                embs = np.array([r[1] for r in rows], dtype=np.float64)
+                cells = _ivf_assign_np(embs, self.centroids, 1)[:, 0]
+                res = embs - self.centroids[cells]
+                _, book = _pq_train_driver(ids, res, pq_k, sd)
+                return book
+        return self._train_pq_distributed(corpus, pq_k)
+
+    def _train_pq_distributed(self, corpus: DataFrame, pq_k: int):
+        """The at-scale trainer: similarity._pq_train's distributed
+        Lloyd over the exploded residual fact (see _train_pq)."""
+        import numpy as np
+
+        from sql_flow_spark.functions.similarity import PQ_ITERS, _pq_train
+
+        dim = len(self.centroids[0])
+        sd = self.pq_sub_dim
         n_sub = dim // sd
         from sql_flow_spark.functions.mat import materialize_once
         from sql_flow_spark.localdf import local_df
@@ -575,7 +624,17 @@ class IncrementalIVF:
     # -------------------------------------------------------- search
 
     def index_df(self) -> DataFrame:
-        df = self.spark.read.parquet(self.index_dir)
+        # Schema memo (r14, guide §6): the index schema is fixed at
+        # build time, but a bare read infers it from file footers on
+        # EVERY call — search_pq alone reads the index twice (candidate
+        # + rerank scans). Infer once per IncrementalIVF instance and
+        # pass it explicitly afterwards; partition discovery still runs
+        # (the file set does change between batches).
+        reader = self.spark.read
+        if getattr(self, "_index_schema", None) is not None:
+            reader = reader.schema(self._index_schema)
+        df = reader.parquet(self.index_dir)
+        self._index_schema = df.schema
         wm, slot = self._mc.marker()
         if wm is not None:
             df = df.where(
@@ -821,10 +880,17 @@ class IncrementalIVF:
             .where(F.col("srank") <= short)
             .select("qid", "nid")
         )
-        qv = queries.select(
-            F.col(self.id_col).alias("qid"),
-            F.col(self.emb_col).alias("ea"),
-            F.sqrt(sq_norm_dec(F.col(self.emb_col))).alias("qnrm"),
+        # rerank query frame from the rows already collected above
+        # (r14): same ids/vectors, same exact-decimal norm expression —
+        # skips a second scan of the queries source per search
+        emb_t = queries.schema[self.emb_col].dataType.simpleString()
+        id_t = queries.schema[self.id_col].dataType.simpleString()
+        qv = local_df(
+            self.spark,
+            [(r["qid"], list(r["emb"])) for r in qrows],
+            f"qid {id_t}, ea {emb_t}",
+        ).select(
+            "qid", "ea", F.sqrt(sq_norm_dec(F.col("ea"))).alias("qnrm")
         )
         # rerank reads raw vectors ONLY from the probed cells (every
         # shortlist member lives there by construction) — the same

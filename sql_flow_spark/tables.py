@@ -65,6 +65,46 @@ _SPREAD_SCAN_TABLES = ("documents", "embeddings")
 # fixed hyperplanes/codebooks (pinned in tests/test_approx_quality.py).
 
 
+# Per-(path, mtime) memo of the scan-parallelism probe below: the
+# footer read is cheap (~ms) but load_tables runs per QUERY, and the
+# probe's result only changes when the file set does.
+_SPLIT_CACHE: dict[tuple[str, float], int] = {}
+
+
+def _max_scan_splits(path: str) -> int:
+    """Upper bound on the parquet scan's parallelism: the total
+    row-group count across the table's files (a row group is the
+    smallest splittable read unit, so no maxPartitionBytes setting can
+    produce more non-empty scan tasks than this). Driver-side footer
+    metadata only — replaces the r13 ``df.rdd.getNumPartitions()``
+    probe, which forced a full analysis + physical plan + RDD
+    conversion on EVERY load_tables call (ADVICE r13) and is
+    unavailable under Spark Connect. Unreadable paths report a large
+    bound (= never spread, the safe default at scale)."""
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return 1 << 30
+    key = (path, mtime)
+    if key in _SPLIT_CACHE:
+        return _SPLIT_CACHE[key]
+    try:
+        import pyarrow.parquet as pq
+
+        files = [path]
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+        n = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:
+        n = 1 << 30
+    _SPLIT_CACHE[key] = n
+    return n
+
+
 def _array_dim_from_parquet(path: str, col: str) -> int | None:
     """Vector dimensionality by decoding ONE value of ``col`` from the
     first row group — a driver-side pyarrow read of a few KB, not a
@@ -100,8 +140,18 @@ def load_tables(
     sf_dir: str,
     names: tuple[str, ...] = TABLE_NAMES,
     register_views: bool = True,
+    spread: bool = True,
 ) -> dict[str, DataFrame]:
-    """Load parquet tables from ``sf_dir`` and return {name: DataFrame}."""
+    """Load parquet tables from ``sf_dir`` and return {name: DataFrame}.
+
+    ``spread=False`` opts a CALLER out of the small-scan spread
+    (_SPREAD_SCAN_TABLES): consumers whose post-scan work is light
+    (broadcast-probe ANN lookups, single-pass scoring) pay more for
+    the added exchange than the parallelism returns (r13: the spread
+    taxed ann_lsh/ivf/cosine_topk and bm25_topk 0.5–0.8x while the
+    heavy fused families won 1.5–4x). At production file counts the
+    spread guard is false either way, so the flag only affects the
+    small-file posture."""
     # Defensive runtime confs: the grading driver (and any embedding
     # application) supplies its OWN SparkSession, which may lack the
     # session-factory settings. Both are runtime-settable:
@@ -137,9 +187,9 @@ def load_tables(
                     df = df.withColumn(
                         col, F.col(col).alias(col, metadata={"dim": dim})
                     )
-        if name in _SPREAD_SCAN_TABLES:
+        if spread and name in _SPREAD_SCAN_TABLES:
             par = spark.sparkContext.defaultParallelism
-            if df.rdd.getNumPartitions() < par:
+            if _max_scan_splits(path) < par:
                 # Hash on the leading id column, not round-robin: a
                 # keyless repartition pays a local sort of its input
                 # (sortBeforeRepartition, kept on for retry safety)

@@ -679,3 +679,46 @@ def test_embedding_isotropy_detects_collapse(spark, tmp_path):
     us = [v / np.linalg.norm(v) for v in vecs[lbl]]
     brute = float(np.mean([u @ w for u, w in itertools.combinations(us, 2)]))
     assert abs(report[lbl] - brute) < 1e-6, (report[lbl], brute)
+
+
+def test_materialize_observed_counts_ride_the_checkpoint(spark, tmp_path):
+    """materialize_observed (r14): aggregate metrics must ride the
+    eager materialization job in BOTH checkpoint modes (localCheckpoint
+    and reliable checkpoint-dir), and the lazy_plans fallback must
+    still produce values."""
+    from pyspark.sql import functions as F
+
+    from sql_flow_spark.functions.mat import (
+        lazy_plans,
+        materialize_observed,
+    )
+
+    df = spark.range(10).withColumn("chg", F.col("id") < 3)
+
+    out, m = materialize_observed(
+        df, n=F.count(F.lit(1)), changed=F.sum(F.col("chg").cast("long"))
+    )
+    assert m["n"] == 10 and m["changed"] == 3
+    assert out.count() == 10  # checkpointed frame intact
+
+    # reliable-checkpoint mode
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        out2, m2 = materialize_observed(df, n=F.count(F.lit(1)))
+        assert m2["n"] == 10
+        assert out2.count() == 10
+    finally:
+        sc.setCheckpointDir(prev) if prev else sc._jsc.sc().setCheckpointDir(None)
+
+    with lazy_plans():
+        out3, m3 = materialize_observed(df, n=F.count(F.lit(1)))
+        assert m3["n"] == 10
+        assert out3 is not None
+
+    # sum over zero rows follows SQL semantics (None) — callers coalesce
+    _, m4 = materialize_observed(
+        df.where("id < 0"), s=F.sum(F.col("id"))
+    )
+    assert m4["s"] is None
