@@ -596,7 +596,7 @@ def embedding_near_dup_pairs(
         "vec_a",
         "vec_b",
         safe_cos(
-            dot_dec_fast("ea", "eb"), F.col("nrm_a"), F.col("nrm_b")
+            dot_dec_fast("ea", "eb", "nrm_a", "nrm_b"), F.col("nrm_a"), F.col("nrm_b")
         ).alias("cosine"),
     ).where(F.col("cosine") >= tau)
 

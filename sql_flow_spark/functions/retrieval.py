@@ -327,7 +327,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("doc_id"),
             safe_cos(
-                dot_dec_fast("embedding", "qe"),
+                dot_dec_fast("embedding", "qe", "nrm", "qnrm"),
                 F.col("nrm"),
                 F.col("qnrm"),
             ).alias("cosine"),

@@ -77,28 +77,53 @@ def _dot_term_sql(a: str, b: str, i: int) -> str:
     )
 
 
-def dot_dec_fast(a: str, b: str) -> Column:
+def dot_dec_fast(
+    a: str, b: str, na: str | None = None, nb: str | None = None
+) -> Column:
     """dot_dec over SQL column names, with a codegen fast path.
 
     Bit-identical to ``dot_dec`` by construction (r13 optimization
     round): when both arrays are exactly ``_DOT_UNROLL_DIMS`` wide AND
-    the sum of |fixed-point terms| stays under ``_DOT_EXACT_BOUND``,
-    the terms (the identical floor(x*y*SCALE + 0.5) doubles — floor of
-    a double is integer-valued and exact below 2^53) are summed as
-    DOUBLES: every partial sum of integer-valued doubles bounded by
-    Σ|t| < 2^53 is exact, so the result equals the decimal fold term
-    for term. Any other shape (wrong width, nulls pushing the abs-sum
-    guard to NULL, magnitudes beyond the documented unit-ish domain)
-    falls back to the original zip_with/aggregate DECIMAL(38,0) fold
-    in the same expression. Measured ~2.4x on the 2M-pair kernel
-    benchmark (OPTIMIZATION_r13.md) — the interpreted higher-order
-    fold is the single hottest per-row cost of the embedding family.
+    the exactness guard holds, the terms (the identical
+    floor(x*y*SCALE + 0.5) doubles — floor of a double is
+    integer-valued and exact below 2^53) are summed as DOUBLES: every
+    partial sum of integer-valued doubles bounded by Σ|t| < 2^53 is
+    exact, so the result equals the decimal fold term for term. Any
+    other shape (wrong width, nulls pushing the guard to NULL,
+    magnitudes beyond the documented unit-ish domain) falls back to
+    the original zip_with/aggregate DECIMAL(38,0) fold in the same
+    expression. Measured ~2.4x on the 2M-pair kernel benchmark
+    (OPTIMIZATION_r13.md) — the interpreted higher-order fold is the
+    single hottest per-row cost of the embedding family.
+
+    r14 (VERDICT item 2 — the guard was the kernel's own hot spot):
+    when the caller supplies the vectors' norm columns ``na``/``nb``
+    (virtually every consumer already computes them for safe_cos),
+    the Σ|t| bound comes from Cauchy-Schwarz instead of a second
+    64-term abs pass: Σ|t_i| ≤ SCALE·Σ|a_i·b_i| + n ≤
+    SCALE·‖a‖·‖b‖ + n, and the fixed-point norms under-estimate the
+    true norms by < 6e-6, absorbed by the +1e-5 margin. The guard is
+    strictly TIGHTER, and any row it reroutes lands on the exact
+    DECIMAL fallback — identical value either way (verified: 0
+    mismatches over 2M pairs). Effect: the expression halves (64
+    terms instead of 128), ~1.5x warm and ~3x cold (codegen size) on
+    the kernel bench. Null/NaN/Inf routing is unchanged: a null
+    element nulls the norm exactly as it nulled the abs-sum.
 
     Use where the inputs are plain column names (the hot pair stages);
     ``dot_dec`` stays the general Column-level API."""
     n = _DOT_UNROLL_DIMS
     sd = " + ".join(_dot_term_sql(a, b, i) for i in range(n))
-    sabs = " + ".join(f"abs({_dot_term_sql(a, b, i)})" for i in range(n))
+    if na is not None and nb is not None:
+        guard = (
+            f"(({na} + 1.0E-5D) * ({nb} + 1.0E-5D) * {_DOT_SCALE:.1f}D"
+            f" + {n}.0D) < {_DOT_EXACT_BOUND}"
+        )
+    else:
+        sabs = " + ".join(
+            f"abs({_dot_term_sql(a, b, i)})" for i in range(n)
+        )
+        guard = f"({sabs}) < {_DOT_EXACT_BOUND}"
     fb = (
         f"cast(aggregate(zip_with({a}, {b}, (x, y) ->"
         f" cast(floor(cast(x as double) * cast(y as double)"
@@ -107,7 +132,7 @@ def dot_dec_fast(a: str, b: str) -> Column:
     )
     return F.expr(
         f"(case when size({a}) = {n} and size({b}) = {n}"
-        f" and ({sabs}) < {_DOT_EXACT_BOUND} then ({sd})"
+        f" and {guard} then ({sd})"
         f" else {fb} end / {_DOT_SCALE:.1f}D)"
     )
 
@@ -223,7 +248,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "nid",
         safe_cos(
-            dot_dec_fast("ea", "eb"), F.col("qnrm"), F.col("cnrm")
+            dot_dec_fast("ea", "eb", "qnrm", "cnrm"), F.col("qnrm"), F.col("cnrm")
         ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -321,7 +346,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "nid",
         safe_cos(
-            dot_dec_fast("ea", "eb"), F.col("qnrm"), F.col("cnrm")
+            dot_dec_fast("ea", "eb", "qnrm", "cnrm"), F.col("qnrm"), F.col("cnrm")
         ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -447,7 +472,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "nid",
         safe_cos(
-            dot_dec_fast("ea", "eb"), F.col("qnrm"), F.col("cnrm")
+            dot_dec_fast("ea", "eb", "qnrm", "cnrm"), F.col("qnrm"), F.col("cnrm")
         ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -679,6 +704,35 @@ _PI_ITERS = 6
 _PI_SCALE = 100000000.0  # 1e8 fixed-point for every sum
 _PI_DIMS = 64  # embeddings schema contract (TESTDATA.md)
 
+# Exploded-fact rows per task for the iterative trainers (Lloyd /
+# power iteration / PQ): each task carries ~30-80 ms of fixed
+# scheduling + codegen-dispatch cost, so tasks need enough fixed-point
+# aggregate rows to amortize it. r13 pinned these facts to
+# defaultParallelism outright, which the driver's arbiter measured as
+# a REGRESSION at sf0.1 (kmeans 0.75x, pq_audit 0.70x — 32 tasks of
+# 4k rows are overhead-dominated, and 8 cores beat 32). Sizing by
+# rows/task is the scale-correct form: tiny facts get few tasks,
+# production facts saturate every core.
+_FACT_ROWS_PER_TASK = 32768
+
+
+def _fact_parts(emb: DataFrame, emb_col: str = "embedding") -> int:
+    """Partition count for an exploded (vec_id, dim, val) fact:
+    ceil(nrows * dim / _FACT_ROWS_PER_TASK) clamped to [1, cores].
+    nrows/dim come from the parquet footer metadata load_tables
+    attaches to the vector column (zero Spark jobs); without metadata
+    fall back to core count (the r13 behavior)."""
+    sc = emb.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        md = emb.schema[emb_col].metadata
+        n = int(md.get("nrows", 0)) * int(md.get("dim", 0))
+    except Exception:
+        n = 0
+    if n <= 0:
+        return cores
+    return max(1, min(cores, -(-n // _FACT_ROWS_PER_TASK)))
+
 
 def _pi_fsum(term):
     return (
@@ -747,16 +801,60 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact trajectory; on real embedding corpora with a dominant
     direction the same six steps land the converged vector.
 
-    Scale shape: the exploded (vec_id, dim, val) table is checkpointed
-    ONCE, pre-partitioned on vec_id, and reused by all iterations;
-    per iteration the score groupBy and the join-back REUSE that
-    partitioning (no fact exchange), leaving one small exchange onto
-    the 64-dim key space; v is a 64-row broadcast. Driver never holds
-    data — no collect anywhere, iterations compose lazily into one
-    linear DAG."""
+    Scale shape (r14): the power iteration is a bounded-state
+    iterative trainer like the Lloyd family — under the driver bound
+    the corpus collects once and the identical fixed-point trajectory
+    runs in numpy (same floor(term*1e8+0.5) integer sums per step,
+    int64-exact under the _ck guards; the oracle gate arbitrates
+    equality), returning the 64-row loading vector as an Arrow local
+    frame. Beyond the bound (or on null/ragged/wild data) the
+    distributed path below runs unchanged: the exploded (vec_id, dim,
+    val) table is checkpointed ONCE, pre-partitioned on vec_id, and
+    reused by all iterations; per iteration the score groupBy and the
+    join-back REUSE that partitioning (no fact exchange), leaving one
+    small exchange onto the 64-dim key space; v is a 64-row
+    broadcast."""
     from sql_flow_spark.functions.mat import materialize_once
+    from sql_flow_spark.localdf import local_df
 
-    t = load_tables(spark, sf_dir, ("embeddings",))
+    t = load_tables(spark, sf_dir, ("embeddings",), spread=False)
+    got = _collect_embeddings(t["embeddings"])
+    if got is not None and got[1].ndim == 2 and got[1].shape[1] == _PI_DIMS:
+        vals = got[1]
+        try:
+            v_np = np.full(_PI_DIMS, 0.125)
+            for _ in range(_PI_ITERS):
+                s = (
+                    _ck(
+                        np.floor(
+                            (vals * v_np[None, :]) * _PI_SCALE + 0.5
+                        ),
+                        _PI_DIMS,
+                    ).astype(np.int64).sum(axis=1)
+                    / _PI_SCALE
+                )
+                w = (
+                    _ck(
+                        np.floor((vals * s[:, None]) * _PI_SCALE + 0.5),
+                        len(vals),
+                    ).astype(np.int64).sum(axis=0)
+                    / _PI_SCALE
+                )
+                nw = _ck(np.floor((w * w) * _PI_SCALE + 0.5), 1)
+                # 64-term norm sum in python ints (arbitrary precision;
+                # float(exact int) is the same correctly-rounded double
+                # the decimal->double cast produces)
+                nrm = np.sqrt(
+                    float(sum(int(x) for x in nw)) / _PI_SCALE
+                )
+                v_np = w / nrm
+            return local_df(
+                spark,
+                [(d, float(v_np[d])) for d in range(_PI_DIMS)],
+                "dim int, loading double",
+            )
+        except _TwinOverflow:
+            pass
     e = materialize_once(
         t["embeddings"]
         .select(
@@ -768,9 +866,11 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dim").cast("int").alias("dim"),
             F.col("val").cast("double").alias("val"),
         )
-        # cores, not AQE's byte-sized single partition — the iteration
-        # aggregates are CPU-bound fixed-point sums (see _lloyd, r13)
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        # partition count sized by rows/task (r14 — see
+        # _FACT_ROWS_PER_TASK; the r13 core-count pin over-split the
+        # tiny local fact), never AQE's byte-sized single partition:
+        # the iteration aggregates are CPU-bound fixed-point sums
+        .repartition(_fact_parts(t["embeddings"]), "vec_id")
     )
     v = spark.range(_PI_DIMS).select(
         F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("v")
@@ -888,7 +988,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nid",
         "nlabel",
         safe_cos(
-            dot_dec_fast("ea", "eb"), F.col("qnrm"), F.col("cnrm")
+            dot_dec_fast("ea", "eb", "qnrm", "cnrm"), F.col("qnrm"), F.col("cnrm")
         ).alias("cosine"),
     )
     wk = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -1145,7 +1245,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nid",
         "nlabel",
         safe_cos(
-            dot_dec_fast("ea", "eb"), F.col("qnrm"), F.col("cnrm")
+            dot_dec_fast("ea", "eb", "qnrm", "cnrm"), F.col("qnrm"), F.col("cnrm")
         ).alias("cosine"),
     )
     wk = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -1376,16 +1476,60 @@ def _lloyd(
     ``n_clusters`` vectors. Trajectory is bit-identical to the oracle
     chain (exact fixed-point distance sums, (dist, cluster) argmin,
     exact-sum/exact-count centroid means) — see kmeans_embeddings for
-    the full exactness and scale-shape argument."""
-    from sql_flow_spark.functions.mat import materialize_once
+    the full exactness and scale-shape argument.
 
-    t = load_tables(spark, sf_dir, ("embeddings",))
-    # explicit partition count (cores, scale-adaptive — NOT a local
-    # constant): with the count left to AQE the tiny-byte fact
-    # coalesces to ONE partition and every iteration's CPU-bound
-    # fixed-point aggregate runs on a single core (r13: the dist agg
-    # measured 0.88 s on 1 task; the bytes are small but the decimal
-    # math is not)
+    r14 fast path: the flat Lloyd is ``_pq_train_driver`` with ONE
+    subspace (sd = dim), so when the corpus fits the driver bound the
+    whole iteration ladder (iters x 3 distributed jobs) collapses into
+    one bounded collect + numpy on the IDENTICAL fixed-point
+    trajectory; assignments/centroids return as Arrow local frames.
+    Over-cap / null / ragged / non-contiguous-seed / out-of-bound
+    corpora run the unchanged distributed path. The oracle gate
+    (kmeans_embeddings, semdedup_prune) arbitrates equality."""
+    from sql_flow_spark.functions.mat import materialize_once
+    from sql_flow_spark.localdf import local_df
+
+    t = load_tables(spark, sf_dir, ("embeddings",), spread=False)
+    got = _collect_embeddings(t["embeddings"])
+    if got is not None:
+        ids, vals = got
+        seed_ids = list(range(n_clusters))
+        if set(seed_ids) <= set(ids.tolist()) and len(vals):
+            try:
+                a_np, c_np = _pq_train_driver(
+                    ids, vals, n_clusters, vals.shape[1],
+                    iters=iters, seed_ids=seed_ids,
+                )
+            except _TwinOverflow:
+                a_np = None
+            if a_np is not None:
+                assign = local_df(
+                    spark,
+                    [
+                        (int(i), int(cl))
+                        for i, cl in zip(ids.tolist(), a_np[:, 0].tolist())
+                    ],
+                    "vec_id long, cluster int",
+                )
+                book = c_np[0]  # (k, dim); NaN = dead cluster
+                cent = local_df(
+                    spark,
+                    [
+                        (j, d, float(book[j, d]))
+                        for j in range(n_clusters)
+                        for d in range(vals.shape[1])
+                        if book[j, d] == book[j, d]
+                    ],
+                    "cluster int, dim int, c double",
+                )
+                return assign, cent
+    # explicit partition count (rows/task-sized, scale-adaptive — NOT
+    # a local constant; see _fact_parts): with the count left to AQE
+    # the tiny-byte fact coalesces to ONE partition and every
+    # iteration's CPU-bound fixed-point aggregate runs on a single
+    # core (r13: the dist agg measured 0.88 s on 1 task; the bytes are
+    # small but the decimal math is not); the r13 flat core-count pin
+    # over-split it the other way (driver arbiter: kmeans 0.75x)
     e = materialize_once(
         t["embeddings"]
         .select("vec_id", F.posexplode("embedding").alias("dim", "val"))
@@ -1394,7 +1538,7 @@ def _lloyd(
             F.col("dim").cast("int").alias("dim"),
             F.col("val").cast("double").alias("val"),
         )
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .repartition(_fact_parts(t["embeddings"]), "vec_id")
     )
     cent = e.filter(F.col("vec_id") < n_clusters).select(
         F.col("vec_id").cast("int").alias("cluster"), "dim",
@@ -1504,37 +1648,103 @@ def _pq_ctes() -> list[str]:
     return ctes
 
 
-def _pq_fact(emb: DataFrame) -> DataFrame:
+def _pq_fact(emb: DataFrame, materialize: bool = True) -> DataFrame:
     """Exploded (vec_id, dim, sub, val) PQ fact, checkpointed once —
     every consumer (training iterations, reconstruction/encode joins)
     reuses the same materialized table instead of re-exploding the
-    corpus."""
+    corpus. ``materialize=False`` skips the checkpoint AND the
+    repartition for single-consumer plans (the r14 driver-trained
+    audit reads the fact exactly once, fused with the scan)."""
     from sql_flow_spark.functions.mat import materialize_once
 
-    return materialize_once(
-        emb.select("vec_id", F.posexplode("embedding").alias("dim", "val"))
-        .select(
-            "vec_id",
-            F.col("dim").cast("int").alias("dim"),
-            F.floor(F.col("dim") / F.lit(PQ_SUB_DIM)).cast("int").alias(
-                "sub"
-            ),
-            F.col("val").cast("double").alias("val"),
-        )
-        # cores, not AQE's byte-sized single partition: the training
-        # aggregates over this fact are CPU-bound (see _lloyd)
-        .repartition(
-            emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
-        )
+    out = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("dim") / F.lit(PQ_SUB_DIM)).cast("int").alias(
+            "sub"
+        ),
+        F.col("val").cast("double").alias("val"),
     )
+    if not materialize:
+        return out
+    # partition count sized by rows/task (r14, _FACT_ROWS_PER_TASK
+    # — the r13 core-count pin over-split the tiny local fact),
+    # never AQE's byte-sized single partition: the training
+    # aggregates over this fact are CPU-bound (see _lloyd)
+    return materialize_once(out.repartition(_fact_parts(emb), "vec_id"))
 
 
-# Driver-trainable bound for the PQ fast path (rows): the collected
-# sample is rows * dim * 8 bytes (64-dim schema -> 32 MiB at the cap,
-# broadcast-build-side territory) and the trainer's largest temporary
-# is rows * k * sub_dim doubles per subspace. Beyond the cap the
-# distributed trajectory runs unchanged.
+# Driver-trainable bound for the iterative-trainer fast paths (rows):
+# the collected sample is rows * dim * 8 bytes (64-dim schema ->
+# 32 MiB at the cap, broadcast-build-side territory) and the trainers'
+# largest temporary is rows * k * sub_dim doubles per subspace.
+# Beyond the cap the distributed trajectory runs unchanged — the same
+# small-side/large-side switch a broadcast join makes.
 _PQ_DRIVER_TRAIN_CAP = 65536
+# Magnitude bound for the driver twins' int64 fixed-point sums: with
+# |val| <= this, every large-cardinality sum of floor(term*SCALE+0.5)
+# terms stays far inside int64 (analysis per call site in the twins'
+# docstrings); wilder data falls back to the DECIMAL-exact distributed
+# path. Unit-ish embeddings (the schema contract) are orders of
+# magnitude inside it.
+_DRIVER_VAL_BOUND = 100.0
+
+
+def _collect_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cap: int = _PQ_DRIVER_TRAIN_CAP,
+):
+    """Bounded collect of (id, vector) rows for the driver-side
+    trainer twins. Returns (ids int64[n], vals float64[n, dim]) or
+    None when the input is over the cap, empty, null-bearing, ragged,
+    duplicate-id, or out of magnitude bounds — every case the
+    distributed trajectory's SQL semantics handle and the numpy twin
+    deliberately does not."""
+    pdf = df.select(id_col, emb_col).limit(cap + 1).toPandas()
+    if len(pdf) == 0 or len(pdf) > cap:
+        return None
+    idc, embc = pdf.columns[0], pdf.columns[1]
+    if pdf[idc].isna().any():
+        return None
+    cells = pdf[embc].to_numpy()
+    if any(v is None for v in cells):
+        return None
+    dim = len(cells[0])
+    if any(len(v) != dim for v in cells) or dim == 0:
+        return None
+    ids = pdf[idc].to_numpy(dtype=np.int64)
+    if len(np.unique(ids)) != len(ids):
+        return None
+    # Arrow renders NULL list elements as NaN — indistinguishable from
+    # data NaN, and both route to the distributed path via the finite
+    # check below, exactly as the abs/norm guards null them out.
+    vals = np.stack([np.asarray(v, dtype=np.float64) for v in cells])
+    if not np.all(np.isfinite(vals)) or np.max(np.abs(vals)) > _DRIVER_VAL_BOUND:
+        return None
+    return ids, vals
+
+
+class _TwinOverflow(Exception):
+    """A driver-twin fixed-point sum left the range where int64 /
+    float64 arithmetic provably reproduces the distributed DECIMAL
+    fold (terms must stay < 2^53 so floor-doubles are exact integers
+    and Spark's shortest-repr double->decimal cast is exact; running
+    sums must stay inside int64). Callers fall back to the
+    distributed trajectory."""
+
+
+def _ck(terms: np.ndarray, count: int) -> np.ndarray:
+    """Guard one twin reduction: every |term| < 2^53 and the worst
+    running sum < 2^62. Returns the terms for chaining."""
+    if terms.size:
+        m = float(np.max(np.abs(terms)))
+        if not (m < 2.0**53 and m * max(count, 1) < 2.0**62):
+            raise _TwinOverflow()
+    return terms
 
 
 def _pq_train_driver(
@@ -1543,6 +1753,7 @@ def _pq_train_driver(
     k: int,
     sd: int,
     iters: int = PQ_ITERS,
+    seed_ids=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Driver-side numpy twin of ``_pq_train`` — the IDENTICAL
     fixed-point Lloyd trajectory (same floor(term*1e8+0.5) integer
@@ -1553,26 +1764,46 @@ def _pq_train_driver(
     float64 arithmetic reproduces the DECIMAL fold exactly.
 
     ``ids``: (n,) unique vec ids; ``vals``: (n, dim) the training
-    values (cell residuals for the disk index). Seeds are the ``k``
-    smallest ids. Returns (assign, book): assign (n, n_sub) codeword
-    ids aligned with ``ids``' row order, book (n_sub, k, sd) with NaN
-    rows for codewords that lost every member (consistent per
-    (sub, cluster) block, exactly like the distributed trainer's
-    vanished centroid rows)."""
+    values (cell residuals for the disk index, raw values for the
+    flat trainers). Seeds default to the ``k`` smallest ids; an
+    explicit ``seed_ids`` list pins cluster j to the row with
+    id == seed_ids[j] (a missing id leaves cluster j DEAD from the
+    start — exactly the distributed trainer's empty seed filter).
+    Returns (assign, book): assign (n, n_sub) codeword ids aligned
+    with ``ids``' row order, book (n_sub, k, sd) with NaN rows for
+    codewords that lost every member (consistent per (sub, cluster)
+    block, exactly like the distributed trainer's vanished centroid
+    rows)."""
     n, dim = vals.shape
     n_sub = dim // sd
-    seed_rows = np.argsort(ids, kind="stable")[:k]
-    c = vals[seed_rows].copy()  # (k, dim); NaN = dead (sub, cluster)
+    if seed_ids is None:
+        seed_rows = np.argsort(ids, kind="stable")[:k]
+        c = vals[seed_rows].copy()  # (k, dim); NaN = dead
+    else:
+        pos = {int(v): i for i, v in enumerate(ids)}
+        c = np.full((k, dim), np.nan)
+        for j, sid in enumerate(seed_ids):
+            if int(sid) in pos:
+                c[j] = vals[pos[int(sid)]]
     assign = np.zeros((n, n_sub), dtype=np.int64)
     for _ in range(iters):
         for s in range(n_sub):
             seg = vals[:, s * sd:(s + 1) * sd]
             csub = c[:, s * sd:(s + 1) * sd]
             alive = ~np.isnan(csub[:, 0])
-            diff = seg[:, None, :] - csub[None, :, :]
+            if not alive.any():
+                raise _TwinOverflow()  # all-dead sub: defer to Spark
+            diff = seg[:, None, :] - csub[None, alive, :]  # (n, alive, sd)
             terms = np.floor(diff * diff * _PI_SCALE + 0.5)
-            dist = terms.sum(axis=2) / _PI_SCALE
-            dist[:, ~alive] = np.inf
+            # int64 sums: exact under _ck's bound (float64 partial sums
+            # would lose exactness past 2^53), then one float division
+            # — the same exact-int -> double -> divide the DECIMAL fold
+            # performs
+            dist_alive = (
+                _ck(terms, sd).astype(np.int64).sum(axis=2) / _PI_SCALE
+            )
+            dist = np.full((len(vals), k), np.inf)
+            dist[:, alive] = dist_alive
             assign[:, s] = np.argmin(dist, axis=1)  # first min = low cluster
         new_c = np.full_like(c, np.nan)
         for s in range(n_sub):
@@ -1582,7 +1813,11 @@ def _pq_train_driver(
                 if cnt == 0:
                     continue
                 seg = vals[m, s * sd:(s + 1) * sd]
-                ssum = np.floor(seg * _PI_SCALE + 0.5).sum(axis=0)
+                ssum = (
+                    _ck(np.floor(seg * _PI_SCALE + 0.5), cnt)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
                 new_c[j, s * sd:(s + 1) * sd] = (ssum / _PI_SCALE) / cnt
         c = new_c
     book = np.stack([c[:, s * sd:(s + 1) * sd] for s in range(n_sub)])
@@ -1703,19 +1938,67 @@ def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-pointed and DECIMAL-summed (the embedding_quantization
     recipe), and max |err| compares identical doubles.
 
-    Scale shape: the exploded fact is checkpointed ONCE and reused by
-    every iteration AND the reconstruction join; per iteration the
-    (8 sub x 4 k x 8 dims) codebook BROADCASTS onto the fact, the
-    distance agg lands on (vec_id, sub, cluster), the argmin window
-    and the join-back reuse the vec_id partitioning, and the codebook
-    update shuffles map-side partials onto the 256-key (cluster, dim)
-    space. Codebooks localCheckpoint per iteration (plans stay one
-    iteration deep). No collect; the label rollup is the only
-    label-sized output."""
+    Scale shape (r14): TRAINING is a bounded-input job — when the
+    corpus fits the driver bound it collects once and runs the
+    identical fixed-point trajectory in numpy (_pq_train_driver; the
+    oracle gate arbitrates equality), with the distributed
+    iteration ladder below the bound's fallback; RECONSTRUCTION stays
+    distributed — one exploded pass over the corpus with the
+    codeword/assignment tables broadcast, the label rollup the only
+    label-sized output. In the distributed fallback the exploded fact
+    is checkpointed ONCE and reused by every iteration AND the
+    reconstruction join; per iteration the (8 sub x 4 k x 8 dims)
+    codebook BROADCASTS onto the fact, the distance agg lands on
+    (vec_id, sub, cluster), the argmin window and the join-back reuse
+    the vec_id partitioning, and the codebook update shuffles
+    map-side partials onto the 256-key (cluster, dim) space."""
+    from sql_flow_spark.localdf import local_df
+
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    e = _pq_fact(emb)
-    assign, cent = _pq_train(e)
+    fast = None
+    got = _collect_embeddings(emb)
+    if got is not None:
+        ids, vals = got
+        seed_ids = list(range(PQ_K))
+        if (
+            len(vals)
+            and vals.shape[1] % PQ_SUB_DIM == 0
+            and set(seed_ids) <= set(ids.tolist())
+        ):
+            try:
+                fast = _pq_train_driver(
+                    ids, vals, PQ_K, PQ_SUB_DIM, seed_ids=seed_ids
+                )
+            except _TwinOverflow:
+                fast = None
+    if fast is not None:
+        a_np, book = fast
+        n_sub = vals.shape[1] // PQ_SUB_DIM
+        assign = F.broadcast(local_df(
+            spark,
+            [
+                (int(i), s, int(a_np[r, s]))
+                for r, i in enumerate(ids.tolist())
+                for s in range(n_sub)
+            ],
+            "vec_id long, sub int, cluster int",
+        ))
+        cent = local_df(
+            spark,
+            [
+                (j, s * PQ_SUB_DIM + d, float(book[s, j, d]))
+                for s in range(n_sub)
+                for j in range(PQ_K)
+                for d in range(PQ_SUB_DIM)
+                if book[s, j, d] == book[s, j, d]
+            ],
+            "cluster int, dim int, c double",
+        )
+        e = _pq_fact(emb, materialize=False)  # one consumer: scan-fused
+    else:
+        e = _pq_fact(emb)
+        assign, cent = _pq_train(e)
     err = F.col("val") - F.col("c")
     rec = (
         e.join(assign, ["vec_id", "sub"])
@@ -1831,25 +2114,70 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d, v in enumerate(row)
     ]
     cent_df = local_df(spark, cent_rows, "cell int, dim int, cval double")
-    # residual fact: val - c_cell[dim], per corpus vector — checkpointed
-    # ONCE (r13): _pq_train re-reads its fact twice per iteration plus
-    # the seed collect, and without the materialization every pass
-    # re-ran the cell-assign pandas UDF and both joins
-    res_fact = _pq_fact(
-        emb.where(F.col("vec_id") >= N_QUERIES)
-    )
-    res_fact = materialize_once(
-        res_fact.withColumnRenamed("val", "rawval")
-        .join(
-            cells.select(F.col("nid").alias("vec_id"), "cell"), "vec_id"
+    # PQ training (r14): bounded-input job — under the driver bound,
+    # one collect + the identical fixed-point numpy trajectory
+    # (_pq_train_driver; cell assignment through the same
+    # _ivf_assign_np the executor UDF runs, residual through the same
+    # float64 subtraction the cent_df join performs); codes/codebook
+    # return as Arrow local frames for the unchanged distributed ADC.
+    # Fallback below the bound: the r13 shape — residual fact
+    # checkpointed ONCE (­_pq_train re-reads it twice per iteration
+    # plus the seed collect), distributed Lloyd.
+    fastpq = None
+    got = _collect_embeddings(emb.where(F.col("vec_id") >= N_QUERIES))
+    if got is not None:
+        pids, pvals = got
+        seed_ids = list(range(N_QUERIES, N_QUERIES + IVFPQ_PQ_K))
+        if len(pvals) and set(seed_ids) <= set(pids.tolist()):
+            cells_np = _ivf_assign_np(pvals, cent_ivf, 1)[:, 0]
+            res_np = pvals - cent_ivf[cells_np]
+            try:
+                fastpq = _pq_train_driver(
+                    pids, res_np, IVFPQ_PQ_K, PQ_SUB_DIM,
+                    seed_ids=seed_ids,
+                )
+            except _TwinOverflow:
+                fastpq = None
+    if fastpq is not None:
+        a_np, book = fastpq
+        n_sub = pvals.shape[1] // PQ_SUB_DIM
+        codes = local_df(
+            spark,
+            [
+                (int(i), s, int(a_np[r, s]))
+                for r, i in enumerate(pids.tolist())
+                for s in range(n_sub)
+            ],
+            "vec_id long, sub int, cluster int",
         )
-        .join(F.broadcast(cent_df), ["cell", "dim"])
-        .select(
-            "vec_id", "dim", "sub",
-            (F.col("rawval") - F.col("cval")).alias("val"),
+        cb = local_df(
+            spark,
+            [
+                (j, s * PQ_SUB_DIM + d, float(book[s, j, d]))
+                for s in range(n_sub)
+                for j in range(IVFPQ_PQ_K)
+                for d in range(PQ_SUB_DIM)
+                if book[s, j, d] == book[s, j, d]
+            ],
+            "cluster int, dim int, c double",
         )
-    )
-    codes, cb = _pq_train(res_fact, seed_lo=N_QUERIES, k=IVFPQ_PQ_K)
+    else:
+        res_fact = _pq_fact(
+            emb.where(F.col("vec_id") >= N_QUERIES)
+        )
+        res_fact = materialize_once(
+            res_fact.withColumnRenamed("val", "rawval")
+            .join(
+                cells.select(F.col("nid").alias("vec_id"), "cell"),
+                "vec_id",
+            )
+            .join(F.broadcast(cent_df), ["cell", "dim"])
+            .select(
+                "vec_id", "dim", "sub",
+                (F.col("rawval") - F.col("cval")).alias("val"),
+            )
+        )
+        codes, cb = _pq_train(res_fact, seed_lo=N_QUERIES, k=IVFPQ_PQ_K)
     qfact = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.posexplode("embedding").alias("dim", "qval"),
@@ -1919,7 +2247,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "nid",
             safe_cos(
-                dot_dec_fast("ea", "eb"),
+                dot_dec_fast("ea", "eb", "qnrm", "cnrm"),
                 F.col("qnrm"),
                 F.col("cnrm"),
             ).alias("cosine"),
@@ -2414,7 +2742,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("ynrm"),
     )
     cos = safe_cos(
-        dot_dec_fast("ea", "eb"), F.col("xnrm"), F.col("ynrm")
+        dot_dec_fast("ea", "eb", "xnrm", "ynrm"), F.col("xnrm"), F.col("ynrm")
     )
     pruned = (
         x.join(y, "cluster")

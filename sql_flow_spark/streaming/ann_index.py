@@ -242,6 +242,7 @@ class IncrementalIVF:
             _PQ_DRIVER_TRAIN_CAP,
             _ivf_assign_np,
             _pq_train_driver,
+            _TwinOverflow,
         )
 
         dim = len(self.centroids[0])
@@ -265,10 +266,14 @@ class IncrementalIVF:
             ids = np.array([r[0] for r in rows], dtype=np.int64)
             if len(np.unique(ids)) == len(ids):  # dup ids -> distributed
                 embs = np.array([r[1] for r in rows], dtype=np.float64)
-                cells = _ivf_assign_np(embs, self.centroids, 1)[:, 0]
-                res = embs - self.centroids[cells]
-                _, book = _pq_train_driver(ids, res, pq_k, sd)
-                return book
+                if np.all(np.isfinite(embs)):
+                    cells = _ivf_assign_np(embs, self.centroids, 1)[:, 0]
+                    res = embs - self.centroids[cells]
+                    try:
+                        _, book = _pq_train_driver(ids, res, pq_k, sd)
+                        return book
+                    except _TwinOverflow:
+                        pass  # magnitudes past the exactness bound
         return self._train_pq_distributed(corpus, pq_k)
 
     def _train_pq_distributed(self, corpus: DataFrame, pq_k: int):
@@ -684,7 +689,7 @@ class IncrementalIVF:
                 "qid",
                 F.col("vec_id").alias("nid"),
                 safe_cos(
-                    dot_dec_fast("ea", "embedding"),
+                    dot_dec_fast("ea", "embedding", "qnrm", "nrm"),
                     F.col("qnrm"),
                     F.col("nrm"),
                 ).alias("cosine"),
@@ -757,7 +762,7 @@ class IncrementalIVF:
             "qid",
             F.col("vec_id").alias("nid"),
             safe_cos(
-                dot_dec_fast("ea", "embedding"),
+                dot_dec_fast("ea", "embedding", "qnrm", "nrm"),
                 F.col("qnrm"),
                 F.col("nrm"),
             ).alias("cosine"),
@@ -908,7 +913,7 @@ class IncrementalIVF:
                 "qid",
                 "nid",
                 safe_cos(
-                    dot_dec_fast("ea", "embedding"),
+                    dot_dec_fast("ea", "embedding", "qnrm", "nrm"),
                     F.col("qnrm"),
                     F.col("nrm"),
                 ).alias("cosine"),

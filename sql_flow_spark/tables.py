@@ -10,9 +10,15 @@ and predicate pushdown then happen per-query via Catalyst.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Sessions whose defensive runtime confs are already applied (see
+# load_tables); weak so stopped sessions don't pin memory and replaced
+# objects re-configure.
+_CONF_DONE: "weakref.WeakSet" = weakref.WeakSet()
 
 TABLE_NAMES = (
     "region",
@@ -105,12 +111,52 @@ def _max_scan_splits(path: str) -> int:
     return n
 
 
+_NROWS_CACHE: dict[tuple[str, float], int] = {}
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Total row count from parquet footers (driver-side metadata,
+    memoized per (path, mtime)); 0 when unreadable."""
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return 0
+    key = (path, mtime)
+    if key in _NROWS_CACHE:
+        return _NROWS_CACHE[key]
+    try:
+        import pyarrow.parquet as pq
+
+        files = [path]
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        n = 0
+    _NROWS_CACHE[key] = n
+    return n
+
+
+_DIM_CACHE: dict[tuple[str, str, float], int | None] = {}
+
+
 def _array_dim_from_parquet(path: str, col: str) -> int | None:
     """Vector dimensionality by decoding ONE value of ``col`` from the
     first row group — a driver-side pyarrow read of a few KB, not a
     Spark job. Parquet schemas don't carry list lengths, so this is the
     cheapest source of truth; at cluster scale the same read hits only
-    one footer + one column chunk of one file."""
+    one footer + one column chunk of one file. Memoized per
+    (path, col, mtime) — load_tables runs per query (r14)."""
+    try:
+        key = (path, col, os.path.getmtime(path))
+        if key in _DIM_CACHE:
+            return _DIM_CACHE[key]
+    except OSError:
+        key = None
     try:
         import pyarrow.parquet as pq
 
@@ -124,13 +170,17 @@ def _array_dim_from_parquet(path: str, col: str) -> int | None:
                 return None
             target = os.path.join(path, parts[0])
         pf = pq.ParquetFile(target)
-        if col not in pf.schema_arrow.names:
-            return None
-        batch = next(pf.iter_batches(batch_size=1, columns=[col]), None)
-        if batch is None or batch.num_rows == 0:
-            return None
-        value = batch.column(0)[0].as_py()
-        return len(value) if value is not None else None
+        dim = None
+        if col in pf.schema_arrow.names:
+            batch = next(
+                pf.iter_batches(batch_size=1, columns=[col]), None
+            )
+            if batch is not None and batch.num_rows > 0:
+                value = batch.column(0)[0].as_py()
+                dim = len(value) if value is not None else None
+        if key is not None:
+            _DIM_CACHE[key] = dim
+        return dim
     except Exception:  # missing/odd file: builders fall back to probing
         return None
 
@@ -163,9 +213,16 @@ def load_tables(
     #   annotation) must read as instant-semantics TIMESTAMP, not
     #   TIMESTAMP_NTZ — functions like unix_micros reject NTZ, and with
     #   the session tz pinned to UTC the two render identically anyway.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Set once per SparkSession (r14): load_tables runs per QUERY, and
+    # each conf.set is a py4j round trip; sessions are tracked in a
+    # WeakSet so a replaced session object is configured afresh.
+    if spark not in _CONF_DONE:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set(
+            "spark.sql.parquet.inferTimestampNTZ.enabled", "false"
+        )
+        _CONF_DONE.add(spark)
 
     out: dict[str, DataFrame] = {}
     for name in names:
@@ -184,8 +241,18 @@ def load_tables(
             if col in df.columns:
                 dim = _array_dim_from_parquet(path, col)
                 if dim is not None:
+                    # nrows rides along (footer metadata, driver-side):
+                    # the Lloyd/power-iteration facts size their
+                    # partition count from it (similarity._fact_parts)
                     df = df.withColumn(
-                        col, F.col(col).alias(col, metadata={"dim": dim})
+                        col,
+                        F.col(col).alias(
+                            col,
+                            metadata={
+                                "dim": dim,
+                                "nrows": _parquet_num_rows(path),
+                            },
+                        ),
                     )
         if spread and name in _SPREAD_SCAN_TABLES:
             par = spark.sparkContext.defaultParallelism
