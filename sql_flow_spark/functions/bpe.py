@@ -28,6 +28,10 @@ from sql_flow_spark.registry import query
 from sql_flow_spark.tables import load_tables
 
 N_MERGES = 8
+# Driver cap for the vocabulary fast path in learn_merges (words):
+# ~tens of MB collected at worst; past it the distributed trainer
+# runs unchanged.
+_BPE_DRIVER_VOCAB_CAP = 65536
 
 
 def _merge_pair(syms: Column, a: Column, b: Column) -> Column:
@@ -57,9 +61,24 @@ def learn_merges(
     left, right, merged, pair_count) in merge order.
 
     Ties on pair count break lexicographically on (left, right) — a
-    total order, so the merge table is deterministic on any cluster."""
+    total order, so the merge table is deterministic on any cluster.
+
+    r14 fast path: BPE training runs on the word-frequency VOCABULARY,
+    which is sublinear in the corpus and bounded in practice — exactly
+    the bounded-trainer shape of the Lloyd family
+    (similarity._pq_train_driver). Under the driver cap the vocab
+    collects once (syms already split by the SAME Spark expression, so
+    no tokenizer can fork) and the pair-count -> argmax -> merge loop
+    runs in pure python: integer counts, (count desc, left, right)
+    ties — python string order equals Spark's UTF8 binary order for
+    valid UTF-8 — and the identical greedy leftmost non-overlapping
+    scan (tests/test_functions.py pins the whole sequence against the
+    pure-python reference). Beyond the cap the distributed
+    iteration ladder below runs unchanged."""
+    from sql_flow_spark.localdf import local_df
+
     spark = docs.sparkSession
-    vocab = (
+    vocab_lazy = (
         docs.select(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
         )
@@ -70,8 +89,40 @@ def learn_merges(
             F.regexp_extract_all("word", F.lit("."), 0).alias("syms"),
             "cnt",
         )
-        .localCheckpoint(eager=True)
     )
+    rows = vocab_lazy.limit(_BPE_DRIVER_VOCAB_CAP + 1).collect()
+    if len(rows) <= _BPE_DRIVER_VOCAB_CAP:
+        words = [(list(r["syms"]), int(r["cnt"])) for r in rows]
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pc: dict[tuple[str, str], int] = {}
+            for syms, cnt in words:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pc[p] = pc.get(p, 0) + cnt
+            if not pc:
+                break
+            (left, right), count = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, left, right, left + right, count))
+            nxt_words = []
+            for syms, cnt in words:
+                nxt: list[str] = []
+                for x in syms:
+                    if nxt and nxt[-1] == left and x == right:
+                        nxt[-1] = left + right
+                    else:
+                        nxt.append(x)
+                nxt_words.append((nxt, cnt))
+            words = nxt_words
+        return local_df(
+            spark,
+            merges,
+            "rank int, left string, right string, merged string,"
+            " pair_count long",
+        )
+    vocab = vocab_lazy.localCheckpoint(eager=True)
     merges = []
     for rank in range(1, n_merges + 1):
         pairs = (

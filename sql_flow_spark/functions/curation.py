@@ -279,8 +279,13 @@ def connected_components(
     # r13: checkpointed pre-partitioned on src at the session shuffle
     # partitioning (the same fix pagerank_copurchase got — without the
     # explicit count AQE coalesces the checkpoint and the iteration
-    # join re-shuffles the full edge table every round).
-    both = _iter_checkpoint(both.distinct().repartition(n_shuffle, "src"))
+    # join re-shuffles the full edge table every round). r14: the src
+    # exchange comes FIRST and the dedup reuses it (hash(src)
+    # satisfies the (src,dst) ClusteredDistribution) — one edge-set
+    # shuffle instead of distinct + repartition (guide §2.4).
+    both = _iter_checkpoint(
+        both.repartition(n_shuffle, "src").dropDuplicates(["src", "dst"])
+    )
     # Join strategy picked deliberately (guide §3.1, mirroring
     # pagerank_copurchase): the label table is node-sized, so up to
     # ~5M nodes both per-iteration joins broadcast it (the edge

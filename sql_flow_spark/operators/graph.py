@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sql_flow_spark.functions.mat import materialize_once
 from sql_flow_spark.registry import query
@@ -119,12 +120,6 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = pk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = pk.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") != F.col("dst")))
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("long").alias("w"))
-    )
-    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
     # r13: repartition("src") WITHOUT a count let AQE coalesce the
     # checkpoint to a handful of partitions, and the iteration join's
     # required distribution (shuffle.partitions-sized) then RE-SHUFFLED
@@ -132,17 +127,39 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full checkpoint (239 MB deserialized at sf0.1) read AND 34 MB
     # shuffle-written per iteration, 5x (see
     # plans/r13/pagerank_copurchase_stages_{before,after}.txt). The
-    # partition count is now pinned to the session shuffle
-    # partitioning for the at-scale shuffle-join path, and the
-    # iteration join strategy is chosen explicitly below (a sorted-
-    # checkpoint SMJ variant was measured and rejected: LogicalRDD
-    # drops the ordering, so the join re-sorted and SPILLED the edge
-    # table every iteration).
+    # partition count is pinned to the session shuffle partitioning
+    # for the at-scale shuffle-join path, and the iteration join
+    # strategy is chosen explicitly below (a sorted-checkpoint SMJ
+    # variant was measured and rejected: LogicalRDD drops the
+    # ordering, so the join re-sorted and SPILLED the edge table
+    # every iteration).
     n_shuffle = int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    # r14 (guide §2.4): the edge build paid FOUR edge-set exchanges —
+    # groupBy(src,dst), the outw groupBy(src), the edges-outw join,
+    # and the final repartition(src) (stage profile: ~3 s of the key's
+    # 8 s). Keyed the src exchange FIRST, everything downstream reuses
+    # it: the (src,dst) aggregate's ClusteredDistribution is satisfied
+    # by hash(src) (complete-mode agg, no shuffle — pairs are ~all
+    # distinct here, so the lost map-side combine is ~free), and outw
+    # becomes a src-partitioned window sum (sort-only) instead of a
+    # groupBy + join. Values identical: same exact integer counts and
+    # sums, same output columns.
+    pairs = a.join(
+        b, (F.col("ok") == F.col("ok2")) & (F.col("src") != F.col("dst"))
+    )
+    edges = (
+        pairs.repartition(n_shuffle, "src")
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    w_src = Window.partitionBy("src")
     ew = materialize_once(
-        edges.join(outw, "src").repartition(n_shuffle, "src")
+        edges.select(
+            "src", "dst", "w",
+            F.sum("w").over(w_src).cast("long").alias("outw"),
+        )
     )
     nodes = ew.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
